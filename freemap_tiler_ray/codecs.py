@@ -1,0 +1,182 @@
+"""Tile image + alpha codecs, pure stdlib (zlib) + numpy.
+
+Mirrors the reference's encode stage semantics
+(/root/reference/src/processor.rs:496-562):
+  - PNG: CompressionType::Best + Adaptive filtering, La8 (2-band) or
+    Rgba8 (4-band)  -> here: zlib level 9, per-row adaptive filter chosen
+    among None/Sub/Up by the minimum-sum-of-absolute-differences
+    heuristic (restricted to the filters with fully vectorizable decode).
+    Byte-identical PNG across encoders is not guaranteed (SURVEY.md §7.5)
+    — correctness is defined on DECODED pixels.
+  - JPEG + alpha split: color planes JPEG-encoded, alpha plane compressed
+    separately (zstd level 0 = library default in the reference,
+    processor.rs:518); `fully_opaque` (all alpha == 255) skips the alpha
+    blob entirely (processor.rs:505-517). The sandbox has neither a JPEG
+    codec nor zstd: JPEG is provided by the pure-numpy baseline codec in
+    `jpeg.py`, and alpha compression uses zstd when importable, else a
+    raw zlib stream (the two are distinguished by frame magic on decode).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # optional, absent in this sandbox
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload)))
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """img: (H, W, C) uint8 with C in {1, 2, 3, 4} -> PNG bytes."""
+    img = np.ascontiguousarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = img.reshape(h, w * c)
+    prev = np.vstack([np.zeros((1, w * c), np.uint8), raw[:-1]])
+    left = np.zeros_like(raw)
+    left[:, c:] = raw[:, :-c]
+    cands = np.stack([raw, raw - left, raw - prev])        # None, Sub, Up (mod 256)
+    folded = np.minimum(cands, 256 - cands.astype(np.int16)).astype(np.int64)
+    choice = folded.sum(axis=2).argmin(axis=0)             # per-row filter id
+    filtered = np.take_along_axis(cands, choice[None, :, None], axis=0)[0]
+    scan = np.empty((h, 1 + w * c), np.uint8)
+    scan[:, 0] = choice
+    scan[:, 1:] = filtered
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(scan.tobytes(), 9)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8. Supports 8-bit gray/GA/RGB/RGBA,
+    filters 0-4, no interlace (everything our encoder and tests emit)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    w, h, bit, color_type, _, _, interlace = meta
+    if bit != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG")
+    c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    raw = raw.reshape(h, 1 + w * c)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, w * c), np.uint8)
+    prev = np.zeros(w * c, np.uint8)
+    for r in range(h):
+        f, row = int(filters[r]), rows[r].copy()
+        if f == 0:
+            cur = row
+        elif f == 1:
+            cur = np.add.accumulate(row.reshape(w, c), axis=0,
+                                    dtype=np.uint8).reshape(-1)
+        elif f == 2:
+            cur = row + prev
+        elif f == 3:
+            cur = row
+            for j in range(w * c):
+                a = cur[j - c] if j >= c else np.uint8(0)
+                cur[j] = cur[j] + np.uint8((int(a) + int(prev[j])) // 2)
+        elif f == 4:
+            cur = row
+            for j in range(w * c):
+                a = int(cur[j - c]) if j >= c else 0
+                b, cc = int(prev[j]), int(prev[j - c]) if j >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[j] = cur[j] + np.uint8(pred)
+        else:
+            raise ValueError(f"bad filter {f}")
+        out[r] = cur
+        prev = out[r]
+    return out.reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Alpha-plane compression (reference: zstd level 0, processor.rs:518)
+# ---------------------------------------------------------------------------
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def compress_alpha(alpha_plane: bytes) -> bytes:
+    if _zstd is not None:
+        return _zstd.ZstdCompressor(level=3).compress(alpha_plane)
+    return zlib.compress(alpha_plane, 6)
+
+
+def decompress_alpha(blob: bytes, size: int) -> np.ndarray:
+    """Empty blob = fully opaque (reference processor.rs:203-210)."""
+    if len(blob) == 0:
+        return np.full(size, 255, np.uint8)
+    if blob[:4] == _ZSTD_MAGIC:
+        if _zstd is None:
+            raise RuntimeError("zstd blob but zstandard not installed")
+        raw = _zstd.ZstdDecompressor().decompress(blob, max_output_size=size)
+    else:
+        raw = zlib.decompress(blob)
+    return np.frombuffer(raw, np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Tile encode / decode dispatch (format: "png" | "jpeg")
+# ---------------------------------------------------------------------------
+
+def encode_tile(buf: np.ndarray, fmt: str, quality: int = 85):
+    """(H, W, bands-with-alpha) uint8 -> (tile_data, tile_alpha) bytes.
+
+    PNG keeps alpha inside tile_data (tile_alpha empty) — the reference's
+    PNG path has no tile_alpha column at all (schema.rs:29-32).
+    JPEG splits color planes from alpha; fully-opaque tiles skip the alpha
+    blob (processor.rs:505-517).
+    """
+    if fmt == "png":
+        return png_encode(buf), b""
+    if fmt == "jpeg":
+        from . import jpeg
+        color, alpha = buf[:, :, :-1], buf[:, :, -1]
+        data = jpeg.jpeg_encode(color, quality)
+        if bool((alpha == 255).all()):
+            return data, b""
+        return data, compress_alpha(alpha.tobytes())
+    raise ValueError(f"unknown tile format {fmt!r}")
+
+
+def decode_tile(tile_data: bytes, tile_alpha: bytes, fmt: str,
+                tile_size: int) -> np.ndarray:
+    """Inverse of encode_tile, for the resume path (reference
+    processor.rs:194-221): returns (ts, ts, bands-with-alpha) uint8."""
+    if fmt == "png":
+        return png_decode(tile_data)
+    from . import jpeg
+    color = jpeg.jpeg_decode(tile_data)
+    alpha = decompress_alpha(tile_alpha, tile_size * tile_size)
+    return np.dstack([color, alpha.reshape(tile_size, tile_size)])
