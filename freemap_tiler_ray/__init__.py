@@ -16,3 +16,7 @@ Layout:
 Nothing in this package calls ray.init()/ray.shutdown(); sessions are
 owned by bench.py, CLI entry points and the pytest fixture only.
 """
+
+from . import memtune as _memtune
+
+_memtune.apply()

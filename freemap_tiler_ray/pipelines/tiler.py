@@ -1,0 +1,256 @@
+"""End-to-end tile-pyramid pipeline (the flagship).
+
+Ray-Data-native reimplementation of the reference's three flows
+(/root/reference/src/main.rs:43-365, SURVEY.md §3):
+
+  universe (range -> megatile keys, polygon-filtered)
+    -> WarpStage actor pool (megatile warp, T6/T7)
+    -> SectorStage (leaf extraction + empty markers, T8/T9/K4)
+    -> raw leaf parquet  [resumable partitions = attempts, bulk anti-join]
+    -> per-zoom bottom-up loop: EncodeStage -> enc parquet;
+       compose_level (groupby parent_key) -> raw parquet at z-1
+    -> limits aggregate (A1) -> metadata
+    -> MBTiles compaction (single writer, K1-K3)
+
+The children-before-parent dependency is not expressible inside one Ray
+Data DAG stage, so each zoom level is one checkpointed groupby shuffle —
+the idiomatic replacement for the reference's z-order LIFO scheduler
+(SURVEY.md §7.3). Each level's parquet doubles as the checkpoint: a rerun
+skips any stage whose manifest says done.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .. import tilemath as tm
+from ..config import TilerConfig
+from ..raster import SceneSpec
+from ..sources.geojson_src import read_bounding_polygon
+from ..sources.mbtiles import write_mbtiles
+from ..stages.compose import compose_level
+from ..stages.encode import EncodeStage
+from ..stages.geom import rects_intersect_polygon
+from ..stages.sectors import SectorStage
+from ..stages.warp import WarpStage
+from ..state.limits import limits_from_encoded, limits_json
+from . import checkpoint as ckpt
+
+ENC_COLS = ["zoom", "x", "tms_y", "status"]
+
+
+def parquet_files(dirs) -> list[str]:
+    """Expand directories to their parquet part files (ray.data
+    read_parquet accepts a list of files, not of directories)."""
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    out = []
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            out.extend(os.path.join(root, f) for f in sorted(files)
+                       if f.endswith(".parquet"))
+    return out
+
+
+def _resolve_polygon(cfg: TilerConfig):
+    bp = cfg.bounding_polygon
+    if bp is None:
+        return None
+    if isinstance(bp, str):
+        return read_bounding_polygon(bp)
+    return np.asarray(bp, np.float64)
+
+
+def megatile_universe(spec: SceneSpec, cfg: TilerConfig, ring=None):
+    """Lazy tile-universe generation (T3): the megatile index rectangle is
+    derived from the reprojected source bbox (driver-side scalar math),
+    then materialized distributedly from ray.data.range — the driver
+    never holds the tile list."""
+    offset = cfg.effective_offset
+    mzoom = cfg.max_zoom - offset
+    bbox = spec.mercator_bbox()
+    leaf_range = tm.bbox_covered_tile_range(*bbox, cfg.max_zoom)
+    mx0, my0, mx1, my1 = tm.bbox_covered_tile_range(*bbox, mzoom)
+    w = mx1 - mx0 + 1
+    n = w * (my1 - my0 + 1)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy()
+        mx = mx0 + (idx % w)
+        my = my0 + (idx // w)
+        if ring is not None:
+            bx0, by0, bx1, by1 = tm.bounds(mzoom, mx, my)
+            keep = rects_intersect_polygon(bx0, by0, bx1, by1, ring)
+            mx, my = mx[keep], my[keep]
+        return pa.table({"mz": pa.array(np.full(len(mx), mzoom), pa.int32()),
+                         "mx": pa.array(mx, pa.int64()),
+                         "my": pa.array(my, pa.int64())})
+
+    blocks = max(1, min(n, 4 * _cpus()))
+    ds = rd.range(n, override_num_blocks=blocks).map_batches(
+        gen, batch_format="pyarrow")
+    return ds, mzoom, leaf_range, bbox
+
+
+def _cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _anti_join_done(ds, done_keys: np.ndarray):
+    """Bulk resume anti-join: drop megatiles already completed by a prior
+    attempt. The done-set is broadcast once via ray.put and read per
+    task (never re-shipped per batch)."""
+    if len(done_keys) == 0:
+        return ds
+    ref = ray.put(np.asarray(done_keys, np.uint64))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        done = ray.get(ref)
+        keys = tm.tile_key(batch["mz"].to_numpy(), batch["mx"].to_numpy(),
+                           batch["my"].to_numpy())
+        return batch.filter(pa.array(~np.isin(keys, done)))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def build_pyramid(cfg: TilerConfig) -> dict:
+    """Run (or resume) the full pyramid build. Returns summary metadata."""
+    t_start = time.time()
+    spec = SceneSpec.load(cfg.scene_spec_path)
+    ring = _resolve_polygon(cfg)
+    if not cfg.resume and os.path.isdir(cfg.out_dir):
+        # fresh run into a used out_dir: clear stale checkpoints so parquet
+        # appends can't duplicate rows (the reference likewise refuses an
+        # existing target unless continuing, main.rs:58-60)
+        import shutil
+        for name in os.listdir(cfg.out_dir):
+            if name.startswith(("raw_z", "enc_z", "_manifest")):
+                shutil.rmtree(os.path.join(cfg.out_dir, name), ignore_errors=True)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    offset = cfg.effective_offset
+    bands = spec.band_count
+    metrics: dict[str, float] = {}
+
+    universe, mzoom, leaf_range, bbox = megatile_universe(spec, cfg, ring)
+    raw_dir = lambda z: os.path.join(cfg.out_dir, f"raw_z{z}")  # noqa: E731
+    enc_dir = lambda z: os.path.join(cfg.out_dir, f"enc_z{z}")  # noqa: E731
+
+    # ---- leaf stage (warp -> sectors), resumable by megatile partition ----
+    stage = "leaves"
+    man = ckpt.load_manifest(cfg.out_dir, stage) or {"attempts": [], "done": False}
+    if not (cfg.resume and man["done"]):
+        t0 = time.time()
+        done_keys = np.concatenate(
+            [np.asarray(a["megatile_keys"], np.uint64)
+             for a in man["attempts"]] or [np.array([], np.uint64)])
+        todo = _anti_join_done(universe, done_keys) if cfg.resume else universe
+        todo_tbl = todo.to_arrow_refs()
+        todo_keys = []
+        for ref in todo_tbl:
+            t = ray.get(ref)
+            todo_keys.append(tm.tile_key(t["mz"].to_numpy(), t["mx"].to_numpy(),
+                                         t["my"].to_numpy()))
+        todo_keys = (np.concatenate(todo_keys) if todo_keys
+                     else np.array([], np.uint64))
+        if len(todo_keys) or not man["attempts"]:
+            attempt = len(man["attempts"])
+            adir = os.path.join(raw_dir(cfg.max_zoom), f"attempt-{attempt}")
+            todo = _anti_join_done(universe, done_keys) if cfg.resume else universe
+            conc = cfg.concurrency or max(1, _cpus() - 1)
+            warped = todo.map_batches(
+                WarpStage, fn_constructor_kwargs=dict(
+                    scene_spec_path=cfg.scene_spec_path, tile_size=cfg.tile_size,
+                    warp_zoom_offset=offset, kernel=cfg.kernel),
+                batch_format="pyarrow", batch_size=2, concurrency=conc,
+                num_cpus=1)
+            leaves = warped.map_batches(
+                SectorStage(cfg.tile_size, offset, bands, leaf_range, ring),
+                batch_format="pyarrow", batch_size=2)
+            leaves.write_parquet(adir)
+            man["attempts"].append({
+                "dir": adir,
+                "megatile_keys": [int(k) for k in todo_keys],
+                "partitions": ckpt.partition_files(adir),
+            })
+        man["done"] = True
+        man["lineage"] = {"inputs": [cfg.scene_spec_path], "stage": "warp+sector"}
+        metrics["warp"] = man["metrics_sec"] = time.time() - t0
+        ckpt.save_manifest(cfg.out_dir, stage, man)
+    else:
+        metrics["warp"] = 0.0
+
+    # ---- per-zoom bottom-up: encode level, compose to next ----
+    for z in range(cfg.max_zoom, -1, -1):
+        src = (os.path.join(raw_dir(cfg.max_zoom), "") if z == cfg.max_zoom
+               else raw_dir(z))
+        estage = f"enc_z{z}"
+        if not (cfg.resume and ckpt.stage_done(cfg.out_dir, estage)):
+            t0 = time.time()
+            raw = rd.read_parquet(src)
+            enc = raw.map_batches(
+                EncodeStage(cfg.fmt, cfg.jpeg_quality, cfg.tile_size, bands),
+                batch_format="pyarrow", batch_size=64)
+            enc.write_parquet(enc_dir(z))
+            ckpt.save_manifest(cfg.out_dir, estage, {
+                "done": True, "lineage": {"inputs": [src]},
+                "partitions": ckpt.partition_files(enc_dir(z)),
+                "metrics_sec": time.time() - t0})
+            metrics["encode"] = metrics.get("encode", 0.0) + time.time() - t0
+        if z == 0:
+            break
+        cstage = f"raw_z{z - 1}"
+        if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
+            t0 = time.time()
+            raw = rd.read_parquet(src)
+            nxt = compose_level(raw, cfg.tile_size, bands, cfg.kernel)
+            nxt.write_parquet(raw_dir(z - 1))
+            ckpt.save_manifest(cfg.out_dir, cstage, {
+                "done": True, "lineage": {"inputs": [src]},
+                "partitions": ckpt.partition_files(raw_dir(z - 1)),
+                "metrics_sec": time.time() - t0})
+            metrics["compose"] = metrics.get("compose", 0.0) + time.time() - t0
+
+    # ---- limits aggregate (A1) over all levels, column-pruned read ----
+    t0 = time.time()
+    enc_all = rd.read_parquet(
+        parquet_files([enc_dir(z) for z in range(cfg.max_zoom + 1)]),
+        columns=ENC_COLS)
+    limits = limits_from_encoded(enc_all)
+    lim_json = limits_json(limits)
+    metrics["limits"] = time.time() - t0
+
+    # ---- MBTiles compaction (single writer, K1-K3) ----
+    inserted = None
+    if cfg.target_file:
+        t0 = time.time()
+        if os.path.exists(cfg.target_file) and not cfg.resume:
+            raise FileExistsError(cfg.target_file)  # main.rs:58-60
+        if not (cfg.resume and ckpt.stage_done(cfg.out_dir, "mbtiles")):
+            if os.path.exists(cfg.target_file):
+                os.unlink(cfg.target_file)
+            enc_full = rd.read_parquet(
+                parquet_files([enc_dir(z) for z in range(cfg.max_zoom + 1)]))
+            inserted = write_mbtiles(cfg.target_file, enc_full, cfg.max_zoom,
+                                     cfg.fmt, bbox, lim_json, cfg.insert_empty)
+            ckpt.save_manifest(cfg.out_dir, "mbtiles", {
+                "done": True, "rows": inserted,
+                "metrics_sec": time.time() - t0})
+        metrics["insert"] = time.time() - t0
+
+    result = {"max_zoom": cfg.max_zoom, "bounds_3857": list(bbox),
+              "limits": limits, "limits_json": lim_json,
+              "mbtiles_rows": inserted, "format": cfg.fmt,
+              "out_dir": cfg.out_dir, "metrics_sec": metrics,
+              "wall_sec": time.time() - t_start}
+    ckpt.save_manifest(cfg.out_dir, "summary", dict(result, done=True))
+    return result

@@ -1,0 +1,151 @@
+"""Raster scene model + deterministic synthetic fixtures.
+
+Stands in for the reference's GDAL source dataset
+(/root/reference/src/main.rs:80-110): a scene is a (H, W, B) uint8 numpy
+array on disk (.npy, mmap-readable — the actor-pool analog of the GDAL
+handle pool, processor.rs:34) plus a JSON sidecar carrying the
+georeference (axis-aligned geotransform, like geo.rs:4-25, no rotation)
+and band layout.
+
+Band semantics mirror main.rs:82-110 + processor.rs:86: accepted source
+layouts are G / GA / RGB / RGBA; the internal representation always
+carries a trailing alpha band (band_count = ((bands + 1) / 2) * 2).
+Alpha-less sources get a fully-opaque alpha plane — the practical GDAL
+behavior with a mask band (README.md:115-165 always builds one; see
+SURVEY.md §7.5 for why the literal MEM-dataset-nodata path is inert).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from . import tilemath as tm
+from .geo import lonlat_to_mercator, mercator_to_lonlat, transform_bounds
+
+
+@dataclasses.dataclass
+class SceneSpec:
+    scene_id: str
+    path: str                      # .npy file of (H, W, B) uint8
+    width: int
+    height: int
+    bands: int                     # source band count: 1|2|3|4
+    crs: str                       # "EPSG:3857" | "EPSG:4326"
+    origin_x: float                # geotransform: top-left corner
+    origin_y: float
+    px_w: float                    # pixel width (source units, > 0)
+    px_h: float                    # pixel height (source units, > 0; rows go down)
+    nodata: float | None = None    # per-band nodata value (T7)
+
+    @property
+    def band_count(self) -> int:
+        """Internal even band count with alpha (processor.rs:86)."""
+        return ((self.bands + 1) // 2) * 2
+
+    def source_bbox(self):
+        """(min_x, min_y, max_x, max_y) in source CRS (geo.rs:4-25)."""
+        return (self.origin_x, self.origin_y - self.height * self.px_h,
+                self.origin_x + self.width * self.px_w, self.origin_y)
+
+    def mercator_bbox(self, densify_pts: int = 21):
+        """Source bbox reprojected to EPSG:3857 with densification
+        (main.rs:166-169)."""
+        b = self.source_bbox()
+        if self.crs == "EPSG:3857":
+            return b
+        if self.crs == "EPSG:4326":
+            return transform_bounds(lonlat_to_mercator, *b, densify_pts=densify_pts)
+        raise ValueError(f"unsupported CRS {self.crs}")
+
+    def mercator_to_source_px(self, X, Y):
+        """EPSG:3857 coords -> fractional source pixel coords (col, row),
+        pixel-center convention (integer + 0.5 = center). Axis-separable
+        for both supported CRS pairs (SURVEY.md §2.2 T6)."""
+        if self.crs == "EPSG:3857":
+            sx, sy = np.asarray(X, np.float64), np.asarray(Y, np.float64)
+        elif self.crs == "EPSG:4326":
+            sx, sy = mercator_to_lonlat(X, Y)
+        else:
+            raise ValueError(f"unsupported CRS {self.crs}")
+        col = (sx - self.origin_x) / self.px_w
+        row = (self.origin_y - sy) / self.px_h
+        return col, row
+
+    def save(self):
+        with open(self.path + ".json", "w") as f:
+            json.dump(dataclasses.asdict(self), f)
+
+    @classmethod
+    def load(cls, path: str) -> "SceneSpec":
+        with open(path + ".json") as f:
+            d = json.load(f)
+        d["path"] = path
+        return cls(**d)
+
+
+def open_scene(spec: SceneSpec) -> np.ndarray:
+    """mmap the scene pixels (the GDAL-handle analog held by warp actors)."""
+    return np.load(spec.path, mmap_mode="r")
+
+
+def with_alpha(img: np.ndarray, bands: int) -> np.ndarray:
+    """Pad G -> GA or RGB -> RGBA with opaque alpha (see module docstring)."""
+    if bands % 2 == 0:
+        return img
+    alpha = np.full(img.shape[:2] + (1,), 255, np.uint8)
+    return np.concatenate([img, alpha], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fixtures (FIXTURES.md F2): deterministic gradient + disk mask
+# ---------------------------------------------------------------------------
+
+def gradient_disk_pixels(size: int, bands: int = 4,
+                         disk_frac: float = 400.0 / 1024.0) -> np.ndarray:
+    """R=x%256, G=y%256, B=(x+y)%256, alpha=255 inside the centered disk of
+    radius disk_frac*size (integer-coordinate test: (x-c)^2+(y-c)^2 < r^2),
+    else 0. 2-band variant: L=(x+y)%256 + same alpha."""
+    x, y = np.meshgrid(np.arange(size), np.arange(size))
+    c, r = size // 2, disk_frac * size
+    alpha = np.where((x - c) ** 2 + (y - c) ** 2 < r * r, 255, 0).astype(np.uint8)
+    if bands == 4:
+        img = np.dstack([(x % 256), (y % 256), ((x + y) % 256), alpha])
+    elif bands == 2:
+        img = np.dstack([((x + y) % 256), alpha])
+    else:
+        raise ValueError("gradient_disk supports 2 or 4 bands")
+    return img.astype(np.uint8)
+
+
+def make_scene(path: str, anchor=(4, 9, 5), size: int = 1024, bands: int = 4,
+               crs: str = "EPSG:3857", disk_frac: float = 400.0 / 1024.0) -> SceneSpec:
+    """Write a synthetic scene exactly covering the EPSG:3857 bounds of the
+    anchor tile, so tile assignment has a closed-form oracle. For
+    crs=4326 the pixel grid is regular in lon/lat over the same corner
+    points (exercises the reprojection path, main.rs:138-169)."""
+    if not str(path).endswith(".npy"):
+        path = path + ".npy"
+    img = gradient_disk_pixels(size, bands, disk_frac)
+    with open(path, "wb") as f:
+        np.save(f, img)
+    bx0, by0, bx1, by1 = tm.bounds(*anchor)
+    if crs == "EPSG:3857":
+        ox, oy = bx0, by1
+        pw, ph = (bx1 - bx0) / size, (by1 - by0) / size
+    elif crs == "EPSG:4326":
+        lon0, lat1 = mercator_to_lonlat(bx0, by0)
+        lon1, lat0 = mercator_to_lonlat(bx1, by1)  # lat0 = north lat
+        ox, oy = float(lon0), float(lat0)
+        pw, ph = (float(lon1) - float(lon0)) / size, (float(lat0) - float(lat1)) / size
+    else:
+        raise ValueError(crs)
+    spec = SceneSpec(scene_id=os.path.basename(path)[:-4], path=path,
+                     width=size, height=size, bands=bands, crs=crs,
+                     origin_x=float(ox), origin_y=float(oy),
+                     px_w=float(pw), px_h=float(ph))
+    spec.save()
+    return spec

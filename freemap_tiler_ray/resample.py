@@ -8,18 +8,22 @@ Replaces two kernels of the reference:
     (/root/reference/src/warp.rs:70).
 
 Semantics mirrored from the `image` crate's sampling model: for a
-downscale ratio r = src/dst > 1 the kernel is stretched by r (support
-3r source pixels), weights are normalized to sum 1, channels are
-resampled independently (no alpha premultiply — matching the reference,
-which resizes RGBA / LumaA u8 buffers directly), intermediate values are
-float, and the final u8 conversion rounds then clamps to [0, 255].
+downscale ratio r = src/dst > 1 the kernel is stretched by r (support 3r
+source pixels), tap weights are normalized to sum 1, out-of-range tap
+indices clamp to the edge (replicate), channels are resampled
+independently (no alpha premultiply — matching the reference, which
+resizes RGBA / LumaA u8 buffers directly), intermediates stay float, and
+the final u8 conversion rounds then clamps to [0, 255].
 
-Both kernels are expressed as dense per-axis weight matrices applied by
-matmul — fully vectorized, and the matrices are built once per distinct
-geometry so actor pools can cache them.
+Implementation is tap-gather, not dense matmul: each output sample sums
+~ceil(6*scale)+2 taps, so cost is O(out * taps), which is what lets a
+2048^2 megatile warp run in ~100 ms and the 2:1 compose downsample (a
+translation-invariant 12-tap stride-2 convolution) in a few ms.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -33,91 +37,141 @@ def lanczos3_kernel(x):
     return np.where(np.abs(x) < _LANCZOS_A, out, 0.0)
 
 
-def _axis_weights(src_size, centers, scale, kernel=lanczos3_kernel, support=_LANCZOS_A,
-                  zero_outside=False):
-    """Dense (dst_size x src_size) weight matrix for one axis.
-
-    centers: float array of source-space sample coordinates (pixel-center
-    convention: source pixel p covers [p, p+1), center p+0.5).
-    scale: kernel stretch factor, max(src/dst ratio, 1) for downsampling.
-    zero_outside: if True, rows whose center lies outside [0, src_size]
-    produce all-zero weights (warp: outside source -> transparent);
-    otherwise edge weights renormalize over in-range taps (resize: clamp).
-    """
-    centers = np.asarray(centers, dtype=np.float64)
-    scale = max(float(scale), 1.0)
-    rad = support * scale
-    left = np.floor(centers - rad).astype(np.int64)
-    n_tap = int(np.ceil(2.0 * rad)) + 2
-    taps = left[:, None] + np.arange(n_tap)[None, :]          # (dst, taps)
-    dist = (taps + 0.5 - centers[:, None]) / scale
-    w = kernel(dist)
-    valid = (taps >= 0) & (taps < src_size)
-    w = np.where(valid, w, 0.0)
-    sums = w.sum(axis=1, keepdims=True)
-    sums[sums == 0.0] = 1.0
-    w = w / sums
-    if zero_outside:
-        outside = (centers < 0.0) | (centers > src_size)
-        w[outside] = 0.0
-    mat = np.zeros((len(centers), src_size), dtype=np.float32)
-    rows = np.repeat(np.arange(len(centers)), n_tap)
-    np.add.at(mat, (rows, np.clip(taps, 0, src_size - 1).ravel()), w.ravel())
-    return mat
-
-
 def _bilinear_kernel(x):
     x = np.abs(np.asarray(x, dtype=np.float64))
     return np.where(x < 1.0, 1.0 - x, 0.0)
 
 
-def resize(img, out_h, out_w, kernel="lanczos3"):
-    """Resize HxWxC (or HxW) uint8 -> (out_h, out_w[, C]) uint8.
+_KERNELS = {"lanczos3": (lanczos3_kernel, _LANCZOS_A),
+            "bilinear": (_bilinear_kernel, 1.0)}
 
-    Pixel-center mapping center_i = (i + 0.5) * ratio, matching the image
-    crate's `sample` geometry used by the reference's compose step.
+
+def _axis_taps(src_size, centers, scale, kernel="lanczos3", edge="clamp"):
+    """Tap indices + weights for one axis.
+
+    centers: source-space sample coords (pixel-center convention: source
+    pixel p covers [p, p+1), center p+0.5). scale: kernel stretch,
+    clamped to >= 1. edge="clamp": out-of-range taps replicate the edge
+    pixel (image-crate resize semantics). edge="zero": out-of-range taps
+    contribute nothing and weights renormalize over in-range taps;
+    samples whose center is outside [0, src_size] get all-zero weights
+    (warp: outside source -> transparent, GDAL-nodata-like).
+
+    Returns (idx (n, t) int64, w (n, t) float32).
     """
+    kfn, support = _KERNELS[kernel]
+    centers = np.asarray(centers, dtype=np.float64)
+    scale = max(float(scale), 1.0)
+    rad = support * scale
+    # valid taps t satisfy |t + 0.5 - center| < rad; pad by one each side
+    # (extra taps get zero weight)
+    left = np.floor(centers - rad - 0.5).astype(np.int64)
+    n_tap = int(np.ceil(2.0 * rad)) + 2
+    taps = left[:, None] + np.arange(n_tap)[None, :]
+    w = kfn((taps + 0.5 - centers[:, None]) / scale)
+    if edge == "zero":
+        w = np.where((taps >= 0) & (taps < src_size), w, 0.0)
+    sums = w.sum(axis=1, keepdims=True)
+    sums[sums == 0.0] = 1.0
+    w = w / sums
+    if edge == "zero":
+        w[(centers < 0.0) | (centers > src_size)] = 0.0
+    return np.clip(taps, 0, src_size - 1), w.astype(np.float32)
+
+
+def _apply_axis0(img, idx, w):
+    """Resample axis 0 of contiguous img (src, M) -> (len(idx), M)."""
+    out = np.zeros((idx.shape[0], img.shape[1]), dtype=np.float32)
+    buf = np.empty_like(out)
+    for t in range(idx.shape[1]):
+        np.take(img, idx[:, t], axis=0, out=buf)
+        buf *= w[:, t][:, None]
+        out += buf
+    return out
+
+
+def _resample2d(img, idx_x, w_x, idx_y, w_y):
+    """img (H, W, C) -> (len(idx_y), len(idx_x), C) float32; vertical pass
+    first, then horizontal — the image crate's resize order."""
+    h, w, c = img.shape
+    f = np.ascontiguousarray(img.reshape(h, w * c), dtype=np.float32)
+    tmp = _apply_axis0(f, idx_y, w_y).reshape(-1, w, c)     # (outH, W, C)
+    tmp = np.ascontiguousarray(np.moveaxis(tmp, 1, 0)).reshape(w, -1)
+    out = _apply_axis0(tmp, idx_x, w_x).reshape(-1, idx_y.shape[0], c)
+    return np.moveaxis(out, 1, 0)
+
+
+def _to_u8(arr):
+    return np.clip(np.rint(arr), 0.0, 255.0).astype(np.uint8)
+
+
+def resize(img, out_h, out_w, kernel="lanczos3"):
+    """Resize HxWxC (or HxW) uint8 -> (out_h, out_w[, C]) uint8 with
+    pixel-center mapping center_i = (i + 0.5) * ratio."""
     img = np.asarray(img)
     squeeze = img.ndim == 2
     if squeeze:
         img = img[:, :, None]
-    h, w, c = img.shape
-    kfn, sup = ((lanczos3_kernel, _LANCZOS_A) if kernel == "lanczos3"
-                else (_bilinear_kernel, 1.0))
+    h, w, _ = img.shape
     ry, rx = h / out_h, w / out_w
-    wy = _axis_weights(h, (np.arange(out_h) + 0.5) * ry, ry, kfn, sup)
-    wx = _axis_weights(w, (np.arange(out_w) + 0.5) * rx, rx, kfn, sup)
-    f = img.reshape(h, w * c).astype(np.float32)
-    tmp = (wy @ f).reshape(out_h, w, c)                       # vertical pass
-    tmp = np.moveaxis(tmp, 1, 2).reshape(out_h * c, w)
-    out = (wx @ tmp.T).T.reshape(out_h, c, out_w)             # horizontal pass
-    out = np.moveaxis(out, 1, 2)
-    out = np.clip(np.rint(out), 0.0, 255.0).astype(np.uint8)
+    idx_y, w_y = _axis_taps(h, (np.arange(out_h) + 0.5) * ry, ry, kernel)
+    idx_x, w_x = _axis_taps(w, (np.arange(out_w) + 0.5) * rx, rx, kernel)
+    out = _to_u8(_resample2d(img, idx_x, w_x, idx_y, w_y))
+    return out[:, :, 0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=8)
+def _down2_taps(kernel):
+    """The 2:1 downsample is translation-invariant: center = 2i + 1,
+    taps 2i + k for k in [-5, 6], weights independent of i."""
+    kfn, support = _KERNELS[kernel]
+    rad = support * 2.0
+    offs = np.arange(int(np.floor(1 - rad)), int(np.ceil(rad)) + 1)
+    w = kfn((offs - 0.5) / 2.0)
+    return offs, (w / w.sum()).astype(np.float32)
+
+
+def downsample2x(img, kernel="lanczos3"):
+    """Exact 2:1 resize((H,W,C) -> (H/2, W/2, C)) — the compose path's
+    hot kernel (processor.rs:278-309). Identical output to resize() but
+    via a stride-2 separable convolution with edge replication."""
+    img = np.asarray(img)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    offs, w = _down2_taps(kernel)
+    pad_l, pad_r = int(-offs[0]), int(offs[-1])
+
+    def pass0(a):  # downsample axis 0
+        p = np.concatenate([a[:1]] * pad_l + [a] + [a[-1:]] * (pad_r - 1))
+        out = np.zeros((a.shape[0] // 2,) + a.shape[1:], np.float32)
+        for k in range(len(offs)):
+            out += w[k] * p[k:k + a.shape[0]:2]
+        return out
+
+    out = pass0(img.astype(np.float32, copy=False))
+    out = np.moveaxis(pass0(np.moveaxis(out, 1, 0)), 1, 0)
+    out = _to_u8(out)
     return out[:, :, 0] if squeeze else out
 
 
 def separable_warp(img, src_x_centers, src_y_centers, scale_x, scale_y,
                    kernel="lanczos3"):
     """Warp via independent per-axis resampling (valid whenever the
-    dst->src mapping is axis-separable, which holds for 4326<->3857 and any
-    axis-aligned affine). Samples whose center falls outside the source
-    extent come out zero in every band (-> transparent, GDAL-nodata-like).
+    dst->src mapping is axis-separable, which holds for 4326<->3857 and
+    any axis-aligned affine — SURVEY.md §2.2 T6). Samples whose center
+    falls outside the source extent come out zero in every band
+    (-> transparent).
 
-    img: (H, W, C) uint8; src_*_centers: source pixel coords (float) for
-    each dst column / row; scale_*: local src/dst pixel-size ratio.
-    Returns (len(src_y_centers), len(src_x_centers), C) uint8.
+    img: (H, W[, C]) uint8; src_*_centers: fractional source pixel coords
+    for each dst column / row; scale_*: local src/dst pixel-size ratio.
     """
     img = np.asarray(img)
-    if img.ndim == 2:
+    squeeze = img.ndim == 2
+    if squeeze:
         img = img[:, :, None]
-    h, w, c = img.shape
-    kfn, sup = ((lanczos3_kernel, _LANCZOS_A) if kernel == "lanczos3"
-                else (_bilinear_kernel, 1.0))
-    wy = _axis_weights(h, src_y_centers, scale_y, kfn, sup, zero_outside=True)
-    wx = _axis_weights(w, src_x_centers, scale_x, kfn, sup, zero_outside=True)
-    f = img.reshape(h, w * c).astype(np.float32)
-    tmp = (wy @ f).reshape(len(src_y_centers), w, c)
-    tmp = np.moveaxis(tmp, 1, 2).reshape(len(src_y_centers) * c, w)
-    out = (wx @ tmp.T).T.reshape(len(src_y_centers), c, len(src_x_centers))
-    out = np.moveaxis(out, 1, 2)
-    return np.clip(np.rint(out), 0.0, 255.0).astype(np.uint8)
+    h, w, _ = img.shape
+    idx_y, w_y = _axis_taps(h, src_y_centers, scale_y, kernel, edge="zero")
+    idx_x, w_x = _axis_taps(w, src_x_centers, scale_x, kernel, edge="zero")
+    out = _to_u8(_resample2d(img, idx_x, w_x, idx_y, w_y))
+    return out[:, :, 0] if squeeze else out

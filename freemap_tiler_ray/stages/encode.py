@@ -1,0 +1,76 @@
+"""Encode / decode stages (stateless map_batches).
+
+Encode mirrors /root/reference/src/processor.rs:493-562: data rows get
+(tile_data, tile_alpha) via codecs.encode_tile (opaque detection +
+alpha-split for JPEG, processor.rs:505-517); empty-marker rows keep
+empty blobs (K4). Adds the TMS-flipped row (tile_inserter.rs:54).
+
+Decode is the resume path (processor.rs:194-221): stored tiles back to
+raw interleaved buffers so they can seed the pyramid compose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import tilemath as tm
+from ..codecs import decode_tile, encode_tile
+
+
+class EncodeStage:
+    def __init__(self, fmt: str = "png", quality: int = 85,
+                 tile_size: int = 256, bands: int = 4):
+        self.fmt = fmt
+        self.quality = quality
+        self.ts = tile_size
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts, b = self.ts, self.bands
+        zoom = batch["zoom"].to_numpy()
+        y = batch["y"].to_numpy()
+        data, alpha = [], []
+        status = batch["status"].to_pylist()
+        pix = batch["pixels"]
+        for i, st in enumerate(status):
+            if st != "data":
+                data.append(b"")
+                alpha.append(b"")
+                continue
+            buf = np.frombuffer(pix[i].as_py(), np.uint8).reshape(ts, ts, b)
+            d, a = encode_tile(buf, self.fmt, self.quality)
+            data.append(d)
+            alpha.append(a)
+        return pa.table({
+            "zoom": batch["zoom"], "x": batch["x"], "y": batch["y"],
+            "tms_y": pa.array(tm.reversed_y(zoom, y), pa.int64()),
+            "tile_data": pa.array(data, pa.binary()),
+            "tile_alpha": pa.array(alpha, pa.binary()),
+            "status": batch["status"],
+        })
+
+
+class DecodeStage:
+    """Encoded rows -> raw buffer rows (resume seeding, processor.rs:194-221)."""
+
+    def __init__(self, fmt: str = "png", tile_size: int = 256, bands: int = 4):
+        self.fmt = fmt
+        self.ts = tile_size
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        status = batch["status"].to_pylist()
+        pixels = []
+        for i, st in enumerate(status):
+            if st != "data":
+                pixels.append(b"")
+                continue
+            buf = decode_tile(batch["tile_data"][i].as_py(),
+                              batch["tile_alpha"][i].as_py(), self.fmt, self.ts)
+            pixels.append(np.ascontiguousarray(buf).tobytes())
+        return pa.table({
+            "zoom": batch["zoom"], "x": batch["x"], "y": batch["y"],
+            "pixels": pa.array(pixels, pa.binary()),
+            "status": batch["status"],
+        })

@@ -1,0 +1,79 @@
+"""Warp stage: reproject + resample megatiles (actor pool).
+
+Ray-Data-native replacement for the reference's GDAL warp
+(/root/reference/src/warp.rs:15-99, megatile setup processor.rs:325-451):
+one input row per megatile (the ancestor cell at zoom max_zoom - offset,
+amortizing one warp over 4^offset leaf tiles, args.rs:59-61), one output
+row per megatile with the warped interleaved RGBA/GA buffer.
+
+This is a stateful stage (SURVEY.md §2.3 ST1): the actor opens the scene
+once in __init__ (mmap — the GDAL-handle-pool analog) and reuses it per
+batch. Use with:
+    ds.map_batches(WarpStage, fn_constructor_kwargs=..., concurrency=N,
+                   batch_format="pyarrow", batch_size=small)
+
+Source reads are window-pruned: only the source rows/cols the megatile
+footprint (plus kernel radius) touches are read from the mmap — the
+analog of GDAL's chunked warp reads, and what keeps a 100 TB source from
+being shipped to every task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import tilemath as tm
+from ..raster import SceneSpec, open_scene, with_alpha
+from ..resample import separable_warp
+
+
+class WarpStage:
+    def __init__(self, scene_spec_path: str, tile_size: int = 256,
+                 warp_zoom_offset: int = 3, kernel: str = "lanczos3"):
+        self.spec = SceneSpec.load(scene_spec_path)
+        self.img = open_scene(self.spec)          # mmap: reads are lazy
+        self.ts = tile_size
+        self.offset = warp_zoom_offset
+        self.kernel = kernel
+        self.bands = self.spec.band_count
+
+    def _warp_one(self, mz: int, mx: int, my: int) -> np.ndarray:
+        S = self.ts << self.offset
+        bx0, by0, bx1, by1 = tm.bounds(mz, mx, my)
+        # target pixel centers in EPSG:3857 (y row 0 = north)
+        X = bx0 + (np.arange(S) + 0.5) * ((bx1 - bx0) / S)
+        Y = by1 - (np.arange(S) + 0.5) * ((by1 - by0) / S)
+        col, _ = self.spec.mercator_to_source_px(X, np.full_like(X, (by0 + by1) / 2))
+        _, row = self.spec.mercator_to_source_px(np.full_like(Y, (bx0 + bx1) / 2), Y)
+
+        # window-pruned source read (+ kernel radius margin)
+        scale_x = max(abs(float(col[-1] - col[0])) / max(S - 1, 1), 1e-12)
+        scale_y = max(abs(float(row[-1] - row[0])) / max(S - 1, 1), 1e-12)
+        mrg_x = int(np.ceil(3.0 * max(scale_x, 1.0))) + 2
+        mrg_y = int(np.ceil(3.0 * max(scale_y, 1.0))) + 2
+        c0 = max(0, int(np.floor(col.min())) - mrg_x)
+        c1 = min(self.spec.width, int(np.ceil(col.max())) + mrg_x)
+        r0 = max(0, int(np.floor(row.min())) - mrg_y)
+        r1 = min(self.spec.height, int(np.ceil(row.max())) + mrg_y)
+        if c0 >= c1 or r0 >= r1:
+            return np.zeros((S, S, self.bands), np.uint8)
+        window = with_alpha(np.asarray(self.img[r0:r1, c0:c1]), self.spec.bands)
+
+        out = separable_warp(window, col - c0, row - r0, scale_x, scale_y,
+                             kernel=self.kernel)
+        # T7 nodata -> transparent (processor.rs:404-439): any band equal to
+        # its nodata zeroes the whole pixel (color + alpha)
+        if self.spec.nodata is not None:
+            nod = (out[:, :, :self.spec.bands] == int(self.spec.nodata)).any(axis=2)
+            out[nod] = 0
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mzs = batch["mz"].to_numpy()
+        mxs = batch["mx"].to_numpy()
+        mys = batch["my"].to_numpy()
+        bufs = [self._warp_one(int(z), int(x), int(y)).tobytes()
+                for z, x, y in zip(mzs, mxs, mys)]
+        return pa.table({"mz": batch["mz"], "mx": batch["mx"], "my": batch["my"],
+                         "pixels": pa.array(bufs, type=pa.binary())})
