@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship pipeline smoke over sf0.001.
+queries(): one entry per implemented operator/pipeline (SURVEY.md §2 +
+north-rule spatial/dedup/text/ANN layers), each sf_dir -> Dataset /
+DataFrame / Table.
+oracle_sql(): DuckDB-equivalent SQL per query, mirrored term-for-term
+(hash arithmetic, float expression structure, tie-breaks) so the
+driver's row-count + schema + value-hash compare passes exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in freemap_tiler_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,287 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# SQL fragments mirroring freemap_tiler_ray.geo._mix32 / doc_lonlat
+# (overflow-safe: every product < 2^63, DuckDB BIGINT raises on overflow)
+# ---------------------------------------------------------------------------
+
+_PTS_CTE = """
+base AS (SELECT doc_id,
+                doc_id % 4294967296 AS v0,
+                (doc_id % 4294967296 + 1540483477) % 4294967296 AS w0
+         FROM documents),
+s1 AS (SELECT doc_id,
+              (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1,
+              (xor(w0 >> 16, w0) * 73244475) % 4294967296 AS w1 FROM base),
+s2 AS (SELECT doc_id,
+              (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2,
+              (xor(w1 >> 16, w1) * 73244475) % 4294967296 AS w2 FROM s1),
+pts AS (SELECT doc_id,
+               -180.0 + (xor(v2 >> 16, v2) % 360000000) / 1000000.0 AS lon,
+               -85.0  + (xor(w2 >> 16, w2) % 170000000) / 1000000.0 AS lat
+        FROM s2)
+"""
+
+_ORIGIN = 20037508.342789244
+
+# spans derivation mirror (FIXTURES.md F1 over int64 doc_id)
+_SPANS_CTE = """
+spans AS (
+  SELECT d.doc_id, j,
+         (['text','image','audio'])[((d.doc_id + j) % 3) + 1] AS kind,
+         CASE WHEN ((d.doc_id + j) % 3) = 0
+              THEN 't-' || d.doc_id || '-' || j ELSE '' END AS text,
+         CASE WHEN ((d.doc_id + j) % 3) <> 0
+              THEN 'm://' || d.doc_id || '/' || j ELSE '' END AS media_ref,
+         j * 16 AS off
+  FROM documents d, UNNEST(generate_series(0, (d.doc_id % 7)::INT)) AS t(j)
+)
+"""
+
+
+def _tile_status_sql() -> str:
+    """Closed-form pyramid status oracle for the fixture scene (anchor
+    tile (4,9,5), 1024 px, disk radius 256 px): a tile at zoom>=4 has
+    data iff its scene-pixel square intersects the disk; zooms<4 hold the
+    whole scene. Mirrors tests/test_tiler_e2e.py::oracle_status."""
+    return """
+WITH g AS (SELECT unnest(generate_series(0, 3)) AS i),
+zs AS (SELECT unnest([4, 5, 6]) AS z),
+tiles AS (
+  SELECT z,
+         9 * (1 << (z - 4)) + gx.i AS x,
+         5 * (1 << (z - 4)) + gy.i AS y,
+         (1024 >> (z - 4)) AS scale,
+         gx.i AS lx, gy.i AS ly
+  FROM zs, g gx, g gy
+  WHERE gx.i < (1 << (z - 4)) AND gy.i < (1 << (z - 4))
+),
+st AS (
+  SELECT z AS zoom, x, y,
+         CASE WHEN
+           (LEAST(GREATEST(512, lx * scale), lx * scale + scale - 1) - 512)
+           * (LEAST(GREATEST(512, lx * scale), lx * scale + scale - 1) - 512)
+           + (LEAST(GREATEST(512, ly * scale), ly * scale + scale - 1) - 512)
+           * (LEAST(GREATEST(512, ly * scale), ly * scale + scale - 1) - 512)
+           < 65536
+         THEN 'data' ELSE 'empty' END AS status
+  FROM tiles
+  UNION ALL SELECT * FROM (VALUES (3, 4, 2, 'data'), (2, 2, 1, 'data'),
+                                  (1, 1, 0, 'data'), (0, 0, 0, 'data'))
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved-doc spatial pipeline + a small pyramid build
+    on sf0.001. Returns the PIP-join per-polygon counts DataFrame."""
+    import os
+
+    from freemap_tiler_ray.config import TilerConfig
+    from freemap_tiler_ray.pipelines import queries as q
+    from freemap_tiler_ray.pipelines.tiler import build_pyramid
+    from freemap_tiler_ray.raster import make_scene
+
+    sf = "/root/testdata/sf0.001"
+    # spatial layer: spans (invariant-checked) + PIP join + kNN
+    pip = q.pip_join(sf).to_pandas()
+    q.spans_fp(sf).count()
+    q.knn(sf).count()
+    # small pyramid build (max_zoom 5 to keep the smoke fast)
+    root = "/tmp/ftr_entry"
+    os.makedirs(root, exist_ok=True)
+    spec = make_scene(f"{root}/scene", anchor=(4, 9, 5), size=512,
+                      bands=4, crs="EPSG:3857", disk_frac=0.25)
+    build_pyramid(TilerConfig(scene_spec_path=spec.path,
+                              out_dir=f"{root}/out", max_zoom=5,
+                              warp_zoom_offset=2, resume=False))
+    counts = (pip.groupby("poly_id", as_index=False)
+                 .agg(n_docs=("doc_id", "count")))
+    return counts
+
+
+def _tile_queries():
+    """Pyramid pipeline outputs as oracle-checkable tables (cached build
+    under /tmp; sf-independent — the raster fixture is the input)."""
+    import os
+
+    def _built():
+        from freemap_tiler_ray.config import TilerConfig
+        from freemap_tiler_ray.pipelines.tiler import build_pyramid
+        from freemap_tiler_ray.raster import make_scene
+
+        root = "/tmp/ftr_query_cache"
+        os.makedirs(root, exist_ok=True)
+        spec = make_scene(f"{root}/scene", anchor=(4, 9, 5), size=1024,
+                          bands=4, crs="EPSG:3857", disk_frac=0.25)
+        cfg = TilerConfig(scene_spec_path=spec.path, out_dir=f"{root}/out",
+                          max_zoom=6, warp_zoom_offset=3, resume=True)
+        return build_pyramid(cfg), cfg
+
+    def tile_pyramid_status(sf_dir: str):
+        import ray.data as rd
+
+        from freemap_tiler_ray.pipelines.tiler import parquet_files
+
+        res, cfg = _built()
+        files = parquet_files([os.path.join(cfg.out_dir, f"enc_z{z}")
+                               for z in range(cfg.max_zoom + 1)])
+        return rd.read_parquet(files, columns=["zoom", "x", "y", "status"])
+
+    def tile_limits(sf_dir: str):
+        import pandas as pd
+
+        res, _ = _built()
+        rows = [{"zoom": z, **v} for z, v in sorted(res["limits"].items())]
+        return pd.DataFrame(rows)
+
+    return tile_pyramid_status, tile_limits
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from freemap_tiler_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    tile_pyramid_status, tile_limits = _tile_queries()
+    return {
+        "doc_points": q.doc_points,
+        "doc_cells": q.doc_cells,
+        "cell_counts": q.cell_counts,
+        "spans_fp": q.spans_fp,
+        "span_kind_stats": q.span_kind_stats,
+        "pip_join": q.pip_join,
+        "knn": q.knn,
+        "media_features": q.media_features,
+        "q1_lineitem": q.q1_lineitem,
+        "revenue_by_segment": q.revenue_by_segment,
+        "part_revenue_broadcast": q.part_revenue_broadcast,
+        "topk_orders": q.topk_orders,
+        "events_window": q.events_window,
+        "events_sessions": q.events_sessions,
+        "tile_pyramid_status": tile_pyramid_status,
+        "tile_limits": tile_limits,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from freemap_tiler_ray.fixtures import polygon_sql_values, query_sql_values
+
+    sqls: dict[str, str] = {}
+
+    sqls["doc_points"] = f"WITH {_PTS_CTE} SELECT doc_id, lon, lat FROM pts"
+
+    cell_expr = f"""
+cells AS (
+  SELECT doc_id,
+    LEAST(GREATEST(CAST(floor((lon * ({_ORIGIN!r} / 180.0) + {_ORIGIN!r})
+        / (2 * {_ORIGIN!r} / 64.0)) AS BIGINT), 0), 63) AS cell_x,
+    LEAST(GREATEST(CAST(floor(({_ORIGIN!r} -
+        ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)
+        / (2 * {_ORIGIN!r} / 64.0)) AS BIGINT), 0), 63) AS cell_y
+  FROM pts)
+"""
+    sqls["doc_cells"] = (f"WITH {_PTS_CTE}, {cell_expr} "
+                         "SELECT doc_id, cell_x, cell_y FROM cells")
+    sqls["cell_counts"] = (f"WITH {_PTS_CTE}, {cell_expr} "
+                           "SELECT cell_x, cell_y, count(*) AS n_docs "
+                           "FROM cells GROUP BY cell_x, cell_y")
+
+    sqls["spans_fp"] = f"""
+WITH {_SPANS_CTE}
+SELECT doc_id, count(*) AS n_spans,
+       string_agg(kind || ':' || text || ':' || media_ref || ':' || off,
+                  '|' ORDER BY j) AS spans_fp
+FROM spans GROUP BY doc_id
+"""
+    sqls["span_kind_stats"] = (f"WITH {_SPANS_CTE} SELECT kind, count(*) AS n "
+                               "FROM spans GROUP BY kind")
+
+    sqls["pip_join"] = f"""
+WITH {_PTS_CTE},
+edges(poly_id, x1, y1, x2, y2) AS (VALUES {polygon_sql_values()})
+SELECT p.doc_id, e.poly_id
+FROM pts p CROSS JOIN edges e
+GROUP BY p.doc_id, e.poly_id, p.lon, p.lat
+HAVING sum(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                 AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                              / (e.y2 - e.y1) + e.x1)
+            THEN 1 ELSE 0 END) % 2 = 1
+"""
+
+    sqls["knn"] = f"""
+WITH {_PTS_CTE},
+qs(query_id, qlon, qlat) AS (VALUES {query_sql_values()}),
+d AS (SELECT q.query_id, p.doc_id,
+             (p.lon - q.qlon) * (p.lon - q.qlon)
+             + (p.lat - q.qlat) * (p.lat - q.qlat) AS d2
+      FROM qs q CROSS JOIN pts p),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, doc_id) AS rank FROM d)
+SELECT query_id, doc_id, d2, rank FROM r WHERE rank <= 5
+"""
+
+    sqls["media_features"] = f"""
+WITH {_SPANS_CTE},
+m AS (SELECT doc_id, j AS span_idx, media_ref,
+             (doc_id * 31 + j) % 4294967296 AS v0
+      FROM spans WHERE kind <> 'text'),
+h1 AS (SELECT *, (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM m),
+h2 AS (SELECT *, (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM h1),
+h AS (SELECT doc_id, span_idx, media_ref, xor(v2 >> 16, v2) AS hv FROM h2)
+SELECT doc_id, span_idx, media_ref,
+       16 + hv % 4096 AS width, 16 + (hv >> 12) % 4096 AS height
+FROM h
+"""
+
+    # monetary sums are floor-scaled to integers: float sums are not
+    # associative, so only integer sums can value-match across engines
+    sqls["q1_lineitem"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000.0)
+                AS BIGINT)) AS sum_disc_price_e4,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+    sqls["revenue_by_segment"] = """
+SELECT c_mktsegment,
+       sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS revenue_e2,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+    sqls["part_revenue_broadcast"] = """
+SELECT p_brand,
+       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000.0)
+                AS BIGINT)) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+    sqls["topk_orders"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+    sqls["events_window"] = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+       count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type, window_id
+"""
+    sqls["events_sessions"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+           FROM events)
+SELECT user_id,
+       1 + sum(CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+               THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM e GROUP BY user_id
+"""
+
+    sqls["tile_pyramid_status"] = (_tile_status_sql()
+                                   + "SELECT zoom, x, y, status FROM st")
+    sqls["tile_limits"] = _tile_status_sql() + """
+SELECT zoom, min(x) AS min_x, max(x) AS max_x,
+       min((1 << zoom) - 1 - y) AS min_y, max((1 << zoom) - 1 - y) AS max_y
+FROM st WHERE status = 'data' GROUP BY zoom
+"""
+    return sqls

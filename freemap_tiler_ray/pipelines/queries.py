@@ -1,0 +1,254 @@
+"""Named query pipelines over the driver testdata (sf_dir parquet).
+
+Each function takes sf_dir and returns a ray.data.Dataset / pandas
+DataFrame — the engine side of the __ray_entry__ queries()/oracle_sql()
+contract. Column names match the oracle SQL exactly (the driver compare
+sorts columns by name before hashing).
+
+None of these call ray.init(); the session is owned by the caller.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .. import tilemath as tm
+from ..fixtures import knn_queries, pip_polygons
+from ..stages.docs import build_spans, check_span_invariant, spans_fingerprint
+from ..stages.spatial import (PIPJoinStage, add_doc_points, knn_join,
+                              make_add_cell)
+
+CELL_RES = 6
+
+
+def _docs(sf_dir: str, columns=("doc_id",)):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# documents / spans / spatial
+# ---------------------------------------------------------------------------
+
+def doc_points(sf_dir: str):
+    """doc_id -> deterministic (lon, lat)."""
+    return (_docs(sf_dir)
+            .map_batches(add_doc_points, batch_format="pyarrow")
+            .select_columns(["doc_id", "lon", "lat"]))
+
+
+def doc_cells(sf_dir: str):
+    """doc_id -> quadtree cell coords at CELL_RES."""
+    return (_docs(sf_dir)
+            .map_batches(add_doc_points, batch_format="pyarrow")
+            .map_batches(make_add_cell(CELL_RES), batch_format="pyarrow")
+            .select_columns(["doc_id", "cell_x", "cell_y"]))
+
+
+def cell_counts(sf_dir: str):
+    """Docs per cell — partial count inside map_batches, then a small
+    groupby-sum over (cell_x, cell_y) partials (pre-aggregation pattern)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = make_add_cell(CELL_RES)(add_doc_points(batch))
+        df = tbl.select(["cell_x", "cell_y"]).to_pandas()
+        g = df.groupby(["cell_x", "cell_y"], as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "partial"}),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby(["cell_x", "cell_y"]).aggregate(
+        Sum("partial", alias_name="n_docs"))
+    return out
+
+
+def spans_fp(sf_dir: str):
+    """Build the interleaved spans table, enforce the span-sequence
+    invariant, and fingerprint each row's span sequence."""
+    return (_docs(sf_dir)
+            .map_batches(build_spans, batch_format="pyarrow")
+            .map_batches(check_span_invariant, batch_format="pyarrow")
+            .map_batches(spans_fingerprint, batch_format="pyarrow"))
+
+
+def span_kind_stats(sf_dir: str):
+    """Explode spans, count by kind (flat-map + pre-aggregated groupby)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = build_spans(batch)["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        kinds = spans.flatten().field("kind")
+        df = pd.DataFrame({"kind": kinds.to_pandas()})
+        g = df.groupby("kind", as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "partial"}),
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby("kind").aggregate(Sum("partial", alias_name="n")))
+
+
+def pip_join(sf_dir: str):
+    """Docs x 64 fixture polygons point-in-polygon inner join (broadcast
+    small side; lon/lat-degree plane)."""
+    stage = PIPJoinStage(pip_polygons(), lon_lat=True)
+    return (_docs(sf_dir)
+            .map_batches(add_doc_points, batch_format="pyarrow")
+            .map_batches(stage, batch_format="pyarrow"))
+
+
+def knn(sf_dir: str):
+    """Exact kNN of fixture queries against doc points (partial top-k per
+    batch + tiny merge)."""
+    queries, k = knn_queries()
+    docs = (_docs(sf_dir)
+            .map_batches(add_doc_points, batch_format="pyarrow"))
+    out = knn_join(docs, queries, k)
+    return out.select_columns(["query_id", "doc_id", "d2", "rank"])
+
+
+def media_features(sf_dir: str):
+    """Multimodal stub: 'decode' every non-text span into deterministic
+    fake features (the Ray-side plumbing — schema, flat-map expansion,
+    vectorized feature math — is real; the codec itself is the
+    deterministic fake, this sandbox has no image/audio libraries)."""
+    from ..stages.media import MediaDecodeStub
+
+    return (_docs(sf_dir)
+            .map_batches(build_spans, batch_format="pyarrow")
+            .map_batches(MediaDecodeStub(), batch_format="pyarrow")
+            .select_columns(["doc_id", "span_idx", "media_ref",
+                             "width", "height"]))
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q1_lineitem(sf_dir: str):
+    """Grouped aggregate with derived columns (TPC-H Q1 shape).
+
+    Float sums are not associative, so a distributed sum cannot
+    value-match a sequential oracle bit-for-bit; monetary aggregates are
+    therefore computed on floor-scaled integers (exact + associative).
+    sum_qty stays double: quantities are integer-valued, so their float
+    sum is exact in any order."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = (t["l_extendedprice"].to_numpy()
+                * (1.0 - t["l_discount"].to_numpy())) * 10000.0
+        e4 = np.floor(disc).astype(np.int64)
+        return t.append_column("disc_price_e4", pa.array(e4, pa.int64()))
+
+    from ray.data.aggregate import Count, Sum
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                       Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+                       Count(alias_name="count_order")))
+
+
+def revenue_by_segment(sf_dir: str):
+    """Hash join orders |X| customer (Dataset.join, hash-partitioned)
+    then grouped sum — the both-sides-large join path."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        e2 = np.floor(t["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "price_e2": pa.array(e2, pa.int64())})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = orders.map_batches(cents, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",))
+    from ray.data.aggregate import Count, Sum
+    return (joined.groupby("c_mktsegment")
+            .aggregate(Sum("price_e2", alias_name="revenue_e2"),
+                       Count(alias_name="n_orders")))
+
+
+def part_revenue_broadcast(sf_dir: str):
+    """Broadcast join: part (small side, driver-collected once) into a
+    lineitem map_batches lookup — no shuffle of the big side."""
+    import ray
+
+    part_tbl = rd.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_brand"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(part_tbl["p_partkey"], part_tbl["p_brand"])))
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        import ray as _r
+        lk = _r.get(lookup_ref)
+        keys = t["l_partkey"].to_numpy()
+        brand = pa.array([lk.get(int(k), "") for k in keys], pa.string())
+        e4 = np.floor((t["l_extendedprice"].to_numpy()
+                       * (1.0 - t["l_discount"].to_numpy()))
+                      * 10000.0).astype(np.int64)
+        return pa.table({"p_brand": brand,
+                         "revenue_e4": pa.array(e4, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice", "l_discount"])
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(join_batch, batch_format="pyarrow")
+            .groupby("p_brand").aggregate(Sum("revenue_e4",
+                                              alias_name="revenue_e4")))
+
+
+def topk_orders(sf_dir: str):
+    """Top-10 orders by totalprice (sort + limit, deterministic ties)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort([("o_totalprice"), ("o_orderkey")],
+                  descending=[True, False]).limit(10)
+    return out
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + sum(value).
+    Window id = epoch_us // 3600e6 (integer math, timezone-naive)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        w = pc.divide(us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"event_type": t["event_type"],
+                         "window_id": w, "value": t["value"]})
+
+    from ray.data.aggregate import Count, Max, Min
+    return (ds.map_batches(win, batch_format="pyarrow")
+            .groupby(["event_type", "window_id"])
+            .aggregate(Count(alias_name="n_events"),
+                       Min("value", alias_name="min_value"),
+                       Max("value", alias_name="max_value")))
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per user, a new session starts when the gap to the
+    previous event exceeds gap_minutes (groupby user + ordered scan —
+    the ordering assumption is ts within each user group)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    gap_us = gap_minutes * 60_000_000
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        n_sessions = int(1 + (np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(ts)]})
+
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
