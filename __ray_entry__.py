@@ -174,6 +174,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q.topk_orders,
         "events_window": q.events_window,
         "events_sessions": q.events_sessions,
+        "text_stats": q.text_stats,
+        "lang_id": q.lang_id,
+        "dedup_exact": q.dedup_exact,
+        "minhash_sigs": q.minhash_sigs,
+        "lsh_pairs": q.lsh_pairs,
+        "ngram_pairs": q.ngram_pairs,
+        "simhash_sigs": q.simhash_sigs,
+        "simhash_pairs": q.simhash_pairs,
+        "embedding_pairs": q.embedding_pairs,
+        "ann_topk": q.ann_topk,
+        "ann_ivf": q.ann_ivf,
         "tile_pyramid_status": tile_pyramid_status,
         "tile_limits": tile_limits,
     }
@@ -291,6 +302,188 @@ SELECT user_id,
                THEN 1 ELSE 0 END) AS n_sessions,
        count(*) AS n_events
 FROM e GROUP BY user_id
+"""
+
+    # ---- text analysis ----
+    _TOKS = "string_split(text, ' ')"
+    sqls["text_stats"] = f"""
+SELECT doc_id,
+  length(text) AS n_chars_calc,
+  length({_TOKS}) AS n_tokens,
+  length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+    AS n_bpe_tokens,
+  length(list_distinct({_TOKS})) AS n_unique,
+  CAST(length(list_distinct({_TOKS})) AS DOUBLE)
+    / CAST(length({_TOKS}) AS DOUBLE) AS uniq_ratio,
+  CAST(length(list_filter({_TOKS},
+       t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+    / CAST(length({_TOKS}) AS DOUBLE) AS stop_ratio
+FROM documents
+"""
+    _MK = {"en": "('the','a','of','and','is')",
+           "de": "('der','die','das','und','ist')",
+           "fr": "('le','la','les','et','est')"}
+    sqls["lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+    length(list_filter({_TOKS}, t -> t IN {_MK['en']})) AS en_score,
+    length(list_filter({_TOKS}, t -> t IN {_MK['de']})) AS de_score,
+    length(list_filter({_TOKS}, t -> t IN {_MK['fr']})) AS fr_score
+  FROM documents)
+SELECT doc_id, en_score, de_score, fr_score,
+  CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score > 0
+       THEN 'en'
+       WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+       WHEN fr_score > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+FROM s
+"""
+    sqls["dedup_exact"] = """
+SELECT md5(lower(trim(text))) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY fingerprint
+"""
+
+    # ---- shingle/minhash dedup family ----
+    from freemap_tiler_ray.stages.dedup import (EMBED_COS_TAU, JACCARD_TAU,
+                                                LSH_ROWS_PER_BAND,
+                                                MINHASH_MOD,
+                                                NGRAM_JACCARD_TAU,
+                                                SIMHASH_MAX_HAMMING,
+                                                minhash_params)
+    a_p, b_p = minhash_params()
+    perms_values = ",".join(f"({p},{int(a_p[p])},{int(b_p[p])})"
+                            for p in range(len(a_p)))
+    _SH_CTE = f"""
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT d.doc_id,
+           CASE WHEN length(string_split(d.text,' ')) < 3 THEN d.text
+                ELSE array_to_string(
+                       list_slice(string_split(d.text,' '), i, i + 2), ' ')
+           END AS s
+    FROM documents d,
+         UNNEST(generate_series(
+           1, GREATEST(length(string_split(d.text,' ')) - 2, 1))) AS g(i))
+),
+perms(p, a, b) AS (VALUES {perms_values}),
+sigs AS (
+  SELECT doc_id, p.p AS perm,
+         min((p.a * (h % {MINHASH_MOD}) + p.b) % {MINHASH_MOD}) AS minhash
+  FROM sh, perms p GROUP BY doc_id, p.p)
+"""
+    sqls["minhash_sigs"] = (f"WITH {_SH_CTE} "
+                            "SELECT doc_id, perm, minhash FROM sigs")
+
+    _JACCARD_TAIL = """
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+  GROUP BY c.doc_a, c.doc_b),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.i AS DOUBLE) / CAST(ca.n + cb.n - i.i AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN cnt ca ON ca.doc_id = i.doc_a
+  JOIN cnt cb ON cb.doc_id = i.doc_b)
+"""
+    sqls["lsh_pairs"] = f"""
+WITH {_SH_CTE},
+bands AS (
+  SELECT doc_id, perm // {LSH_ROWS_PER_BAND} AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY perm) AS sig
+  FROM sigs GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+{_JACCARD_TAIL}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_TAU!r}
+"""
+    sqls["ngram_pairs"] = f"""
+WITH {_SH_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id),
+{_JACCARD_TAIL}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {NGRAM_JACCARD_TAU!r}
+"""
+
+    _SIMHASH_CTE = """
+tok AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5(t.tk), 1, 15))::BIGINT % 4294967296 AS h
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tk)),
+bitsum AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok, (SELECT unnest(generate_series(0, 31)) AS b) b
+  GROUP BY doc_id, b.b),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+  FROM bitsum GROUP BY doc_id)
+"""
+    sqls["simhash_sigs"] = (f"WITH {_SIMHASH_CTE} "
+                            "SELECT doc_id, simhash FROM sig")
+    sqls["simhash_pairs"] = f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+    sqls["embedding_pairs"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_COS_TAU!r}
+"""
+
+    # ---- ANN ----
+    from freemap_tiler_ray.stages.ann import (N_CENTROIDS, N_QUERIES, NPROBE,
+                                              TOP_K)
+    sqls["ann_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+d AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+      FROM q CROSS JOIN e),
+r AS (SELECT qid AS query_vec_id, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM d)
+SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {TOP_K}
+"""
+    sqls["ann_ivf"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+asg0 AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                  AS rn
+         FROM e CROSS JOIN cent c),
+asg AS (SELECT vec_id, cid AS cluster FROM asg0 WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+pr0 AS (SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid)
+                 AS rn
+        FROM q CROSS JOIN cent c),
+probes AS (SELECT qid, cid FROM pr0 WHERE rn <= {NPROBE}),
+cand AS (SELECT p.qid, a.vec_id
+         FROM probes p JOIN asg a ON a.cluster = p.cid),
+d AS (SELECT c.qid, c.vec_id,
+             list_cosine_similarity(q.qv, e.v) AS cos
+      FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.vec_id),
+r AS (SELECT qid AS query_vec_id, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM d)
+SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {TOP_K}
 """
 
     sqls["tile_pyramid_status"] = (_tile_status_sql()

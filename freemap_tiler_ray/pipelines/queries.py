@@ -127,6 +127,85 @@ def media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# text analysis / dedup / ANN (training-data-pipeline layer)
+# ---------------------------------------------------------------------------
+
+def text_stats(sf_dir: str):
+    from ..stages.text import TextStatsStage
+    return (_docs(sf_dir, ("doc_id", "text"))
+            .map_batches(TextStatsStage, batch_format="pyarrow",
+                         concurrency=2))
+
+
+def lang_id(sf_dir: str):
+    from ..stages.text import lang_id as _lang
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        _lang, batch_format="pyarrow")
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content fingerprint -> groupby keep-first."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.text import fingerprint
+    fp = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        fingerprint, batch_format="pyarrow")
+    return fp.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_docs"))
+
+
+def _shingled(sf_dir: str):
+    from ..stages.dedup import doc_shingles
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        doc_shingles, batch_format="pyarrow", concurrency=2)
+
+
+def minhash_sigs(sf_dir: str):
+    from ..stages.dedup import minhash_signatures
+    return _shingled(sf_dir).map_batches(minhash_signatures,
+                                         batch_format="pyarrow")
+
+
+def lsh_pairs(sf_dir: str):
+    from ..stages.dedup import lsh_candidate_pairs
+    return lsh_candidate_pairs(_shingled(sf_dir))
+
+
+def ngram_pairs(sf_dir: str):
+    from ..stages import dedup
+    return dedup.ngram_pairs(_shingled(sf_dir))
+
+
+def simhash_sigs(sf_dir: str):
+    from ..stages.dedup import simhash_signature
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        simhash_signature, batch_format="pyarrow", concurrency=2)
+
+
+def simhash_pairs(sf_dir: str):
+    from ..stages import dedup
+    return dedup.simhash_pairs(simhash_sigs(sf_dir))
+
+
+def embedding_pairs(sf_dir: str):
+    from ..stages.dedup import embedding_pairs as _ep
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return _ep(emb)
+
+
+def ann_topk(sf_dir: str):
+    from ..stages.ann import ann_topk as _ann
+    return _ann(sf_dir)
+
+
+def ann_ivf(sf_dir: str):
+    from ..stages.ann import ann_ivf as _ivf
+    return _ivf(sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # relational operators over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
 

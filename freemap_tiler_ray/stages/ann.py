@@ -1,0 +1,150 @@
+"""Similarity search over the embedding column (list<float>).
+
+- ann_topk: exact brute-force cosine top-k — the baseline. Query matrix
+  broadcast once; each batch does one matmul and keeps its local top-k
+  (partial aggregation), then one tiny groupby(query) merge. Exactly the
+  distributed-top-k shape of stages/spatial.knn_join.
+- ann_ivf: IVF variant — the scale path. A deterministic coarse
+  quantizer (centroids = the first N_CENTROIDS embeddings) assigns every
+  vector to its nearest centroid inside map_batches; each query probes
+  its NPROBE nearest centroids and ranks only vectors in those lists.
+  Semantics (not recall-vs-bruteforce) are oracle-checked: the DuckDB
+  mirror performs the same assignment/probe/rank.
+
+Ties broken by vec_id ascending everywhere. Cosine values are computed
+in float64; returned tables carry ranks + ids, not raw cosines (matmul
+summation order differs across engines by ~1 ulp, which would break
+value-hash comparison while being semantically irrelevant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_QUERIES = 10       # queries = embeddings with vec_id < N_QUERIES
+TOP_K = 5
+N_CENTROIDS = 8      # IVF coarse quantizer = embeddings with vec_id < 8
+NPROBE = 2
+
+
+def _matrix(batch_col) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float64) for v in batch_col.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _load_head(sf_dir: str, n: int):
+    """Driver-side read of the small query/centroid rows (column-pruned,
+    row-filtered at the parquet read)."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n)
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    mat = _matrix(tbl["embedding"].take(pa.array(order)))
+    return tbl["vec_id"].to_numpy()[order], mat
+
+
+class AnnPartialStage:
+    """Per-batch partial top-k against the broadcast query matrix."""
+
+    def __init__(self, query_ids: np.ndarray, query_mat: np.ndarray, k: int):
+        self.qids = query_ids
+        self.q = _normalize(query_mat)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        m = _normalize(_matrix(batch["embedding"]))
+        cos = self.q @ m.T                                   # (Q, n)
+        k = min(self.k, len(ids))
+        part = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(np.arange(len(self.qids)), k)
+        rows_d = part.ravel()
+        return pa.table({
+            "query_vec_id": pa.array(np.repeat(self.qids, k), pa.int64()),
+            "vec_id": pa.array(ids[rows_d], pa.int64()),
+            "cos": pa.array(cos[rows_q, rows_d], pa.float64()),
+        })
+
+
+def _merge_topk(k: int):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "query_vec_id": g["query_vec_id"],
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "vec_id": g["vec_id"],
+        })
+    return merge
+
+
+def ann_topk(sf_dir: str, k: int = TOP_K):
+    import ray.data as rd
+
+    qids, qmat = _load_head(sf_dir, N_QUERIES)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    partial = ds.map_batches(AnnPartialStage(qids, qmat, k),
+                             batch_format="pyarrow", batch_size=4096)
+    return (partial.groupby("query_vec_id")
+            .map_groups(_merge_topk(k), batch_format="pandas"))
+
+
+class IvfAssignStage:
+    """Append ivf_cluster = argmax-cosine centroid (ties -> lowest id)."""
+
+    def __init__(self, cent_mat: np.ndarray):
+        self.c = _normalize(cent_mat)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch["embedding"]))
+        cos = m @ self.c.T
+        cl = np.argmax(cos, axis=1).astype(np.int64)  # first max = lowest id
+        return batch.append_column("ivf_cluster", pa.array(cl, pa.int64()))
+
+
+def ann_ivf(sf_dir: str, k: int = TOP_K):
+    import ray.data as rd
+
+    cids, cmat = _load_head(sf_dir, N_CENTROIDS)
+    qids, qmat = _load_head(sf_dir, N_QUERIES)
+    qn = _normalize(qmat)
+    cn = _normalize(cmat)
+    qprobe = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :NPROBE]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(IvfAssignStage(cmat), batch_format="pyarrow",
+                              batch_size=4096)
+
+    probe_sets = {int(qids[i]): set(int(c) for c in qprobe[i])
+                  for i in range(len(qids))}
+    stage = AnnPartialStage(qids, qmat, k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        cl = batch["ivf_cluster"].to_numpy()
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cl, list(probe_sets[int(qid)]))
+            if not mask.any():
+                continue
+            sub = batch.filter(pa.array(mask))
+            one = AnnPartialStage(np.array([qid]), qmat[qi:qi + 1], k)(sub)
+            outs.append(one)
+        if not outs:
+            return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    return (assigned.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=4096)
+            .groupby("query_vec_id")
+            .map_groups(_merge_topk(k), batch_format="pandas"))
