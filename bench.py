@@ -1,0 +1,173 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "tiles_per_s": ..., "join_rows_per_s": ...}
+
+--scaling: runs the same suite in two fresh processes (RAY_GRAFT_CPUS=8
+and 32) and reports both throughputs + scaling efficiency — the sandbox
+substitution for the north rule's N vs 4N cluster-size criterion.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32), FTR_BENCH_POINTS / FTR_BENCH_SCENE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_POINTS = int(os.environ.get("FTR_BENCH_POINTS", "2000000"))
+SCENE_SIZE = int(os.environ.get("FTR_BENCH_SCENE", "4096"))
+MAX_ZOOM = 9
+
+
+def bench_tiles(tmp: str) -> dict:
+    """Full pyramid build: warp -> sectors -> encode -> per-zoom compose
+    -> parquet checkpoints -> limits (the reference's whole job)."""
+    from freemap_tiler_ray.config import TilerConfig
+    from freemap_tiler_ray.pipelines.tiler import build_pyramid
+    from freemap_tiler_ray.raster import make_scene
+
+    spec = make_scene(f"{tmp}/scene", anchor=(4, 9, 5), size=SCENE_SIZE,
+                      bands=4, crs="EPSG:3857", disk_frac=0.45)
+    t0 = time.time()
+    res = build_pyramid(TilerConfig(
+        scene_spec_path=spec.path, out_dir=f"{tmp}/out",
+        target_file=f"{tmp}/out.mbtiles", max_zoom=MAX_ZOOM,
+        warp_zoom_offset=3, fmt="png"))
+    dt = time.time() - t0
+    n_tiles = res["mbtiles_rows"]
+    return {"sec": dt, "tiles": n_tiles, "tiles_per_s": n_tiles / dt,
+            "stage_sec": res["metrics_sec"]}
+
+
+def bench_spatial() -> dict:
+    """Spatial-join suite over N_POINTS synthetic doc points: cell encode
+    + count, PIP join vs 64 polygons, kNN vs 24 queries."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from freemap_tiler_ray.fixtures import knn_queries, pip_polygons
+    from freemap_tiler_ray.stages.spatial import (PIPJoinStage,
+                                                  add_doc_points, knn_join,
+                                                  make_add_cell)
+
+    def ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["id"]})
+
+    t0 = time.time()
+    base = (rd.range(N_POINTS, override_num_blocks=NUM_CPUS * 4)
+            .map_batches(ids, batch_format="pyarrow")
+            .map_batches(add_doc_points, batch_format="pyarrow"))
+    from ray.data.aggregate import Count
+    n_cells = (base.map_batches(make_add_cell(6), batch_format="pyarrow")
+               .groupby("cell").aggregate(Count(alias_name="n")).count())
+    t_cell = time.time() - t0
+
+    t0 = time.time()
+    pip_rows = base.map_batches(PIPJoinStage(pip_polygons(), lon_lat=True),
+                                batch_format="pyarrow").count()
+    t_pip = time.time() - t0
+
+    t0 = time.time()
+    queries, k = knn_queries()
+    knn_rows = knn_join(base, queries, k).count()
+    t_knn = time.time() - t0
+
+    join_rows = N_POINTS * 1  # each point tested against the polygon set
+    return {"cell_sec": t_cell, "pip_sec": t_pip, "knn_sec": t_knn,
+            "n_cells": n_cells, "pip_rows": pip_rows, "knn_rows": knn_rows,
+            "join_rows_per_s": join_rows / t_pip}
+
+
+def bench_dedup_ann() -> dict:
+    """Dedup + ANN suite over the sf documents/embeddings tables."""
+    from freemap_tiler_ray.pipelines import queries as q
+
+    out = {}
+    for name in ["dedup_exact", "minhash_sigs", "lsh_pairs", "simhash_pairs",
+                 "embedding_pairs", "ann_topk"]:
+        t0 = time.time()
+        getattr(q, name)(SF_DIR).count()
+        out[f"{name}_sec"] = time.time() - t0
+    return out
+
+
+def run_suite() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    tmp = f"/tmp/ftr_bench_{NUM_CPUS}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    # warm the page cache (untimed read) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+    for t in ["documents", "embeddings"]:
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    t_all = time.time()
+    tiles = bench_tiles(tmp)
+    spatial = bench_spatial()
+    dedup = bench_dedup_ann()
+    total = time.time() - t_all
+    ray.shutdown()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    queries = {"tiles": round(tiles["sec"], 3),
+               "spatial_cell": round(spatial["cell_sec"], 3),
+               "spatial_pip": round(spatial["pip_sec"], 3),
+               "spatial_knn": round(spatial["knn_sec"], 3),
+               **{k: round(v, 3) for k, v in dedup.items()}}
+    return {
+        "metric": "pyramid+spatial+dedup suite wall time",
+        "value": round(total, 3), "unit": "sec", "queries": queries,
+        "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "tiles": tiles["tiles"],
+        "tiles_per_s": round(tiles["tiles_per_s"], 2),
+        "join_rows_per_s": round(spatial["join_rows_per_s"], 1),
+        "stage_sec": {k: round(v, 3) for k, v in tiles["stage_sec"].items()},
+    }
+
+
+def run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True, check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo, r_hi = run_at(lo), run_at(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling efficiency (8 -> 32 cpus)",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "tiles_per_s_8": r_lo["tiles_per_s"],
+            "tiles_per_s_32": r_hi["tiles_per_s"],
+            "join_rows_per_s_8": r_lo["join_rows_per_s"],
+            "join_rows_per_s_32": r_hi["join_rows_per_s"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+    print(json.dumps(run_suite()))
+
+
+if __name__ == "__main__":
+    main()

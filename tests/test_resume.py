@@ -1,0 +1,94 @@
+"""Resume conformance (SURVEY.md §5 item 4): kill after a partial leaf
+stage, restart with resume=True, assert the rerun processes ONLY the
+missing megatile partitions and the final output is identical to an
+uninterrupted run."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from freemap_tiler_ray import tilemath as tm
+from freemap_tiler_ray.config import TilerConfig
+from freemap_tiler_ray.pipelines import checkpoint as ckpt
+from freemap_tiler_ray.pipelines.tiler import build_pyramid, parquet_files
+from freemap_tiler_ray.raster import make_scene
+
+MAX_ZOOM = 6
+
+
+def _read_all_enc(out_dir):
+    files = parquet_files([os.path.join(out_dir, f"enc_z{z}")
+                           for z in range(MAX_ZOOM + 1)])
+    tbl = pq.read_table(files).to_pandas()
+    tbl = tbl.sort_values(["zoom", "x", "y"]).reset_index(drop=True)
+    return tbl
+
+
+def test_partial_resume(ray_session, tmp_path):
+    spec = make_scene(str(tmp_path / "scene"), anchor=(4, 9, 5), size=1024,
+                      bands=4, crs="EPSG:3857", disk_frac=0.25)
+
+    # uninterrupted reference run
+    cfg_ref = TilerConfig(scene_spec_path=spec.path,
+                          out_dir=str(tmp_path / "ref"),
+                          max_zoom=MAX_ZOOM, warp_zoom_offset=1)
+    build_pyramid(cfg_ref)
+    ref = _read_all_enc(cfg_ref.out_dir)
+
+    # full run, then doctor it back to a "crashed after 2 of 4 megatiles"
+    out2 = str(tmp_path / "crash")
+    cfg2 = TilerConfig(scene_spec_path=spec.path, out_dir=out2,
+                       max_zoom=MAX_ZOOM, warp_zoom_offset=1)
+    build_pyramid(cfg2)
+
+    man = ckpt.load_manifest(out2, "leaves")
+    all_keys = man["attempts"][0]["megatile_keys"]
+    assert len(all_keys) == 4
+    done_keys = sorted(all_keys)[:2]
+    # keep only leaves belonging to the two "done" megatiles
+    adir = man["attempts"][0]["dir"]
+    kept = []
+    for f in parquet_files(adir):
+        t = pq.read_table(f)
+        mkey = tm.tile_key(t["zoom"].to_numpy() - 1,
+                           t["x"].to_numpy() >> 1, t["y"].to_numpy() >> 1)
+        keep = np.isin(mkey, np.asarray(done_keys, np.uint64))
+        kept.append(t.filter(keep))
+    shutil.rmtree(adir)
+    os.makedirs(adir)
+    import pyarrow as pa
+    pq.write_table(pa.concat_tables(kept), os.path.join(adir, "part-0.parquet"))
+    # manifest: only 2 megatiles claimed; downstream stages wiped
+    man["attempts"][0]["megatile_keys"] = done_keys
+    man["attempts"][0]["partitions"] = ckpt.partition_files(adir)
+    man["done"] = False
+    ckpt.save_manifest(out2, "leaves", man)
+    for z in range(MAX_ZOOM + 1):
+        shutil.rmtree(os.path.join(out2, f"enc_z{z}"), ignore_errors=True)
+        os.remove(os.path.join(out2, "_manifest", f"enc_z{z}.json"))
+        if z < MAX_ZOOM:
+            shutil.rmtree(os.path.join(out2, f"raw_z{z}"), ignore_errors=True)
+            os.remove(os.path.join(out2, "_manifest", f"raw_z{z}.json"))
+
+    # resume
+    import dataclasses
+    build_pyramid(dataclasses.replace(cfg2, resume=True))
+
+    # the rerun's second attempt covers exactly the 2 missing megatiles
+    man2 = ckpt.load_manifest(out2, "leaves")
+    assert len(man2["attempts"]) == 2
+    new_keys = sorted(man2["attempts"][1]["megatile_keys"])
+    assert new_keys == sorted(set(all_keys) - set(done_keys))
+    t2 = pq.read_table(parquet_files(man2["attempts"][1]["dir"]))
+    mkey2 = np.unique(tm.tile_key(t2["zoom"].to_numpy() - 1,
+                                  t2["x"].to_numpy() >> 1,
+                                  t2["y"].to_numpy() >> 1))
+    assert set(int(k) for k in mkey2) == set(int(k) for k in new_keys)
+
+    got = _read_all_enc(out2)
+    # byte-identical final tables (incl. encoded blobs)
+    assert got.equals(ref)
