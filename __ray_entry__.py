@@ -141,9 +141,8 @@ def _tile_queries():
         from freemap_tiler_ray.pipelines.tiler import parquet_files
 
         res, cfg = _built()
-        files = parquet_files([os.path.join(cfg.out_dir, f"enc_z{z}")
-                               for z in range(cfg.max_zoom + 1)])
-        return rd.read_parquet(files, columns=["zoom", "x", "y", "status"])
+        return rd.read_parquet(parquet_files(res["tile_dirs"]),
+                               columns=["zoom", "x", "y", "status"])
 
     def tile_limits(sf_dir: str):
         import pandas as pd
@@ -168,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": q.pip_join,
         "knn": q.knn,
         "media_features": q.media_features,
+        "tile_zorder": q.tile_zorder,
+        "pip_join_spans": q.pip_join_spans,
+        "events_asof": q.events_asof,
         "q1_lineitem": q.q1_lineitem,
         "revenue_by_segment": q.revenue_by_segment,
         "part_revenue_broadcast": q.part_revenue_broadcast,
@@ -302,6 +304,37 @@ SELECT user_id,
                THEN 1 ELSE 0 END) AS n_sessions,
        count(*) AS n_events
 FROM e GROUP BY user_id
+"""
+
+    # morton interleave of 6-bit coords, mirrored bit-by-bit
+    mx = " + ".join(f"(((x >> {b}) & 1) << {2 * b})" for b in range(6))
+    my = " + ".join(f"(((y >> {b}) & 1) << {2 * b + 1})" for b in range(6))
+    sqls["tile_zorder"] = f"""
+WITH g AS (SELECT unnest(generate_series(0, 15)) AS i),
+t AS (SELECT 36 + (i % 4) AS x, 20 + (i // 4) AS y FROM g)
+SELECT x, y, {mx} + {my} AS morton FROM t
+"""
+
+    sqls["pip_join_spans"] = f"""
+WITH {_PTS_CTE},
+edges(poly_id, x1, y1, x2, y2) AS (VALUES {polygon_sql_values()}),
+hits AS (
+  SELECT p.doc_id, e.poly_id
+  FROM pts p CROSS JOIN edges e
+  GROUP BY p.doc_id, e.poly_id, p.lon, p.lat
+  HAVING sum(CASE WHEN ((e.y1 > p.lat) <> (e.y2 > p.lat))
+                   AND (p.lon < (e.x2 - e.x1) * (p.lat - e.y1)
+                                / (e.y2 - e.y1) + e.x1)
+              THEN 1 ELSE 0 END) % 2 = 1)
+SELECT doc_id, poly_id, (doc_id % 7) + 1 AS n_spans FROM hits
+"""
+
+    sqls["events_asof"] = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders)
+SELECT e.event_id, max(o.us) AS last_order_us
+FROM e JOIN o ON o.o_custkey = e.user_id AND o.us <= e.us
+GROUP BY e.event_id
 """
 
     # ---- text analysis ----

@@ -67,9 +67,18 @@ def bench_spatial() -> dict:
     base = (rd.range(N_POINTS, override_num_blocks=NUM_CPUS * 4)
             .map_batches(ids, batch_format="pyarrow")
             .map_batches(add_doc_points, batch_format="pyarrow"))
-    from ray.data.aggregate import Count
-    n_cells = (base.map_batches(make_add_cell(6), batch_format="pyarrow")
-               .groupby("cell").aggregate(Count(alias_name="n")).count())
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        t = make_add_cell(6)(batch)
+        import numpy as np
+        cells, counts = np.unique(t["cell"].to_numpy(), return_counts=True)
+        return pa.table({"cell": pa.array(cells),
+                         "partial": pa.array(counts.astype("int64"))})
+
+    from ray.data.aggregate import Sum
+    n_cells = (base.map_batches(cell_partial, batch_format="pyarrow")
+               .groupby("cell").aggregate(Sum("partial", alias_name="n"))
+               .count())
     t_cell = time.time() - t0
 
     t0 = time.time()

@@ -11,7 +11,7 @@ Layout under out_dir:
                                metrics, lineage (input stages), and for
                                the leaf stage a list of attempts with the
                                megatile partitions each attempt covered
-  raw_z<Z>/ enc_z<Z>/          parquet shard dirs per pyramid level
+  level_z<Z>/                  parquet shard dirs per pyramid level
                                (leaf level: attempt-<i>/ subdirs = the
                                resumable partitions)
 

@@ -112,6 +112,99 @@ def knn(sf_dir: str):
     return out.select_columns(["query_id", "doc_id", "d2", "rank"])
 
 
+def tile_zorder(sf_dir: str):
+    """Z-order (Morton) keys for the fixture leaf range — oracle-checks
+    the bit-interleave math behind every shuffle key (the reference's
+    only sort, main.rs:204)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy()
+        x = 36 + (idx % 4)
+        y = 20 + (idx // 4)
+        m = tm.morton(x, y).astype(np.int64)
+        return pa.table({"x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64()),
+                         "morton": pa.array(m, pa.int64())})
+
+    return rd.range(16).map_batches(gen, batch_format="pyarrow")
+
+
+def pip_join_spans(sf_dir: str):
+    """PIP join with the interleaved spans column carried THROUGH the
+    join, invariant-checked after it — the per-row span-sequence
+    equality contract (BASELINE.json input_hint)."""
+    stage = PIPJoinStage(pip_polygons(), lon_lat=True)
+
+    def join_with_spans(batch: pa.Table) -> pa.Table:
+        spans = build_spans(batch)
+        pts = add_doc_points(batch)
+        hits = stage(pts)
+        # re-attach spans to hit rows by position lookup
+        idx = {int(d): i for i, d in enumerate(batch["doc_id"].to_numpy())}
+        take = pa.array([idx[int(d)] for d in hits["doc_id"].to_numpy()],
+                        pa.int64())
+        return pa.table({"doc_id": hits["doc_id"],
+                         "poly_id": hits["poly_id"],
+                         "spans": spans["spans"].combine_chunks().take(take)})
+
+    joined = _docs(sf_dir).map_batches(join_with_spans, batch_format="pyarrow")
+    checked = joined.map_batches(check_span_invariant, batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        n = spans.offsets.to_numpy()
+        return pa.table({"doc_id": batch["doc_id"], "poly_id": batch["poly_id"],
+                         "n_spans": pa.array((n[1:] - n[:-1]).astype(np.int64))})
+
+    return checked.map_batches(project, batch_format="pyarrow")
+
+
+def events_asof(sf_dir: str):
+    """As-of join: for each event, the latest order of the same user
+    (events.user_id = orders.o_custkey) with o_orderdate <= ts. Bucketed
+    sorted-merge (searchsorted) inside map_groups; partitioning
+    assumption: all events/orders of a user share a group."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"].cast(pa.int64()),
+                         "event_id": pa.array([0] * t.num_rows, pa.int64()),
+                         "us": t["o_orderdate"].cast(pa.int64()),
+                         "side": pa.array(["o"] * t.num_rows)})
+
+    def e_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["user_id"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "side": pa.array(["e"] * t.num_rows)})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow")
+            .union(events.map_batches(e_prep, batch_format="pyarrow")))
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        od = np.sort(g.loc[g["side"] == "o", "us"].to_numpy())
+        ev = g[g["side"] == "e"]
+        if len(od) == 0 or len(ev) == 0:
+            return pd.DataFrame({"event_id": pd.array([], "int64"),
+                                 "last_order_us": pd.array([], "int64")})
+        pos = np.searchsorted(od, ev["us"].to_numpy(), side="right") - 1
+        ok = pos >= 0
+        return pd.DataFrame({
+            "event_id": ev["event_id"].to_numpy()[ok],
+            "last_order_us": od[pos[ok]],
+        })
+
+    return both.groupby("key").map_groups(asof, batch_format="pandas")
+
+
 def media_features(sf_dir: str):
     """Multimodal stub: 'decode' every non-text span into deterministic
     fake features (the Ray-side plumbing — schema, flat-map expansion,

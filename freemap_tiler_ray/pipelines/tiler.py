@@ -96,7 +96,7 @@ def megatile_universe(spec: SceneSpec, cfg: TilerConfig, ring=None):
     blocks = max(1, min(n, 4 * _cpus()))
     ds = rd.range(n, override_num_blocks=blocks).map_batches(
         gen, batch_format="pyarrow")
-    return ds, mzoom, leaf_range, bbox
+    return ds, mzoom, leaf_range, bbox, n
 
 
 def _cpus() -> int:
@@ -134,16 +134,17 @@ def build_pyramid(cfg: TilerConfig) -> dict:
         # existing target unless continuing, main.rs:58-60)
         import shutil
         for name in os.listdir(cfg.out_dir):
-            if name.startswith(("raw_z", "enc_z", "_manifest")):
+            if name.startswith(("level_z", "span_z", "_manifest")):
                 shutil.rmtree(os.path.join(cfg.out_dir, name), ignore_errors=True)
     os.makedirs(cfg.out_dir, exist_ok=True)
     offset = cfg.effective_offset
     bands = spec.band_count
     metrics: dict[str, float] = {}
 
-    universe, mzoom, leaf_range, bbox = megatile_universe(spec, cfg, ring)
-    raw_dir = lambda z: os.path.join(cfg.out_dir, f"raw_z{z}")  # noqa: E731
-    enc_dir = lambda z: os.path.join(cfg.out_dir, f"enc_z{z}")  # noqa: E731
+    universe, mzoom, leaf_range, bbox, n_mega = megatile_universe(spec, cfg, ring)
+    lvl_dir = lambda z: os.path.join(cfg.out_dir, f"level_z{z}")  # noqa: E731
+    encoder = EncodeStage(cfg.fmt, cfg.jpeg_quality, cfg.tile_size, bands,
+                          keep_pixels=True)
 
     # ---- leaf stage (warp -> sectors), resumable by megatile partition ----
     stage = "leaves"
@@ -164,18 +165,24 @@ def build_pyramid(cfg: TilerConfig) -> dict:
                      else np.array([], np.uint64))
         if len(todo_keys) or not man["attempts"]:
             attempt = len(man["attempts"])
-            adir = os.path.join(raw_dir(cfg.max_zoom), f"attempt-{attempt}")
+            adir = os.path.join(lvl_dir(cfg.max_zoom), f"attempt-{attempt}")
             todo = _anti_join_done(universe, done_keys) if cfg.resume else universe
-            conc = cfg.concurrency or max(1, _cpus() - 1)
+            # size the pool to the work AND leave CPU headroom for the
+            # downstream sector/encode/write stages (a pool that reserves
+            # every CPU serializes the pipeline)
+            conc = cfg.concurrency or max(1, min(n_mega,
+                                                 (3 * _cpus()) // 4))
             warped = todo.map_batches(
                 WarpStage, fn_constructor_kwargs=dict(
                     scene_spec_path=cfg.scene_spec_path, tile_size=cfg.tile_size,
                     warp_zoom_offset=offset, kernel=cfg.kernel),
-                batch_format="pyarrow", batch_size=2, concurrency=conc,
+                batch_format="pyarrow", batch_size=1, concurrency=conc,
                 num_cpus=1)
             leaves = warped.map_batches(
                 SectorStage(cfg.tile_size, offset, bands, leaf_range, ring),
-                batch_format="pyarrow", batch_size=2)
+                batch_format="pyarrow", batch_size=1)
+            leaves = leaves.map_batches(encoder, batch_format="pyarrow",
+                                        batch_size=64)
             leaves.write_parquet(adir)
             man["attempts"].append({
                 "dir": adir,
@@ -189,42 +196,48 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     else:
         metrics["warp"] = 0.0
 
-    # ---- per-zoom bottom-up: encode level, compose to next ----
-    for z in range(cfg.max_zoom, -1, -1):
-        src = (os.path.join(raw_dir(cfg.max_zoom), "") if z == cfg.max_zoom
-               else raw_dir(z))
-        estage = f"enc_z{z}"
-        if not (cfg.resume and ckpt.stage_done(cfg.out_dir, estage)):
-            t0 = time.time()
-            raw = rd.read_parquet(src)
-            enc = raw.map_batches(
-                EncodeStage(cfg.fmt, cfg.jpeg_quality, cfg.tile_size, bands),
-                batch_format="pyarrow", batch_size=64)
-            enc.write_parquet(enc_dir(z))
-            ckpt.save_manifest(cfg.out_dir, estage, {
-                "done": True, "lineage": {"inputs": [src]},
-                "partitions": ckpt.partition_files(enc_dir(z)),
-                "metrics_sec": time.time() - t0})
-            metrics["encode"] = metrics.get("encode", 0.0) + time.time() - t0
-        if z == 0:
-            break
-        cstage = f"raw_z{z - 1}"
+    # ---- bottom-up compose in SPANS of several levels per shuffle ----
+    # (each span's parquet holds raw pixels AND encoded blobs for every
+    # level it produced; consumers column-prune / zoom-filter, so one
+    # execution covers `span` pyramid levels)
+    span = 3
+    out_dirs = [lvl_dir(cfg.max_zoom)]
+    z = cfg.max_zoom
+    src = os.path.join(lvl_dir(cfg.max_zoom), "")
+    src_filter = None
+    while z > 0:
+        L = min(span, z)
+        sdir = os.path.join(cfg.out_dir, f"span_z{z - 1}_to_z{z - L}")
+        cstage = f"span_z{z - 1}_to_z{z - L}"
         if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
             t0 = time.time()
-            raw = rd.read_parquet(src)
-            nxt = compose_level(raw, cfg.tile_size, bands, cfg.kernel)
-            nxt.write_parquet(raw_dir(z - 1))
+            raw = rd.read_parquet(
+                parquet_files(src),
+                columns=["zoom", "x", "y", "pixels", "status"],
+                filter=src_filter)
+            lx0, ly0, lx1, ly1 = leaf_range
+            k = cfg.max_zoom - z
+            est = ((lx1 >> k) - (lx0 >> k) + 1) * ((ly1 >> k) - (ly0 >> k) + 1)
+            nb = int(np.clip(est // 256, 1, 2 * _cpus()))
+            nxt = compose_level(raw, cfg.tile_size, bands, cfg.kernel,
+                                num_blocks=nb, levels=L)
+            nxt = nxt.map_batches(encoder, batch_format="pyarrow",
+                                  batch_size=64)
+            nxt.write_parquet(sdir)
             ckpt.save_manifest(cfg.out_dir, cstage, {
                 "done": True, "lineage": {"inputs": [src]},
-                "partitions": ckpt.partition_files(raw_dir(z - 1)),
+                "partitions": ckpt.partition_files(sdir),
                 "metrics_sec": time.time() - t0})
             metrics["compose"] = metrics.get("compose", 0.0) + time.time() - t0
+        out_dirs.append(sdir)
+        z -= L
+        src = sdir
+        import pyarrow.compute as _pc
+        src_filter = _pc.field("zoom") == z
 
     # ---- limits aggregate (A1) over all levels, column-pruned read ----
     t0 = time.time()
-    enc_all = rd.read_parquet(
-        parquet_files([enc_dir(z) for z in range(cfg.max_zoom + 1)]),
-        columns=ENC_COLS)
+    enc_all = rd.read_parquet(parquet_files(out_dirs), columns=ENC_COLS)
     limits = limits_from_encoded(enc_all)
     lim_json = limits_json(limits)
     metrics["limits"] = time.time() - t0
@@ -239,7 +252,9 @@ def build_pyramid(cfg: TilerConfig) -> dict:
             if os.path.exists(cfg.target_file):
                 os.unlink(cfg.target_file)
             enc_full = rd.read_parquet(
-                parquet_files([enc_dir(z) for z in range(cfg.max_zoom + 1)]))
+                parquet_files(out_dirs),
+                columns=["zoom", "x", "tms_y", "tile_data", "tile_alpha",
+                         "status"])
             inserted = write_mbtiles(cfg.target_file, enc_full, cfg.max_zoom,
                                      cfg.fmt, bbox, lim_json, cfg.insert_empty)
             ckpt.save_manifest(cfg.out_dir, "mbtiles", {
@@ -249,6 +264,7 @@ def build_pyramid(cfg: TilerConfig) -> dict:
 
     result = {"max_zoom": cfg.max_zoom, "bounds_3857": list(bbox),
               "limits": limits, "limits_json": lim_json,
+              "tile_dirs": out_dirs,
               "mbtiles_rows": inserted, "format": cfg.fmt,
               "out_dir": cfg.out_dir, "metrics_sec": metrics,
               "wall_sec": time.time() - t_start}

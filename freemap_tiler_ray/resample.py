@@ -155,6 +155,28 @@ def downsample2x(img, kernel="lanczos3"):
     return out[:, :, 0] if squeeze else out
 
 
+def downsample2x_batch(arr, kernel="lanczos3"):
+    """Batched 2:1 downsample: (G, H, W, C) uint8 -> (G, H/2, W/2, C).
+    Identical per-item output to downsample2x(); batching amortizes the
+    numpy dispatch overhead across a whole compose group."""
+    arr = np.asarray(arr)
+    g, h, w0, c = arr.shape
+    offs, wts = _down2_taps(kernel)
+    pad_l, pad_r = int(-offs[0]), int(offs[-1])
+
+    def pass_axis1(a):  # (G, H, W, C) -> (G, H/2, W, C)
+        p = np.concatenate([a[:, :1]] * pad_l + [a]
+                           + [a[:, -1:]] * (pad_r - 1), axis=1)
+        out = np.zeros((a.shape[0], a.shape[1] // 2) + a.shape[2:], np.float32)
+        for k in range(len(offs)):
+            out += wts[k] * p[:, k:k + a.shape[1]:2]
+        return out
+
+    out = pass_axis1(arr.astype(np.float32, copy=False))
+    out = pass_axis1(out.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    return _to_u8(out)
+
+
 def separable_warp(img, src_x_centers, src_y_centers, scale_x, scale_y,
                    kernel="lanczos3"):
     """Warp via independent per-axis resampling (valid whenever the

@@ -3,21 +3,27 @@
 The Ray-Data-native replacement for the reference's compose-cache +
 scheduler machinery (/root/reference/src/processor.rs:227-321,
 state.rs): instead of a shared mutable HashMap of child buffers, each
-zoom level is one `groupby(parent_key).map_groups(compose)` shuffle —
-Ray's object store holds child buffers between levels (SURVEY.md §2.3
-ST2/ST3).
+zoom level is one grouped shuffle — Ray's object store holds child
+buffers between levels (SURVEY.md §2.3 ST2/ST3).
 
 Semantics mirrored exactly:
-  - children are placed at quadrant offsets so_x=(x&1)*ts,
-    so_y=(y&1... reference: (i&1)*ts, (i>>1)*ts with children order
-    NW,NE,SW,SE) — i.e. quadrant = (x & 1, y & 1) in y-down XYZ coords
-    (processor.rs:261-262);
+  - children are placed at quadrant offsets (x & 1, y & 1) * ts in
+    y-down XYZ coords (processor.rs:261-262);
   - missing / empty children leave their quadrant zeroed
     (processor.rs:254-257);
   - a parent with zero data children emits an empty marker
     (processor.rs:319-321, 594-601);
   - the 2ts x 2ts mosaic is Lanczos3-downsampled to ts x ts
     (processor.rs:278-309).
+
+Physical plan: the shuffle key is the COARSE parent key (pkey with the
+low 2*COARSE_BITS morton bits dropped), so one group = up to
+4^COARSE_BITS sibling parents. All parents in a group are composed in
+one vectorized pass (stacked mosaics + batched Lanczos) — per-group
+Python overhead and the per-level shuffle partition count both drop by
+~64x versus one-group-per-parent, which is what keeps the tiny
+top-of-pyramid levels from being shuffle-overhead-bound (the analog of
+the reference's singleton top-of-pyramid tasks, state.rs:56-61).
 """
 
 from __future__ import annotations
@@ -27,53 +33,113 @@ import pandas as pd
 import pyarrow as pa
 
 from .. import tilemath as tm
-from ..resample import downsample2x
+from ..resample import downsample2x_batch
+
+COARSE_BITS = 3          # 64 parents (256 children) per shuffle group
+_BATCH_MOSAICS = 16      # downsample chunk: bounds float temporaries
 
 
-def add_parent_key(batch: pa.Table) -> pa.Table:
-    """Append pkey = packed (zoom-1, x>>1, y>>1) — the shuffle key."""
-    z = batch["zoom"].to_numpy()
-    x = batch["x"].to_numpy()
-    y = batch["y"].to_numpy()
-    pkey = tm.tile_key(z - 1, x >> 1, y >> 1).astype(np.uint64)
-    return batch.append_column("pkey", pa.array(pkey, pa.uint64()))
+def make_add_shuffle_key(levels: int = 1, coarse: int = COARSE_BITS):
+    """skey = ancestor key `levels + coarse` levels up: every child of
+    every parent produced by a `levels`-deep compose lands in the same
+    group, with 4^coarse sibling subtrees batched per group. The caller
+    keeps levels + coarse bounded so a group stays ~64 MB."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        z = batch["zoom"].to_numpy()
+        x = batch["x"].to_numpy()
+        y = batch["y"].to_numpy()
+        n = levels + coarse
+        zk = np.maximum(z - n, 0)
+        skey = tm.tile_key(zk, x >> n, y >> n).astype(np.uint64)
+        return batch.append_column("skey", pa.array(skey, pa.uint64()))
+
+    return add_key
 
 
-def make_compose_fn(tile_size: int, bands: int, kernel: str = "lanczos3"):
+def _compose_once(zoom: int, xs, ys, is_data, pix_list, ts, b, kernel):
+    """One level of parent composition over vectors of children.
+    Returns (px, py, p_is_data, p_pix_list) at zoom-1."""
+    pkeys = tm.tile_key(np.full(len(xs), zoom) - 1, xs >> 1, ys >> 1)
+    uniq, inv = np.unique(pkeys, return_inverse=True)
+    _, px, py = tm.tile_key_decode(uniq)
+    has_data = np.zeros(len(uniq), bool)
+    np.logical_or.at(has_data, inv, is_data)
+
+    didx = np.flatnonzero(has_data)
+    pos_of = {int(u): i for i, u in enumerate(didx)}
+    G = len(didx)
+    out_pix: list[bytes] = [b""] * len(uniq)
+    if G:
+        mosaics = np.zeros((G, 2 * ts, 2 * ts, b), np.uint8)
+        for i in np.flatnonzero(is_data):
+            gi = pos_of.get(int(inv[i]))
+            if gi is None:
+                continue
+            sx = (int(xs[i]) & 1) * ts
+            sy = (int(ys[i]) & 1) * ts
+            child = np.frombuffer(pix_list[i], np.uint8).reshape(ts, ts, b)
+            mosaics[gi, sy:sy + ts, sx:sx + ts] = child
+        for c0 in range(0, G, _BATCH_MOSAICS):
+            chunk = downsample2x_batch(mosaics[c0:c0 + _BATCH_MOSAICS],
+                                       kernel=kernel)
+            for j in range(chunk.shape[0]):
+                out_pix[didx[c0 + j]] = np.ascontiguousarray(
+                    chunk[j]).tobytes()
+    return (np.asarray(px, np.int64), np.asarray(py, np.int64),
+            has_data, out_pix)
+
+
+def make_compose_fn(tile_size: int, bands: int, kernel: str = "lanczos3",
+                    levels: int = 1):
+    """Group fn composing `levels` pyramid levels inside ONE shuffle
+    group (the group key must be the ancestor key `levels + COARSE_BITS`
+    up). Emits rows for every produced level z-1 .. z-levels."""
     ts, b = tile_size, bands
 
-    def compose(group: pd.DataFrame) -> pd.DataFrame:
-        pz, px, py = tm.tile_key_decode(np.uint64(group["pkey"].iloc[0]))
-        pz, px, py = int(pz), int(px), int(py)
-        data = group[group["status"] == "data"]
-        if len(data) == 0:
-            return pd.DataFrame({"zoom": [pz], "x": [px], "y": [py],
-                                 "pixels": [b""], "status": ["empty"]})
-        mosaic = np.zeros((2 * ts, 2 * ts, b), np.uint8)
-        for _, row in data.iterrows():
-            so_x = (int(row["x"]) & 1) * ts
-            so_y = (int(row["y"]) & 1) * ts
-            child = np.frombuffer(row["pixels"], np.uint8).reshape(ts, ts, b)
-            mosaic[so_y:so_y + ts, so_x:so_x + ts] = child
-        parent = downsample2x(mosaic, kernel=kernel)
-        return pd.DataFrame({"zoom": [pz], "x": [px], "y": [py],
-                             "pixels": [np.ascontiguousarray(parent).tobytes()],
-                             "status": ["data"]})
+    def compose_group(group: pd.DataFrame) -> pd.DataFrame:
+        zoom = int(group["zoom"].iloc[0])
+        xs = group["x"].to_numpy().astype(np.int64)
+        ys = group["y"].to_numpy().astype(np.int64)
+        is_data = group["status"].to_numpy() == "data"
+        pix = group["pixels"].to_numpy()
+        out = {"zoom": [], "x": [], "y": [], "pixels": [], "status": []}
+        for step in range(levels):
+            px, py, has_data, ppix = _compose_once(
+                zoom - step, xs, ys, is_data, pix, ts, b, kernel)
+            out["zoom"].extend([zoom - step - 1] * len(px))
+            out["x"].extend(px.tolist())
+            out["y"].extend(py.tolist())
+            out["pixels"].extend(ppix)
+            out["status"].extend("data" if d else "empty" for d in has_data)
+            xs, ys, is_data, pix = px, py, has_data, ppix
+        return pd.DataFrame({
+            "zoom": np.asarray(out["zoom"], np.int64),
+            "x": np.asarray(out["x"], np.int64),
+            "y": np.asarray(out["y"], np.int64),
+            "pixels": pd.Series(out["pixels"], dtype="object"),
+            "status": out["status"],
+        })
 
-    return compose
+    return compose_group
 
 
 def compose_level(ds, tile_size: int, bands: int, kernel: str = "lanczos3",
-                  num_blocks: int | None = None):
-    """Raw-buffer rows at zoom z -> raw-buffer rows at z-1.
+                  num_blocks: int | None = None, levels: int = 1):
+    """Raw-buffer rows at zoom z -> raw-buffer rows at z-1 .. z-levels
+    (one shuffle for the whole span). num_blocks caps the shuffle width
+    for small levels (caller estimates from the tile-range geometry).
 
-    Group sizes are <= 4 rows by construction, so no salting is needed;
-    the low-zoom small-N regime (few groups) is handled by the caller
-    shrinking num_blocks as the pyramid narrows (the analog of the
-    reference's tiny top-of-pyramid singleton tasks, state.rs:56-61).
-    """
-    keyed = ds.map_batches(add_parent_key, batch_format="pyarrow")
-    grouped = keyed.groupby("pkey")
-    out = grouped.map_groups(make_compose_fn(tile_size, bands, kernel),
-                             batch_format="pandas")
+    The caller guarantees z >= levels; groups are capped at
+    4^(levels + coarse) children with coarse shrinking as levels grows
+    (constant ~64 MB group budget)."""
+    coarse = max(0, 4 - levels)
+    keyed = ds.map_batches(make_add_shuffle_key(levels, coarse),
+                           batch_format="pyarrow")
+    if num_blocks is not None:
+        keyed = keyed.repartition(num_blocks)
+    grouped = keyed.groupby("skey")
+    out = grouped.map_groups(
+        make_compose_fn(tile_size, bands, kernel, levels=levels),
+        batch_format="pandas")
     return out.select_columns(["zoom", "x", "y", "pixels", "status"])

@@ -127,12 +127,35 @@ def _pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
                          "jaccard": pd.array(out_j, "float64")})
 
 
+def _keep_multi_keys(ds, key: str):
+    """Drop rows whose key value occurs only once: a cheap key-column-only
+    count pass, then a broadcast isin filter. (Collision keys are a tiny
+    fraction of all keys, so the driver-side collect of multi-keys stays
+    small even at large doc counts; at extreme scale swap the collect for
+    a Bloom filter.) Most buckets are singletons and can never produce a
+    pair, so this cuts the heavy-shuffle row count drastically."""
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns([key]).groupby(key)
+                .aggregate(Count(alias_name="n")).to_pandas())
+    multi = counts.loc[counts["n"] > 1, key].to_numpy()
+    ref = ray.put(multi)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep = np.isin(np.asarray(batch[key].to_pandas()), ray.get(ref))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def lsh_candidate_pairs(shingled_ds):
     """MinHash-LSH near-dup pairs: band explode -> groupby(band_key) ->
     in-group verified pairs -> distinct over bands."""
     from ray.data.aggregate import Max
 
     bands = shingled_ds.map_batches(_band_rows, batch_format="pyarrow")
+    bands = _keep_multi_keys(bands, "band_key")
     pairs = bands.groupby("band_key").map_groups(_pairs_in_band,
                                                  batch_format="pandas")
     return (pairs.groupby(["doc_a", "doc_b"])
@@ -178,12 +201,20 @@ def simhash_pairs(sig_ds):
                          "doc_id": pa.array(docs, pa.int64()),
                          "simhash": pa.array(sigs, pa.int64())})
 
+    def _popcount64(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64)
+        v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        v = ((v & np.uint64(0x3333333333333333))
+             + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+        v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((v * np.uint64(0x0101010101010101))
+                >> np.uint64(56)).astype(np.int64)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").drop_duplicates("doc_id")
         ids = g["doc_id"].to_numpy()
         sig = g["simhash"].to_numpy()
-        x = sig[:, None] ^ sig[None, :]
-        ham = np.array([[bin(int(v)).count("1") for v in row] for row in x])
+        ham = _popcount64(sig[:, None] ^ sig[None, :])
         ii, jj = np.where((ham <= SIMHASH_MAX_HAMMING)
                           & (ids[:, None] < ids[None, :]))
         return pd.DataFrame({"doc_a": pd.array(ids[ii], "int64"),
@@ -239,6 +270,7 @@ def ngram_pairs(shingled_ds):
     from ray.data.aggregate import Max
 
     ex = shingled_ds.map_batches(explode, batch_format="pyarrow")
+    ex = _keep_multi_keys(ex, "shingle")
     p = ex.groupby("shingle").map_groups(pairs, batch_format="pandas")
     return (p.groupby(["doc_a", "doc_b"])
              .aggregate(Max("jaccard", alias_name="jaccard")))

@@ -19,12 +19,20 @@ from ..codecs import decode_tile, encode_tile
 
 
 class EncodeStage:
+    """keep_pixels=True appends the encoded columns NEXT TO the raw
+    buffer, so one write per pyramid level serves both consumers: the
+    sink reads (tile_data, tile_alpha), the next compose level reads
+    (pixels) — column-pruned reads of the same parquet files, one
+    execution per level instead of two."""
+
     def __init__(self, fmt: str = "png", quality: int = 85,
-                 tile_size: int = 256, bands: int = 4):
+                 tile_size: int = 256, bands: int = 4,
+                 keep_pixels: bool = False):
         self.fmt = fmt
         self.quality = quality
         self.ts = tile_size
         self.bands = bands
+        self.keep_pixels = keep_pixels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts, b = self.ts, self.bands
@@ -42,13 +50,16 @@ class EncodeStage:
             d, a = encode_tile(buf, self.fmt, self.quality)
             data.append(d)
             alpha.append(a)
-        return pa.table({
+        cols = {
             "zoom": batch["zoom"], "x": batch["x"], "y": batch["y"],
             "tms_y": pa.array(tm.reversed_y(zoom, y), pa.int64()),
             "tile_data": pa.array(data, pa.binary()),
             "tile_alpha": pa.array(alpha, pa.binary()),
             "status": batch["status"],
-        })
+        }
+        if self.keep_pixels:
+            cols["pixels"] = batch["pixels"]
+        return pa.table(cols)
 
 
 class DecodeStage:

@@ -21,9 +21,11 @@ MAX_ZOOM = 6
 
 
 def _read_all_enc(out_dir):
-    files = parquet_files([os.path.join(out_dir, f"enc_z{z}")
-                           for z in range(MAX_ZOOM + 1)])
-    tbl = pq.read_table(files).to_pandas()
+    dirs = [os.path.join(out_dir, n) for n in sorted(os.listdir(out_dir))
+            if n.startswith(("level_z", "span_z"))]
+    tbl = pq.read_table(parquet_files(dirs),
+                        columns=["zoom", "x", "y", "tms_y", "tile_data",
+                                 "tile_alpha", "status"]).to_pandas()
     tbl = tbl.sort_values(["zoom", "x", "y"]).reset_index(drop=True)
     return tbl
 
@@ -67,12 +69,12 @@ def test_partial_resume(ray_session, tmp_path):
     man["attempts"][0]["partitions"] = ckpt.partition_files(adir)
     man["done"] = False
     ckpt.save_manifest(out2, "leaves", man)
-    for z in range(MAX_ZOOM + 1):
-        shutil.rmtree(os.path.join(out2, f"enc_z{z}"), ignore_errors=True)
-        os.remove(os.path.join(out2, "_manifest", f"enc_z{z}.json"))
-        if z < MAX_ZOOM:
-            shutil.rmtree(os.path.join(out2, f"raw_z{z}"), ignore_errors=True)
-            os.remove(os.path.join(out2, "_manifest", f"raw_z{z}.json"))
+    for name in os.listdir(out2):
+        if name.startswith("span_z"):
+            shutil.rmtree(os.path.join(out2, name), ignore_errors=True)
+    for name in os.listdir(os.path.join(out2, "_manifest")):
+        if name.startswith("span_z"):
+            os.remove(os.path.join(out2, "_manifest", name))
 
     # resume
     import dataclasses

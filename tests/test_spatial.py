@@ -1,0 +1,87 @@
+"""Spatial-layer unit tests: geometry predicates vs brute force, cell-ring
+kNN vs exact brute-force kNN, span invariant enforcement."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from freemap_tiler_ray.stages.docs import build_spans, check_span_invariant
+from freemap_tiler_ray.stages.geom import (points_in_polygon, regular_polygon,
+                                           rects_intersect_polygon)
+
+rng = np.random.default_rng(11)
+
+
+def test_pip_vs_matplotlib_free_brute():
+    """Ray-casting vs a dense winding check on a convex polygon (where
+    inside == 'on the inner side of every edge')."""
+    ring = regular_polygon(2.0, -1.0, 3.0, 7, phase=0.3)
+    px = rng.uniform(-3, 7, 4000)
+    py = rng.uniform(-6, 4, 4000)
+    got = points_in_polygon(px, py, ring)
+    # convex: inside iff all cross products have the same sign
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    cross = ((x2 - x1)[None, :] * (py[:, None] - y1[None, :])
+             - (y2 - y1)[None, :] * (px[:, None] - x1[None, :]))
+    exp = (cross > 0).all(axis=1) | (cross < 0).all(axis=1)
+    assert (got == exp).mean() > 0.999  # boundary pixels may differ
+
+
+def test_rect_intersects_polygon_brute():
+    ring = regular_polygon(0.0, 0.0, 5.0, 5, phase=0.7)
+    rx0 = rng.uniform(-8, 8, 500)
+    ry0 = rng.uniform(-8, 8, 500)
+    rx1 = rx0 + rng.uniform(0.1, 4, 500)
+    ry1 = ry0 + rng.uniform(0.1, 4, 500)
+    got = rects_intersect_polygon(rx0, ry0, rx1, ry1, ring)
+    # brute force: sample a dense grid in each rect + polygon edge points
+    for i in range(60):
+        gx, gy = np.meshgrid(np.linspace(rx0[i], rx1[i], 25),
+                             np.linspace(ry0[i], ry1[i], 25))
+        inside_any = points_in_polygon(gx.ravel(), gy.ravel(), ring).any()
+        t = np.linspace(0, 1, 200)
+        ex = np.concatenate([ring[j, 0] + t * (ring[(j + 1) % len(ring), 0]
+                                               - ring[j, 0])
+                             for j in range(len(ring))])
+        ey = np.concatenate([ring[j, 1] + t * (ring[(j + 1) % len(ring), 1]
+                                               - ring[j, 1])
+                             for j in range(len(ring))])
+        edge_in = ((ex >= rx0[i]) & (ex <= rx1[i])
+                   & (ey >= ry0[i]) & (ey <= ry1[i])).any()
+        brute = bool(inside_any or edge_in)
+        assert bool(got[i]) == brute or abs(inside_any - brute) == 0
+
+
+def test_knn_cell_ring_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from freemap_tiler_ray.stages.spatial import (add_doc_points, knn_cell_ring,
+                                                  knn_join, make_add_cell)
+
+    ids = pa.table({"doc_id": pa.array(np.arange(3000), pa.int64())})
+    docs = (rd.from_arrow(ids)
+            .map_batches(add_doc_points, batch_format="pyarrow")
+            .map_batches(make_add_cell(4), batch_format="pyarrow"))
+    docs = docs.materialize()
+    from freemap_tiler_ray.fixtures import knn_queries
+    queries, k = knn_queries(n=6)
+    exact = (knn_join(docs, queries, k).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    ringed = (knn_cell_ring(docs, queries, k, res=4)
+              .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert exact[["query_id", "doc_id", "rank"]].equals(
+        ringed[["query_id", "doc_id", "rank"]])
+
+
+def test_span_invariant_detects_mutation():
+    batch = pa.table({"doc_id": pa.array(np.arange(20), pa.int64())})
+    spans = build_spans(batch)
+    check_span_invariant(spans)  # clean passes
+    # mutate: swap spans of two docs -> must raise
+    col = spans["spans"].combine_chunks()
+    swapped = pa.concat_arrays([col.slice(1, 1), col.slice(0, 1),
+                                col.slice(2, 18)])
+    bad = pa.table({"doc_id": spans["doc_id"], "spans": swapped})
+    with pytest.raises(AssertionError):
+        check_span_invariant(bad)

@@ -76,8 +76,7 @@ def test_tile_set_and_status(built):
     root, spec, cfg, res = built
     got = {}
     from freemap_tiler_ray.pipelines.tiler import parquet_files
-    ds = rd.read_parquet(parquet_files([os.path.join(cfg.out_dir, f"enc_z{z}")
-                                        for z in range(MAX_ZOOM + 1)]),
+    ds = rd.read_parquet(parquet_files(res["tile_dirs"]),
                          columns=["zoom", "x", "y", "status"])
     for b in ds.iter_batches(batch_format="pandas"):
         for _, r in b.iterrows():
@@ -92,7 +91,9 @@ def test_leaf_pixels_identity(built):
     root, spec, cfg, res = built
     img = gradient_disk_pixels(SIZE, 4, DISK)
     masked = np.where(img[:, :, 3:4] > 0, img, 0)
-    ds = rd.read_parquet(os.path.join(cfg.out_dir, f"enc_z{MAX_ZOOM}"))
+    from freemap_tiler_ray.pipelines.tiler import parquet_files
+    ds = rd.read_parquet(parquet_files(
+        os.path.join(cfg.out_dir, f"level_z{MAX_ZOOM}")))
     n_checked = 0
     for b in ds.iter_batches(batch_format="pandas"):
         for _, r in b.iterrows():
