@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.knn,
         "media_features": q.media_features,
         "tile_zorder": q.tile_zorder,
+        "sample_docs": q.sample_docs,
+        "distinct_lang_source": q.distinct_lang_source,
+        "events_sliding": q.events_sliding,
         "pip_join_spans": q.pip_join_spans,
         "events_asof": q.events_asof,
         "q1_lineitem": q.q1_lineitem,
@@ -335,6 +338,26 @@ o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders)
 SELECT e.event_id, max(o.us) AS last_order_us
 FROM e JOIN o ON o.o_custkey = e.user_id AND o.us <= e.us
 GROUP BY e.event_id
+"""
+
+    sqls["sample_docs"] = """
+WITH b AS (SELECT doc_id, lang,
+                  (doc_id % 4294967296 + 777) % 4294967296 AS v0
+           FROM documents),
+s1 AS (SELECT doc_id, lang,
+              (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM b),
+s2 AS (SELECT doc_id, lang,
+              (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM s1)
+SELECT doc_id, lang FROM s2 WHERE xor(v2 >> 16, v2) % 100 < 10
+"""
+    sqls["distinct_lang_source"] = \
+        "SELECT DISTINCT lang, source FROM documents"
+    sqls["events_sliding"] = """
+SELECT event_id,
+       count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_window
+FROM events
 """
 
     # ---- text analysis ----

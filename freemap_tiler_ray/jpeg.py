@@ -124,29 +124,6 @@ def _to_blocks(plane: np.ndarray):
             h, w)
 
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, code: int, length: int):
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)  # byte stuffing
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self):
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s
-
-
 def _magnitude(v: int):
     """JPEG magnitude category + offset bits for value v."""
     if v == 0:
@@ -157,33 +134,120 @@ def _magnitude(v: int):
     return size, bits
 
 
-def _encode_plane_blocks(coefs: np.ndarray, dc_codes, ac_codes, bw, pred):
-    """coefs: (n_blocks, 64) zigzagged quantized ints. Returns new DC pred."""
-    for blk in coefs:
-        dc = int(blk[0])
-        size, bits = _magnitude(dc - pred)
-        code, ln = dc_codes[size]
-        bw.write(code, ln)
-        if size:
-            bw.write(bits, size)
-        pred = dc
-        nz = np.nonzero(blk[1:])[0]
-        prev = 0
-        for idx in nz:
-            run = int(idx) - prev
-            while run >= 16:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            size, bits = _magnitude(int(blk[1 + idx]))
-            code, ln = ac_codes[(run << 4) | size]
-            bw.write(code, ln)
-            bw.write(bits, size)
-            prev = int(idx) + 1
-        if prev != 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.write(code, ln)
-    return pred
+def _lut(codes_dict, size=256):
+    code = np.zeros(size, np.uint64)
+    ln = np.zeros(size, np.int64)
+    for sym, (c, l) in codes_dict.items():
+        code[sym] = c
+        ln[sym] = l
+    return code, ln
+
+
+def _bitlen(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for |v| < 2^24 (frexp exponent)."""
+    return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+
+
+def _entropy_symbols(coef_sets, dc_diffs, ncomp):
+    """Fully vectorized Huffman symbol stream: per component, build
+    (mcu, comp, seq) sort keys for every symbol (DC code/bits, ZRL runs,
+    AC code/bits, EOB), then one stable lexsort interleaves the MCUs.
+    Returns (codes uint64, lens int64) ready for _pack_bits."""
+    luts = [(_lut(_huff_codes(DC_LUM), 12), _lut(_huff_codes(AC_LUM)))]
+    if ncomp > 1:
+        luts += [(_lut(_huff_codes(DC_CHROM), 12),
+                  _lut(_huff_codes(AC_CHROM)))] * (ncomp - 1)
+    all_codes, all_lens, all_keys = [], [], []
+
+    def add(codes, lens, block, comp, seq):
+        all_codes.append(codes.astype(np.uint64))
+        all_lens.append(lens.astype(np.int64))
+        all_keys.append(np.stack([block, np.full_like(block, comp), seq],
+                                 axis=1))
+
+    for ci in range(ncomp):
+        (dc_code, dc_len), (ac_code, ac_len) = luts[ci]
+        blk = coef_sets[ci]
+        n = blk.shape[0]
+        ids = np.arange(n, dtype=np.int64)
+        # DC: category code (seq 0) + offset bits (seq 1)
+        d = dc_diffs[ci]
+        dsize = _bitlen(d)
+        dbits = np.where(d >= 0, d, d + (np.int64(1) << dsize) - 1)
+        add(dc_code[dsize], dc_len[dsize], ids, ci, np.zeros(n, np.int64))
+        add(dbits.astype(np.uint64), dsize, ids, ci, np.ones(n, np.int64))
+        # AC nonzeros with run lengths
+        rows, cols = np.nonzero(blk[:, 1:])
+        if len(rows):
+            vals = blk[rows, cols + 1].astype(np.int64)
+            first = np.empty(len(rows), bool)
+            first[0] = True
+            first[1:] = rows[1:] != rows[:-1]
+            prevc = np.empty_like(cols)
+            prevc[0] = 0
+            prevc[1:] = cols[:-1]
+            run = np.where(first, cols, cols - prevc - 1).astype(np.int64)
+            nz_idx = np.arange(len(rows), dtype=np.int64)
+            j = nz_idx - np.repeat(np.flatnonzero(first),
+                                   np.diff(np.flatnonzero(
+                                       np.r_[first, True])))
+            base = 2 + 3 * j
+            # ZRL symbols (runs of >= 16 zeros), in order before their AC
+            nzrl = run >> 4
+            if nzrl.any():
+                zr = np.repeat(rows, nzrl)
+                zb = np.repeat(base, nzrl)
+                zc = np.full(len(zr), int(ac_code[0xF0]), np.uint64)
+                zl = np.full(len(zr), int(ac_len[0xF0]), np.int64)
+                add(zc, zl, zr, ci, zb)
+            rem = run & 15
+            asize = _bitlen(vals)
+            abits = np.where(vals >= 0, vals,
+                             vals + (np.int64(1) << asize) - 1)
+            sym = (rem << 4) | asize
+            add(ac_code[sym], ac_len[sym], rows, ci, base + 1)
+            add(abits.astype(np.uint64), asize, rows, ci, base + 2)
+        # EOB when the block's last nonzero isn't coefficient 63
+        if len(rows):
+            last = np.zeros(n, np.int64) - 1
+            last[rows] = cols          # rows ascending: final write = max
+            need = last != 62
+        else:
+            need = np.ones(n, bool)
+        eids = ids[need]
+        add(np.full(len(eids), int(ac_code[0x00]), np.uint64),
+            np.full(len(eids), int(ac_len[0x00]), np.int64),
+            eids, ci, np.full(len(eids), 2 + 3 * 64, np.int64))
+
+    codes = np.concatenate(all_codes)
+    lens = np.concatenate(all_lens)
+    keys = np.concatenate(all_keys)
+    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+    return codes[order], lens[order]
+
+
+def _pack_bits(codes, lens) -> bytes:
+    """Vectorized bit packing + 0xFF byte stuffing + 1-padding."""
+    c = np.asarray(codes, np.uint64)
+    ln = np.asarray(lens, np.int64)
+    keep = ln > 0
+    c, ln = c[keep], ln[keep]
+    total = int(ln.sum())
+    starts = np.concatenate([[0], np.cumsum(ln)[:-1]])
+    rep_c = np.repeat(c, ln)
+    rep_l = np.repeat(ln, ln)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, ln)
+    bits = (rep_c >> (rep_l - 1 - within).astype(np.uint64)) & np.uint64(1)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint64)])
+    raw = np.packbits(bits.astype(np.uint8))
+    stuffed = np.flatnonzero(raw == 0xFF)
+    if len(stuffed):
+        out = np.insert(raw, stuffed + 1, 0)
+    else:
+        out = raw
+    return out.tobytes()
 
 
 def _dqt_payload(tid, tbl):
@@ -224,9 +288,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
     coef_sets = []
     for plane, qt in planes:
         blocks, _, _ = _to_blocks(plane)
-        nby, nbx = blocks.shape[:2]
-        B = blocks.reshape(-1, 8, 8)
-        D = np.einsum("ij,njk,lk->nil", C, B, C)
+        B = blocks.reshape(-1, 8, 8).astype(np.float64)
+        D = np.matmul(np.matmul(C[None], B), C.T[None])
         Q = np.rint(D / qt[None]).astype(np.int32)
         coef_sets.append(Q.reshape(-1, 64)[:, _Z])
 
@@ -251,21 +314,15 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
     sos += bytes([0, 63, 0])
     out += _seg(0xFFDA, sos)
 
-    dc_l, ac_l = _huff_codes(DC_LUM), _huff_codes(AC_LUM)
-    dc_c, ac_c = _huff_codes(DC_CHROM), _huff_codes(AC_CHROM)
-    bw = _BitWriter()
-    nbx = (w + 7) // 8
-    nby = (h + 7) // 8
-    preds = [0] * ncomp
-    tables = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
-    # interleaved MCU order (4:4:4 -> one block per component per MCU)
-    for m in range(nbx * nby):
-        for ci in range(ncomp):
-            dcs, acs = tables[ci]
-            preds[ci] = _encode_plane_blocks(coef_sets[ci][m:m + 1],
-                                             dcs, acs, bw, preds[ci])
-    bw.flush()
-    out += bw.out
+    # DC differentials vectorized per component (sequential pred = diff)
+    dc_diffs = []
+    for ci in range(ncomp):
+        dc = coef_sets[ci][:, 0].astype(np.int64)
+        d = dc.copy()
+        d[1:] = dc[1:] - dc[:-1]
+        dc_diffs.append(d)
+    codes, lens = _entropy_symbols(coef_sets, dc_diffs, ncomp)
+    out += _pack_bits(codes, lens)
     out += b"\xff\xd9"                                        # EOI
     return bytes(out)
 

@@ -112,6 +112,50 @@ def knn(sf_dir: str):
     return out.select_columns(["query_id", "doc_id", "d2", "rank"])
 
 
+def sample_docs(sf_dir: str):
+    """Deterministic 10% hash sample (hash-based sampling is the
+    reproducible, partition-independent alternative to random_sample —
+    same rows on any cluster size)."""
+    from ..geo import _mix32
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = (_mix32((ids + np.uint64(777)) & np.uint64(0xFFFFFFFF))
+                % np.uint64(100)) < 10
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        flt, batch_format="pyarrow")
+
+
+def distinct_lang_source(sf_dir: str):
+    """Distinct (lang, source) pairs (the `unique` operator)."""
+    return (_docs(sf_dir, ("lang", "source"))
+            .groupby(["lang", "source"]).count()
+            .select_columns(["lang", "source"]))
+
+
+def events_sliding(sf_dir: str):
+    """Sliding 1-hour window: per event, how many events of the same type
+    fall in [ts - 1h, ts] (RANGE-frame semantics; sorted searchsorted scan
+    per group — ordering assumption: ts within each event_type group)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "ts"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64").to_numpy()
+        order = np.argsort(us, kind="stable")
+        s = us[order]
+        hi = np.searchsorted(s, us, side="right")
+        lo = np.searchsorted(s, us - 3_600_000_000, side="left")
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "n_window": (hi - lo).astype(np.int64)})
+
+    return ds.groupby("event_type").map_groups(win, batch_format="pandas")
+
+
 def tile_zorder(sf_dir: str):
     """Z-order (Morton) keys for the fixture leaf range — oracle-checks
     the bit-interleave math behind every shuffle key (the reference's

@@ -40,7 +40,7 @@ from ..stages.encode import EncodeStage
 from ..stages.geom import rects_intersect_polygon
 from ..stages.sectors import SectorStage
 from ..stages.warp import WarpStage
-from ..state.limits import limits_from_encoded, limits_json
+from ..state.limits import limits_json
 from . import checkpoint as ckpt
 
 ENC_COLS = ["zoom", "x", "tms_y", "status"]
@@ -143,12 +143,33 @@ def build_pyramid(cfg: TilerConfig) -> dict:
 
     universe, mzoom, leaf_range, bbox, n_mega = megatile_universe(spec, cfg, ring)
     lvl_dir = lambda z: os.path.join(cfg.out_dir, f"level_z{z}")  # noqa: E731
-    encoder = EncodeStage(cfg.fmt, cfg.jpeg_quality, cfg.tile_size, bands,
-                          keep_pixels=True)
+    from ..state.limits import LimitsActor, merge_limits
+    limit_parts: list[dict] = []
+
+    def _make_encoder():
+        """Fresh limits collector per stage; its merged partial lands in
+        the stage manifest so resume recovers limits without re-reading
+        tiles (the streaming analog of processor.rs:567-584)."""
+        actor = LimitsActor.remote()
+        enc = EncodeStage(cfg.fmt, cfg.jpeg_quality, cfg.tile_size, bands,
+                          keep_pixels=True, limits_actor=actor)
+        return actor, enc
+
+    def _collect(actor) -> dict:
+        part = ray.get(actor.get.remote())
+        ray.kill(actor)
+        limit_parts.append(part)
+        return part
 
     # ---- leaf stage (warp -> sectors), resumable by megatile partition ----
     stage = "leaves"
     man = ckpt.load_manifest(cfg.out_dir, stage) or {"attempts": [], "done": False}
+    # local (in-task) compose depth: 0 when resuming a manifest whose
+    # attempts hold only bare leaves (e.g. an MBTiles import)
+    local_levels = man.get("leaf_min_zoom",
+                           cfg.max_zoom - min(offset, cfg.max_zoom))
+    local_levels = cfg.max_zoom - local_levels
+    man["leaf_min_zoom"] = cfg.max_zoom - local_levels
     if not (cfg.resume and man["done"]):
         t0 = time.time()
         done_keys = np.concatenate(
@@ -163,31 +184,47 @@ def build_pyramid(cfg: TilerConfig) -> dict:
                                          t["my"].to_numpy()))
         todo_keys = (np.concatenate(todo_keys) if todo_keys
                      else np.array([], np.uint64))
+        for a in man["attempts"]:         # prior attempts' stored limits
+            if a.get("limits_partial"):
+                limit_parts.append(a["limits_partial"])
         if len(todo_keys) or not man["attempts"]:
             attempt = len(man["attempts"])
             adir = os.path.join(lvl_dir(cfg.max_zoom), f"attempt-{attempt}")
             todo = _anti_join_done(universe, done_keys) if cfg.resume else universe
-            # size the pool to the work AND leave CPU headroom for the
-            # downstream sector/encode/write stages (a pool that reserves
-            # every CPU serializes the pipeline)
-            conc = cfg.concurrency or max(1, min(n_mega,
-                                                 (3 * _cpus()) // 4))
-            warped = todo.map_batches(
-                WarpStage, fn_constructor_kwargs=dict(
-                    scene_spec_path=cfg.scene_spec_path, tile_size=cfg.tile_size,
-                    warp_zoom_offset=offset, kernel=cfg.kernel),
-                batch_format="pyarrow", batch_size=1, concurrency=conc,
-                num_cpus=1)
+            # warp runs as TASKS with a once-per-worker cached scene
+            # handle (stages/warp._cached_scene): actor-pool semantics
+            # for the state, elastic task scheduling for the CPUs (an
+            # actor pool reserving the node starves downstream stages)
+            warp = WarpStage(scene_spec_path=cfg.scene_spec_path,
+                             tile_size=cfg.tile_size,
+                             warp_zoom_offset=offset, kernel=cfg.kernel)
+            warped = todo.map_batches(warp, batch_format="pyarrow",
+                                      batch_size=1)
             leaves = warped.map_batches(
                 SectorStage(cfg.tile_size, offset, bands, leaf_range, ring),
                 batch_format="pyarrow", batch_size=1)
-            leaves = leaves.map_batches(encoder, batch_format="pyarrow",
-                                        batch_size=64)
+            # shuffle-free subtree compose: a megatile block holds the
+            # complete z..z-offset subtree, so the heaviest compose span
+            # happens here with ZERO data movement (mirrors the
+            # reference's compose-cache locality, README.md:3-4)
+            if local_levels > 0:
+                from ..stages.compose import make_local_compose
+                leaves = leaves.map_batches(
+                    make_local_compose(local_levels, cfg.tile_size, bands,
+                                       cfg.kernel),
+                    batch_format="pyarrow", batch_size=None)
+            # batch_size=None: encode per upstream block — an explicit
+            # batch_size makes Ray bundle the single-row megatile blocks
+            # into one task and serializes the whole leaf stage
+            actor, enc = _make_encoder()
+            leaves = leaves.map_batches(enc, batch_format="pyarrow",
+                                        batch_size=None)
             leaves.write_parquet(adir)
             man["attempts"].append({
                 "dir": adir,
                 "megatile_keys": [int(k) for k in todo_keys],
                 "partitions": ckpt.partition_files(adir),
+                "limits_partial": _collect(actor),
             })
         man["done"] = True
         man["lineage"] = {"inputs": [cfg.scene_spec_path], "stage": "warp+sector"}
@@ -195,18 +232,25 @@ def build_pyramid(cfg: TilerConfig) -> dict:
         ckpt.save_manifest(cfg.out_dir, stage, man)
     else:
         metrics["warp"] = 0.0
+        for a in man["attempts"]:
+            if a.get("limits_partial"):
+                limit_parts.append(a["limits_partial"])
 
     # ---- bottom-up compose in SPANS of several levels per shuffle ----
     # (each span's parquet holds raw pixels AND encoded blobs for every
     # level it produced; consumers column-prune / zoom-filter, so one
     # execution covers `span` pyramid levels)
-    span = 3
+    from ..stages.compose import choose_span
     out_dirs = [lvl_dir(cfg.max_zoom)]
-    z = cfg.max_zoom
+    z = man["leaf_min_zoom"]      # shuffled spans start below the local compose
     src = os.path.join(lvl_dir(cfg.max_zoom), "")
-    src_filter = None
+    import pyarrow.compute as _pc
+    src_filter = _pc.field("zoom") == z
     while z > 0:
-        L = min(span, z)
+        lx0, ly0, lx1, ly1 = leaf_range
+        k = cfg.max_zoom - z
+        est = ((lx1 >> k) - (lx0 >> k) + 1) * ((ly1 >> k) - (ly0 >> k) + 1)
+        L, coarse = choose_span(est, z, _cpus())
         sdir = os.path.join(cfg.out_dir, f"span_z{z - 1}_to_z{z - L}")
         cstage = f"span_z{z - 1}_to_z{z - L}"
         if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
@@ -215,30 +259,31 @@ def build_pyramid(cfg: TilerConfig) -> dict:
                 parquet_files(src),
                 columns=["zoom", "x", "y", "pixels", "status"],
                 filter=src_filter)
-            lx0, ly0, lx1, ly1 = leaf_range
-            k = cfg.max_zoom - z
-            est = ((lx1 >> k) - (lx0 >> k) + 1) * ((ly1 >> k) - (ly0 >> k) + 1)
-            nb = int(np.clip(est // 256, 1, 2 * _cpus()))
+            nb = int(np.clip(est // 4 ** (L + coarse), 1, 4 * _cpus()))
             nxt = compose_level(raw, cfg.tile_size, bands, cfg.kernel,
-                                num_blocks=nb, levels=L)
-            nxt = nxt.map_batches(encoder, batch_format="pyarrow",
-                                  batch_size=64)
+                                num_blocks=nb, levels=L, coarse=coarse)
+            actor, enc = _make_encoder()
+            nxt = nxt.map_batches(enc, batch_format="pyarrow",
+                                  batch_size=None)
             nxt.write_parquet(sdir)
             ckpt.save_manifest(cfg.out_dir, cstage, {
                 "done": True, "lineage": {"inputs": [src]},
                 "partitions": ckpt.partition_files(sdir),
+                "limits_partial": _collect(actor),
                 "metrics_sec": time.time() - t0})
             metrics["compose"] = metrics.get("compose", 0.0) + time.time() - t0
+        else:
+            m = ckpt.load_manifest(cfg.out_dir, cstage) or {}
+            if m.get("limits_partial"):
+                limit_parts.append(m["limits_partial"])
         out_dirs.append(sdir)
         z -= L
         src = sdir
-        import pyarrow.compute as _pc
         src_filter = _pc.field("zoom") == z
 
-    # ---- limits aggregate (A1) over all levels, column-pruned read ----
+    # ---- limits (A1): merge the per-stage streamed partials ----
     t0 = time.time()
-    enc_all = rd.read_parquet(parquet_files(out_dirs), columns=ENC_COLS)
-    limits = limits_from_encoded(enc_all)
+    limits = merge_limits(limit_parts)
     lim_json = limits_json(limits)
     metrics["limits"] = time.time() - t0
 

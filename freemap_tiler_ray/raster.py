@@ -108,17 +108,31 @@ def gradient_disk_pixels(size: int, bands: int = 4,
                          disk_frac: float = 400.0 / 1024.0) -> np.ndarray:
     """R=x%256, G=y%256, B=(x+y)%256, alpha=255 inside the centered disk of
     radius disk_frac*size (integer-coordinate test: (x-c)^2+(y-c)^2 < r^2),
-    else 0. 2-band variant: L=(x+y)%256 + same alpha."""
-    x, y = np.meshgrid(np.arange(size), np.arange(size))
-    c, r = size // 2, disk_frac * size
-    alpha = np.where((x - c) ** 2 + (y - c) ** 2 < r * r, 255, 0).astype(np.uint8)
-    if bands == 4:
-        img = np.dstack([(x % 256), (y % 256), ((x + y) % 256), alpha])
-    elif bands == 2:
-        img = np.dstack([((x + y) % 256), alpha])
-    else:
-        raise ValueError("gradient_disk supports 2 or 4 bands")
-    return img.astype(np.uint8)
+    else 0. 2-band variant: L=(x+y)%256 + same alpha. Generated in row
+    bands so big bench scenes don't allocate size^2 int64 temporaries."""
+    c, r2 = size // 2, (disk_frac * size) ** 2
+    xs = np.arange(size, dtype=np.int64)
+    xmod = (xs % 256).astype(np.uint8)
+    dx2 = ((xs - c) ** 2).astype(np.int64)
+    img = np.empty((size, size, bands), np.uint8)
+    chunk = max(1, (1 << 24) // size)
+    for r0 in range(0, size, chunk):
+        r1 = min(size, r0 + chunk)
+        ys = xs[r0:r1]
+        alpha = np.where(dx2[None, :] + dx2[r0:r1, None] < r2, 255, 0) \
+            .astype(np.uint8)
+        xy = (xmod[None, :].astype(np.int16) + ys[:, None] % 256) % 256
+        if bands == 4:
+            img[r0:r1, :, 0] = xmod[None, :]
+            img[r0:r1, :, 1] = (ys % 256).astype(np.uint8)[:, None]
+            img[r0:r1, :, 2] = xy.astype(np.uint8)
+            img[r0:r1, :, 3] = alpha
+        elif bands == 2:
+            img[r0:r1, :, 0] = xy.astype(np.uint8)
+            img[r0:r1, :, 1] = alpha
+        else:
+            raise ValueError("gradient_disk supports 2 or 4 bands")
+    return img
 
 
 def make_scene(path: str, anchor=(4, 9, 5), size: int = 1024, bands: int = 4,

@@ -15,7 +15,11 @@ Never fan multiple actors into this file.
 
 from __future__ import annotations
 
+import os
 import sqlite3
+
+import numpy as np
+import pyarrow as pa
 
 
 def create_schema(conn: sqlite3.Connection, max_zoom: int, fmt: str,
@@ -77,6 +81,95 @@ def read_mbtiles_metadata(path: str) -> dict:
     meta = dict(conn.execute("SELECT name, value FROM metadata").fetchall())
     conn.close()
     return meta
+
+
+def import_mbtiles_leaves(prior: str, cfg, bands: int) -> dict:
+    """Flow-C resume from a prior MBTiles file (args.rs:24-26 --continue):
+    decode the prior run's max-zoom tiles back to raw buffers
+    (processor.rs:194-223) and lay them down as a completed leaf attempt,
+    so build_pyramid(resume=True) re-warps ONLY megatiles whose leaf set
+    is incomplete. Empty markers make completeness knowable — exactly
+    what the reference's insert_empty exists for (processor.rs:594-601).
+
+    Returns the leaves manifest it wrote.
+    """
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from .. import tilemath as tm
+    from ..pipelines import checkpoint as ckpt
+    from ..raster import SceneSpec
+    from ..stages.encode import DecodeStage
+
+    spec = SceneSpec.load(cfg.scene_spec_path)
+    offset = cfg.effective_offset
+    bbox = spec.mercator_bbox()
+    lx0, ly0, lx1, ly1 = tm.bbox_covered_tile_range(*bbox, cfg.max_zoom)
+
+    conn = sqlite3.connect(prior)
+    has_alpha = cfg.fmt == "jpeg"
+    cols = "zoom_level, tile_column, tile_row, tile_data" + \
+        (", tile_alpha" if has_alpha else "")
+    rows = conn.execute(
+        f"SELECT {cols} FROM tiles WHERE zoom_level = ?",
+        (cfg.max_zoom,)).fetchall()
+    conn.close()
+
+    z = np.full(len(rows), cfg.max_zoom, np.int64)
+    x = np.array([r[1] for r in rows], np.int64)
+    tms = np.array([r[2] for r in rows], np.int64)
+    y = tm.reversed_y(z, tms)
+    data = [bytes(r[3]) for r in rows]
+    alpha = [bytes(r[4]) if has_alpha else b"" for r in rows]
+    status = ["data" if len(d) else "empty" for d in data]
+
+    # done megatiles = those whose full in-range leaf set is present
+    mk = tm.tile_key(z - offset, x >> offset, y >> offset)
+    per_mega = collections.Counter(int(k) for k in mk)
+    done = []
+    for k, n in per_mega.items():
+        _, mx, my = tm.tile_key_decode(np.uint64(k))
+        gx0, gx1 = max(int(mx) << offset, lx0), min(((int(mx) + 1) << offset) - 1, lx1)
+        gy0, gy1 = max(int(my) << offset, ly0), min(((int(my) + 1) << offset) - 1, ly1)
+        if n == (gx1 - gx0 + 1) * (gy1 - gy0 + 1):
+            done.append(k)
+    keep = np.isin(mk, np.asarray(done, np.uint64))
+
+    tbl = pa.table({
+        "zoom": pa.array(z[keep], pa.int32()),
+        "x": pa.array(x[keep], pa.int64()),
+        "y": pa.array(y[keep], pa.int64()),
+        "tile_data": pa.array([d for d, m in zip(data, keep) if m], pa.binary()),
+        "tile_alpha": pa.array([a for a, m in zip(alpha, keep) if m], pa.binary()),
+        "status": pa.array([s for s, m in zip(status, keep) if m], pa.string()),
+    })
+    # decode for compose seeding; keep the ORIGINAL blobs as the encoded
+    # columns (the reference reuses stored tiles as-is and decodes only
+    # to feed the parent compose, processor.rs:194-223)
+    dec = DecodeStage(cfg.fmt, cfg.tile_size, bands)(tbl)
+    out = pa.table({
+        "zoom": tbl["zoom"], "x": tbl["x"], "y": tbl["y"],
+        "tms_y": pa.array(tm.reversed_y(z[keep], y[keep]), pa.int64()),
+        "tile_data": tbl["tile_data"], "tile_alpha": tbl["tile_alpha"],
+        "status": tbl["status"], "pixels": dec["pixels"],
+    })
+
+    adir = os.path.join(cfg.out_dir, f"level_z{cfg.max_zoom}", "attempt-0")
+    os.makedirs(adir, exist_ok=True)
+    pq.write_table(out, os.path.join(adir, "imported.parquet"))
+    from ..state.limits import partial_limits
+    is_data = np.array([s == "data" for s in status]) & keep
+    man = {"attempts": [{"dir": adir, "megatile_keys": [int(k) for k in done],
+                         "partitions": ckpt.partition_files(adir),
+                         "limits_partial": partial_limits(z, x, tms, is_data),
+                         "imported_from": prior}],
+           # imported attempts hold bare max-zoom leaves: the shuffled
+           # compose spans must start at max_zoom (no local subtree rows)
+           "leaf_min_zoom": cfg.max_zoom,
+           "done": False}
+    ckpt.save_manifest(cfg.out_dir, "leaves", man)
+    return man
 
 
 def read_mbtiles_tiles(path: str, columns=("zoom_level", "tile_column",

@@ -36,7 +36,9 @@ from .. import tilemath as tm
 from ..resample import downsample2x_batch
 
 COARSE_BITS = 3          # 64 parents (256 children) per shuffle group
-_BATCH_MOSAICS = 16      # downsample chunk: bounds float temporaries
+_BATCH_MOSAICS = 4       # downsample chunk: keeps the float working set
+                         # ~16 MB so concurrent groups stay cache-resident
+                         # (DRAM bandwidth is the scaling ceiling here)
 
 
 def make_add_shuffle_key(levels: int = 1, coarse: int = COARSE_BITS):
@@ -97,12 +99,12 @@ def make_compose_fn(tile_size: int, bands: int, kernel: str = "lanczos3",
     up). Emits rows for every produced level z-1 .. z-levels."""
     ts, b = tile_size, bands
 
-    def compose_group(group: pd.DataFrame) -> pd.DataFrame:
-        zoom = int(group["zoom"].iloc[0])
+    def compose_group(group: pa.Table) -> pa.Table:
+        zoom = int(group["zoom"][0].as_py())
         xs = group["x"].to_numpy().astype(np.int64)
         ys = group["y"].to_numpy().astype(np.int64)
-        is_data = group["status"].to_numpy() == "data"
-        pix = group["pixels"].to_numpy()
+        is_data = np.asarray(group["status"].to_pandas()) == "data"
+        pix = group["pixels"].combine_chunks().to_pylist()
         out = {"zoom": [], "x": [], "y": [], "pixels": [], "status": []}
         for step in range(levels):
             px, py, has_data, ppix = _compose_once(
@@ -113,27 +115,92 @@ def make_compose_fn(tile_size: int, bands: int, kernel: str = "lanczos3",
             out["pixels"].extend(ppix)
             out["status"].extend("data" if d else "empty" for d in has_data)
             xs, ys, is_data, pix = px, py, has_data, ppix
-        return pd.DataFrame({
-            "zoom": np.asarray(out["zoom"], np.int64),
-            "x": np.asarray(out["x"], np.int64),
-            "y": np.asarray(out["y"], np.int64),
-            "pixels": pd.Series(out["pixels"], dtype="object"),
-            "status": out["status"],
+        return pa.table({
+            "zoom": pa.array(out["zoom"], pa.int64()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "pixels": pa.array(out["pixels"], pa.binary()),
+            "status": pa.array(out["status"], pa.string()),
         })
 
     return compose_group
 
 
+def choose_span(t: int, z: int, cpus: int, max_span: int = 3):
+    """Pick (levels, coarse) for a span step: deepen the span (fewer
+    shuffles) and coarsen the groups (less per-group overhead) only while
+    the group count stays >= 2*cpus — otherwise the heavy bottom span
+    runs on a handful of groups and the CPUs idle. Tiny levels (t <=
+    4^4) take the deepest span regardless (data is trivial there).
+    Group size stays <= 4^4 children (~64 MB at 256^2 RGBA)."""
+    target = 2 * cpus
+    if t <= 4 ** 4:
+        # tiny top-of-pyramid: compose ALL remaining levels in one
+        # execution (one group holds the entire remaining subtree —
+        # the analog of the reference's singleton top-of-pyramid tasks)
+        return z, 0
+    max_l = min(max_span, z)
+    lev = 1
+    while lev < max_l and t / 4 ** (lev + 1) >= target:
+        lev += 1
+    coarse = 0
+    while lev + coarse < 4 and t / 4 ** (lev + coarse + 1) >= target:
+        coarse += 1
+    return lev, coarse
+
+
+def make_local_compose(levels: int, tile_size: int, bands: int,
+                       kernel: str = "lanczos3"):
+    """Shuffle-free compose for megatile-aligned blocks: a warp megatile
+    covers a complete z..z-offset subtree (the ancestor cell), so every
+    parent's children are already in the SAME block — the reference's
+    compose-cache locality argument (README.md:3-4, main.rs:204) turned
+    into a map_batches stage. Emits the input rows plus all composed
+    ancestor rows down `levels` levels. Use with batch_size=None so
+    blocks (one per megatile) are never re-bundled."""
+    ts, b = tile_size, bands
+
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        zoom = int(batch["zoom"][0].as_py())
+        xs = batch["x"].to_numpy().astype(np.int64)
+        ys = batch["y"].to_numpy().astype(np.int64)
+        is_data = np.asarray(batch["status"].to_pandas()) == "data"
+        pix = batch["pixels"].combine_chunks().to_pylist()
+        tables = [batch]
+        for step in range(levels):
+            px, py, has_data, ppix = _compose_once(
+                zoom - step, xs, ys, is_data, pix, ts, b, kernel)
+            tables.append(pa.table({
+                "zoom": pa.array(np.full(len(px), zoom - step - 1), pa.int32()),
+                "x": pa.array(px, pa.int64()),
+                "y": pa.array(py, pa.int64()),
+                "pixels": pa.array(ppix, pa.binary()),
+                "status": pa.array(["data" if d else "empty"
+                                    for d in has_data], pa.string()),
+            }))
+            xs, ys, is_data, pix = px, py, has_data, ppix
+        tables[0] = pa.table({
+            "zoom": batch["zoom"].cast(pa.int32()), "x": batch["x"],
+            "y": batch["y"], "pixels": batch["pixels"],
+            "status": batch["status"]})
+        return pa.concat_tables(tables)
+
+    return f
+
+
 def compose_level(ds, tile_size: int, bands: int, kernel: str = "lanczos3",
-                  num_blocks: int | None = None, levels: int = 1):
+                  num_blocks: int | None = None, levels: int = 1,
+                  coarse: int | None = None):
     """Raw-buffer rows at zoom z -> raw-buffer rows at z-1 .. z-levels
     (one shuffle for the whole span). num_blocks caps the shuffle width
     for small levels (caller estimates from the tile-range geometry).
 
     The caller guarantees z >= levels; groups are capped at
-    4^(levels + coarse) children with coarse shrinking as levels grows
-    (constant ~64 MB group budget)."""
-    coarse = max(0, 4 - levels)
+    4^(levels + coarse) children (constant ~64 MB group budget)."""
+    if coarse is None:
+        coarse = max(0, 4 - levels)
     keyed = ds.map_batches(make_add_shuffle_key(levels, coarse),
                            batch_format="pyarrow")
     if num_blocks is not None:
@@ -141,5 +208,5 @@ def compose_level(ds, tile_size: int, bands: int, kernel: str = "lanczos3",
     grouped = keyed.groupby("skey")
     out = grouped.map_groups(
         make_compose_fn(tile_size, bands, kernel, levels=levels),
-        batch_format="pandas")
+        batch_format="pyarrow")
     return out.select_columns(["zoom", "x", "y", "pixels", "status"])

@@ -27,12 +27,13 @@ class EncodeStage:
 
     def __init__(self, fmt: str = "png", quality: int = 85,
                  tile_size: int = 256, bands: int = 4,
-                 keep_pixels: bool = False):
+                 keep_pixels: bool = False, limits_actor=None):
         self.fmt = fmt
         self.quality = quality
         self.ts = tile_size
         self.bands = bands
         self.keep_pixels = keep_pixels
+        self.limits_actor = limits_actor  # state/limits.LimitsActor handle
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts, b = self.ts, self.bands
@@ -50,9 +51,24 @@ class EncodeStage:
             d, a = encode_tile(buf, self.fmt, self.quality)
             data.append(d)
             alpha.append(a)
+        tms = tm.reversed_y(zoom, y)
+        if self.limits_actor is not None:
+            import numpy as _np
+
+            from ..state.limits import partial_limits
+            is_data = _np.array([s == "data" for s in status])
+            if is_data.any():
+                import ray as _ray
+
+                # acknowledged update: the stage execution finishing then
+                # guarantees every partial reached the actor (a
+                # fire-and-forget update could still be in flight when
+                # the driver collects)
+                _ray.get(self.limits_actor.update.remote(
+                    partial_limits(zoom, batch["x"].to_numpy(), tms, is_data)))
         cols = {
             "zoom": batch["zoom"], "x": batch["x"], "y": batch["y"],
-            "tms_y": pa.array(tm.reversed_y(zoom, y), pa.int64()),
+            "tms_y": pa.array(tms, pa.int64()),
             "tile_data": pa.array(data, pa.binary()),
             "tile_alpha": pa.array(alpha, pa.binary()),
             "status": batch["status"],

@@ -28,15 +28,51 @@ from ..raster import SceneSpec, open_scene, with_alpha
 from ..resample import separable_warp
 
 
+_SCENE_CACHE: dict = {}
+
+
+def _cached_scene(path: str):
+    """Once-per-worker-process scene handle (module-global cache). This
+    gives map_batches TASKS the amortized-open behavior of an actor pool
+    without reserving CPUs — Ray reuses worker processes, so the mmap is
+    opened once per worker, and the stage stays elastic (an actor pool
+    sized to the node starves the downstream sector/encode stages)."""
+    if path not in _SCENE_CACHE:
+        spec = SceneSpec.load(path)
+        _SCENE_CACHE[path] = (spec, open_scene(spec))
+    return _SCENE_CACHE[path]
+
+
 class WarpStage:
+    """Picklable stage config: holds only the spec PATH (never the mmap),
+    so shipping the callable to tasks is bytes, not pixels; the handle
+    resolves through the per-worker cache at call time."""
+
     def __init__(self, scene_spec_path: str, tile_size: int = 256,
                  warp_zoom_offset: int = 3, kernel: str = "lanczos3"):
-        self.spec = SceneSpec.load(scene_spec_path)
-        self.img = open_scene(self.spec)          # mmap: reads are lazy
+        self.path = scene_spec_path
         self.ts = tile_size
         self.offset = warp_zoom_offset
         self.kernel = kernel
-        self.bands = self.spec.band_count
+
+    @property
+    def spec(self):
+        return _cached_scene(self.path)[0]
+
+    @property
+    def img(self):
+        return _cached_scene(self.path)[1]
+
+    @property
+    def bands(self):
+        return self.spec.band_count
+
+    def __getstate__(self):
+        return {"path": self.path, "ts": self.ts, "offset": self.offset,
+                "kernel": self.kernel}
+
+    def __setstate__(self, st):
+        self.__dict__.update(st)
 
     def _warp_one(self, mz: int, mx: int, my: int) -> np.ndarray:
         S = self.ts << self.offset

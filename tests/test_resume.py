@@ -54,10 +54,12 @@ def test_partial_resume(ray_session, tmp_path):
     # keep only leaves belonging to the two "done" megatiles
     adir = man["attempts"][0]["dir"]
     kept = []
+    mzoom = MAX_ZOOM - 1  # warp_zoom_offset=1
     for f in parquet_files(adir):
         t = pq.read_table(f)
-        mkey = tm.tile_key(t["zoom"].to_numpy() - 1,
-                           t["x"].to_numpy() >> 1, t["y"].to_numpy() >> 1)
+        sh = (t["zoom"].to_numpy() - mzoom).astype(np.int64)
+        mkey = tm.tile_key(np.full(t.num_rows, mzoom),
+                           t["x"].to_numpy() >> sh, t["y"].to_numpy() >> sh)
         keep = np.isin(mkey, np.asarray(done_keys, np.uint64))
         kept.append(t.filter(keep))
     shutil.rmtree(adir)
@@ -86,9 +88,10 @@ def test_partial_resume(ray_session, tmp_path):
     new_keys = sorted(man2["attempts"][1]["megatile_keys"])
     assert new_keys == sorted(set(all_keys) - set(done_keys))
     t2 = pq.read_table(parquet_files(man2["attempts"][1]["dir"]))
-    mkey2 = np.unique(tm.tile_key(t2["zoom"].to_numpy() - 1,
-                                  t2["x"].to_numpy() >> 1,
-                                  t2["y"].to_numpy() >> 1))
+    sh2 = (t2["zoom"].to_numpy() - mzoom).astype(np.int64)
+    mkey2 = np.unique(tm.tile_key(np.full(t2.num_rows, mzoom),
+                                  t2["x"].to_numpy() >> sh2,
+                                  t2["y"].to_numpy() >> sh2))
     assert set(int(k) for k in mkey2) == set(int(k) for k in new_keys)
 
     got = _read_all_enc(out2)

@@ -97,7 +97,7 @@ def test_leaf_pixels_identity(built):
     n_checked = 0
     for b in ds.iter_batches(batch_format="pandas"):
         for _, r in b.iterrows():
-            if r["status"] != "data":
+            if r["status"] != "data" or int(r["zoom"]) != MAX_ZOOM:
                 continue
             lx = int(r["x"]) - (ANCHOR[1] << (MAX_ZOOM - 4))
             ly = int(r["y"]) - (ANCHOR[2] << (MAX_ZOOM - 4))
