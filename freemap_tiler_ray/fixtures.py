@@ -14,14 +14,17 @@ import numpy as np
 from .stages.geom import regular_polygon
 
 
-def pip_polygons():
-    """64 deterministic convex k-gons over the world in lon/lat degrees.
-    -> list of (poly_id, (N,2) ring)."""
+def pip_polygons(n: int = 64):
+    """Deterministic convex k-gons over the world in lon/lat degrees.
+    -> list of (poly_id, (N,2) ring). The oracle-checked fixture set is
+    the default 64; the bench uses a larger n for a
+    realistically-compute-heavy join (e.g. admin-boundary scale)."""
     out = []
-    for i in range(64):
+    for i in range(n):
+        g = max(8, int(np.ceil(np.sqrt(n))))
         k = 3 + (i % 8)
-        cx = -160.0 + (i % 8) * 40.0 + ((i * 7) % 11 - 5)
-        cy = -60.0 + (i // 8) * 15.0 + ((i * 13) % 7 - 3)
+        cx = -160.0 + (i % g) * (320.0 / g) + ((i * 7) % 11 - 5)
+        cy = -60.0 + (i // g) * (120.0 / g) + ((i * 13) % 7 - 3)
         radius = 5.0 + (i % 5) * 2.0
         phase = 0.1 * i
         out.append((f"poly-{i:02d}", regular_polygon(cx, cy, radius, k, phase)))

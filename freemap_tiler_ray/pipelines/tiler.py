@@ -146,13 +146,14 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     from ..state.limits import LimitsActor, merge_limits
     limit_parts: list[dict] = []
 
-    def _make_encoder():
+    def _make_encoder(pixels_only_zoom: int | None = None):
         """Fresh limits collector per stage; its merged partial lands in
         the stage manifest so resume recovers limits without re-reading
         tiles (the streaming analog of processor.rs:567-584)."""
         actor = LimitsActor.remote()
         enc = EncodeStage(cfg.fmt, cfg.jpeg_quality, cfg.tile_size, bands,
-                          keep_pixels=True, limits_actor=actor)
+                          keep_pixels=True, limits_actor=actor,
+                          pixels_only_zoom=pixels_only_zoom)
         return actor, enc
 
     def _collect(actor) -> dict:
@@ -191,34 +192,32 @@ def build_pyramid(cfg: TilerConfig) -> dict:
             attempt = len(man["attempts"])
             adir = os.path.join(lvl_dir(cfg.max_zoom), f"attempt-{attempt}")
             todo = _anti_join_done(universe, done_keys) if cfg.resume else universe
-            # warp runs as TASKS with a once-per-worker cached scene
-            # handle (stages/warp._cached_scene): actor-pool semantics
-            # for the state, elastic task scheduling for the CPUs (an
-            # actor pool reserving the node starves downstream stages)
+            # ONE fused task per megatile: warp -> sector extraction ->
+            # shuffle-free subtree compose (a megatile block holds the
+            # complete z..z-offset subtree — the reference's compose-cache
+            # locality, README.md:3-4) -> encode. Fusion keeps the 16 MB
+            # megatile buffer and the raw subtree in task-local memory
+            # instead of bouncing them through the object store (which
+            # costs ~32 MB of store traffic per megatile and saturates
+            # single-node memory bandwidth). Warp state (the scene
+            # handle) is a once-per-worker cache (stages/warp).
+            from ..stages.compose import make_local_compose
             warp = WarpStage(scene_spec_path=cfg.scene_spec_path,
                              tile_size=cfg.tile_size,
                              warp_zoom_offset=offset, kernel=cfg.kernel)
-            warped = todo.map_batches(warp, batch_format="pyarrow",
+            sector = SectorStage(cfg.tile_size, offset, bands, leaf_range,
+                                 ring)
+            local = (make_local_compose(local_levels, cfg.tile_size, bands,
+                                        cfg.kernel)
+                     if local_levels > 0 else (lambda t: t))
+            actor, enc = _make_encoder(
+                pixels_only_zoom=cfg.max_zoom - local_levels)
+
+            def leaf_task(batch, _w=warp, _s=sector, _l=local, _e=enc):
+                return _e(_l(_s(_w(batch))))
+
+            leaves = todo.map_batches(leaf_task, batch_format="pyarrow",
                                       batch_size=1)
-            leaves = warped.map_batches(
-                SectorStage(cfg.tile_size, offset, bands, leaf_range, ring),
-                batch_format="pyarrow", batch_size=1)
-            # shuffle-free subtree compose: a megatile block holds the
-            # complete z..z-offset subtree, so the heaviest compose span
-            # happens here with ZERO data movement (mirrors the
-            # reference's compose-cache locality, README.md:3-4)
-            if local_levels > 0:
-                from ..stages.compose import make_local_compose
-                leaves = leaves.map_batches(
-                    make_local_compose(local_levels, cfg.tile_size, bands,
-                                       cfg.kernel),
-                    batch_format="pyarrow", batch_size=None)
-            # batch_size=None: encode per upstream block — an explicit
-            # batch_size makes Ray bundle the single-row megatile blocks
-            # into one task and serializes the whole leaf stage
-            actor, enc = _make_encoder()
-            leaves = leaves.map_batches(enc, batch_format="pyarrow",
-                                        batch_size=None)
             leaves.write_parquet(adir)
             man["attempts"].append({
                 "dir": adir,
@@ -262,7 +261,7 @@ def build_pyramid(cfg: TilerConfig) -> dict:
             nb = int(np.clip(est // 4 ** (L + coarse), 1, 4 * _cpus()))
             nxt = compose_level(raw, cfg.tile_size, bands, cfg.kernel,
                                 num_blocks=nb, levels=L, coarse=coarse)
-            actor, enc = _make_encoder()
+            actor, enc = _make_encoder(pixels_only_zoom=z - L)
             nxt = nxt.map_batches(enc, batch_format="pyarrow",
                                   batch_size=None)
             nxt.write_parquet(sdir)

@@ -27,13 +27,18 @@ class EncodeStage:
 
     def __init__(self, fmt: str = "png", quality: int = 85,
                  tile_size: int = 256, bands: int = 4,
-                 keep_pixels: bool = False, limits_actor=None):
+                 keep_pixels: bool = False, limits_actor=None,
+                 pixels_only_zoom: int | None = None):
         self.fmt = fmt
         self.quality = quality
         self.ts = tile_size
         self.bands = bands
         self.keep_pixels = keep_pixels
         self.limits_actor = limits_actor  # state/limits.LimitsActor handle
+        # raw pixels are only ever re-read at the NEXT span's input zoom;
+        # storing them for other rows multiplies write volume ~12x (raw
+        # 256KB vs ~20KB encoded) for data nobody reads
+        self.pixels_only_zoom = pixels_only_zoom
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts, b = self.ts, self.bands
@@ -74,7 +79,16 @@ class EncodeStage:
             "status": batch["status"],
         }
         if self.keep_pixels:
-            cols["pixels"] = batch["pixels"]
+            if self.pixels_only_zoom is not None:
+                keep = zoom == self.pixels_only_zoom
+                pix_col = batch["pixels"].combine_chunks() \
+                    if isinstance(batch["pixels"], pa.ChunkedArray) \
+                    else batch["pixels"]
+                cols["pixels"] = pa.array(
+                    [pix_col[i].as_py() if keep[i] else b""
+                     for i in range(len(keep))], pa.binary())
+            else:
+                cols["pixels"] = batch["pixels"]
         return pa.table(cols)
 
 

@@ -139,7 +139,7 @@ def knn_join(docs_ds, queries, k: int):
     tiny groupby(query_id) merge. docs_ds needs doc_id + lon/lat columns
     (use add_doc_points first)."""
     partial = docs_ds.map_batches(KnnPartialStage(queries, k),
-                                  batch_format="pyarrow", batch_size=8192)
+                                  batch_format="pyarrow", batch_size=65536)
     return (partial.groupby("query_id")
                    .map_groups(_knn_merge(k), batch_format="pandas"))
 
