@@ -169,6 +169,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.media_features,
         "tile_zorder": q.tile_zorder,
         "sample_docs": q.sample_docs,
+        "q6_filtered_revenue": q.q6_filtered_revenue,
+        "nation_region_join": q.nation_region_join,
+        "events_props_json": q.events_props_json,
+        "label_centroids": q.label_centroids,
+        "tile_polygon_coverage": q.tile_polygon_coverage,
         "distinct_lang_source": q.distinct_lang_source,
         "events_sliding": q.events_sliding,
         "pip_join_spans": q.pip_join_spans,
@@ -338,6 +343,90 @@ o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders)
 SELECT e.event_id, max(o.us) AS last_order_us
 FROM e JOIN o ON o.o_custkey = e.user_id AND o.us <= e.us
 GROUP BY e.event_id
+"""
+
+    sqls["q6_filtered_revenue"] = """
+SELECT sum(CAST(floor((l_extendedprice * l_discount) * 10000.0) AS BIGINT))
+         AS revenue_e4,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+"""
+    sqls["nation_region_join"] = """
+SELECT r_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+    sqls["events_props_json"] = """
+WITH p AS (SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+             AS k FROM events)
+SELECT k % 10 AS k_bucket, count(*) AS n,
+       min(k) AS min_k, max(k) AS max_k
+FROM p GROUP BY k_bucket
+"""
+    sqls["label_centroids"] = """
+SELECT label, d.d AS dim,
+       sum(CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000.0)
+                AS BIGINT)) AS sum_e6,
+       count(*) AS n_vecs
+FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS d) d
+GROUP BY label, dim
+"""
+
+    # tile_polygon_coverage: full rect-intersects-polygon predicate,
+    # mirrored part-by-part (vertex-in-rect, corner-in-polygon via ray
+    # casting, edge-vs-rect separating-axis test — division-free)
+    from freemap_tiler_ray.fixtures import pip_polygons as _pp
+    _ring7 = dict(_pp())["poly-07"]
+    _vals = []
+    for _j in range(len(_ring7)):
+        _x1, _y1 = _ring7[_j]
+        _x2, _y2 = _ring7[(_j + 1) % len(_ring7)]
+        from freemap_tiler_ray.fixtures import _d as _dd
+        _vals.append(f"({_dd(_x1)},{_dd(_y1)},{_dd(_x2)},{_dd(_y2)})")
+    _edges = ",".join(_vals)
+
+    def _cross_sum(px, py):
+        return f"""(SELECT sum(CASE WHEN ((e.y1 > {py}) <> (e.y2 > {py}))
+                 AND ({px} < (e.x2 - e.x1) * ({py} - e.y1)
+                              / (e.y2 - e.y1) + e.x1)
+            THEN 1 ELSE 0 END) FROM edges e) % 2 = 1"""
+
+    _corner_checks = " OR ".join(
+        _cross_sum(cx, cy) for cx, cy in
+        [("t.rx0", "t.ry0"), ("t.rx0", "t.ry1"),
+         ("t.rx1", "t.ry0"), ("t.rx1", "t.ry1")])
+    sqls["tile_polygon_coverage"] = f"""
+WITH edges(x1, y1, x2, y2) AS (VALUES {_edges}),
+g AS (SELECT unnest(generate_series(0, 4095)) AS i),
+t AS (SELECT i % 64 AS x, i // 64 AS y,
+             -180.0 + (i % 64) * (360.0 / 64.0) AS rx0,
+             -180.0 + ((i % 64) + 1) * (360.0 / 64.0) AS rx1,
+             -90.0 + (i // 64) * (180.0 / 64.0) AS ry0,
+             -90.0 + ((i // 64) + 1) * (180.0 / 64.0) AS ry1
+      FROM g)
+SELECT x, y FROM t
+WHERE
+  EXISTS (SELECT 1 FROM edges e
+          WHERE e.x1 >= t.rx0 AND e.x1 <= t.rx1
+            AND e.y1 >= t.ry0 AND e.y1 <= t.ry1)
+  OR ({_corner_checks})
+  OR EXISTS (
+    SELECT 1 FROM edges e
+    WHERE GREATEST(e.x1, e.x2) >= t.rx0 AND LEAST(e.x1, e.x2) <= t.rx1
+      AND GREATEST(e.y1, e.y2) >= t.ry0 AND LEAST(e.y1, e.y2) <= t.ry1
+      AND NOT (
+        ((e.x2 - e.x1) * (t.ry0 - e.y1) - (e.y2 - e.y1) * (t.rx0 - e.x1) > 0)
+        AND ((e.x2 - e.x1) * (t.ry1 - e.y1) - (e.y2 - e.y1) * (t.rx0 - e.x1) > 0)
+        AND ((e.x2 - e.x1) * (t.ry0 - e.y1) - (e.y2 - e.y1) * (t.rx1 - e.x1) > 0)
+        AND ((e.x2 - e.x1) * (t.ry1 - e.y1) - (e.y2 - e.y1) * (t.rx1 - e.x1) > 0))
+      AND NOT (
+        ((e.x2 - e.x1) * (t.ry0 - e.y1) - (e.y2 - e.y1) * (t.rx0 - e.x1) < 0)
+        AND ((e.x2 - e.x1) * (t.ry1 - e.y1) - (e.y2 - e.y1) * (t.rx0 - e.x1) < 0)
+        AND ((e.x2 - e.x1) * (t.ry0 - e.y1) - (e.y2 - e.y1) * (t.rx1 - e.x1) < 0)
+        AND ((e.x2 - e.x1) * (t.ry1 - e.y1) - (e.y2 - e.y1) * (t.rx1 - e.x1) < 0))
+  )
 """
 
     sqls["sample_docs"] = """

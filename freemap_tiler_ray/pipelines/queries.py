@@ -135,6 +135,134 @@ def distinct_lang_source(sf_dir: str):
             .select_columns(["lang", "source"]))
 
 
+def q6_filtered_revenue(sf_dir: str):
+    """Selective filter pushed to the parquet read (predicate + column
+    pruning at the scan, TPC-H Q6 shape; revenue floor-scaled exact)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pads.field("l_quantity") < 24))
+
+    def agg(t: pa.Table) -> pa.Table:
+        d = t["l_discount"].to_numpy()
+        keep = (d >= 0.05) & (d <= 0.07)
+        rev = np.floor((t["l_extendedprice"].to_numpy()[keep]
+                        * d[keep]) * 10000.0).astype(np.int64)
+        return pa.table({"partial": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(agg, batch_format="pyarrow")
+           .aggregate(Sum("partial", alias_name="revenue_e4"),
+                      Sum("n", alias_name="n_rows")))
+    return pd.DataFrame([out])
+
+
+def nation_region_join(sf_dir: str):
+    """3-way broadcast join: supplier |X| nation |X| region -> suppliers
+    per region (both dimension sides broadcast, no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2name))
+
+    def joined(t: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(ref)
+        keys = t["s_nationkey"].to_numpy()
+        rname = [r2name_.get(n2r_.get(int(k), -1), "") for k in keys]
+        return pa.table({"r_name": pa.array(rname, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                         columns=["s_nationkey"])
+    from ray.data.aggregate import Count
+    return (ds.map_batches(joined, batch_format="pyarrow")
+            .groupby("r_name").aggregate(Count(alias_name="n_suppliers")))
+
+
+def events_props_json(sf_dir: str):
+    """Parse the JSON props column (vectorized regex extract of the 'k'
+    field) and aggregate: count + min/max per k-bucket."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        s = t["props"].to_pandas().str.extract(r'"k": (\d+)')[0]
+        k = s.astype("int64").to_numpy()
+        return pa.table({"k_bucket": pa.array(k % 10, pa.int64()),
+                         "k": pa.array(k, pa.int64())})
+
+    from ray.data.aggregate import Count, Max, Min
+    return (ds.map_batches(parse, batch_format="pyarrow")
+            .groupby("k_bucket")
+            .aggregate(Count(alias_name="n"), Min("k", alias_name="min_k"),
+                       Max("k", alias_name="max_k")))
+
+
+def label_centroids(sf_dir: str):
+    """Vector aggregate: per-label embedding centroid, computed as exact
+    integer sums of floor-scaled components (float sums are not
+    associative) + count; exploded to (label, dim, sum_e6, n_vecs)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy()
+        mat = np.stack([np.asarray(v, np.float64)
+                        for v in t["embedding"].to_pylist()])
+        e6 = np.floor(mat * 1000000.0).astype(np.int64)
+        out = {"label": [], "dim": [], "part_sum": [], "part_n": []}
+        for lb in np.unique(lab):
+            m = lab == lb
+            s = e6[m].sum(axis=0)
+            out["label"].extend([int(lb)] * e6.shape[1])
+            out["dim"].extend(range(e6.shape[1]))
+            out["part_sum"].extend(s.tolist())
+            out["part_n"].extend([int(m.sum())] * e6.shape[1])
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("part_sum", alias_name="sum_e6"),
+                       Sum("part_n", alias_name="n_vecs")))
+
+
+def tile_polygon_coverage(sf_dir: str):
+    """The reference's tile-coverage filter with FULL intersects
+    semantics (main.rs:183-199): world z6 tiles vs fixture polygon 7
+    (lon/lat plane). Oracle mirrors all three predicate parts (vertex in
+    rect, corner in polygon, edge crossing)."""
+    import ray.data as rd
+
+    from ..stages.geom import rects_intersect_polygon
+    ring = dict(pip_polygons())["poly-07"]
+
+    def gen(batch: pa.Table) -> pa.Table:
+        idx = batch["id"].to_numpy()
+        x = idx % 64
+        y = idx // 64
+        # lon/lat-plane tile rect at z6 over [-180,180]x[-90,90]
+        rx0 = -180.0 + x * (360.0 / 64.0)
+        rx1 = -180.0 + (x + 1) * (360.0 / 64.0)
+        ry0 = -90.0 + y * (180.0 / 64.0)
+        ry1 = -90.0 + (y + 1) * (180.0 / 64.0)
+        keep = rects_intersect_polygon(rx0, ry0, rx1, ry1, ring)
+        return pa.table({"x": pa.array(x[keep], pa.int64()),
+                         "y": pa.array(y[keep], pa.int64())})
+
+    return rd.range(64 * 64).map_batches(gen, batch_format="pyarrow")
+
+
 def events_sliding(sf_dir: str):
     """Sliding 1-hour window: per event, how many events of the same type
     fall in [ts - 1h, ts] (RANGE-frame semantics; sorted searchsorted scan

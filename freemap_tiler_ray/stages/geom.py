@@ -35,25 +35,25 @@ def points_in_polygon(px, py, ring: np.ndarray) -> np.ndarray:
 
 def _segments_intersect_rects(rx0, ry0, rx1, ry1, ax, ay, bx, by) -> np.ndarray:
     """For M rects (arrays) and E segments (arrays): does segment e
-    intersect rect m? Liang-Barsky clipping, vectorized to (M, E)."""
+    intersect rect m? Exact separating-axis test, vectorized to (M, E):
+    the only candidate axes for segment-vs-AABB are x, y (the box edge
+    normals, tested via bbox overlap) and the segment normal (tested via
+    the four corners' cross-product signs). Division-free, so the DuckDB
+    oracle mirrors it term-for-term."""
     ax, ay = ax[None, :], ay[None, :]
-    dx, dy = bx[None, :] - ax, by[None, :] - ay
-    t0 = np.zeros((rx0.shape[0], ax.shape[1]))
-    t1 = np.ones_like(t0)
-    ok = np.ones_like(t0, dtype=bool)
-    for p, q in (
-        (-dx, ax - rx0[:, None]), (dx, rx1[:, None] - ax),
-        (-dy, ay - ry0[:, None]), (dy, ry1[:, None] - ay),
-    ):
-        p = np.broadcast_to(p, t0.shape)
-        q = np.broadcast_to(q, t0.shape)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            r = q / p
-        # p == 0: parallel; reject if q < 0
-        ok &= ~((p == 0) & (q < 0))
-        t0 = np.where((p < 0), np.maximum(t0, r), t0)
-        t1 = np.where((p > 0), np.minimum(t1, r), t1)
-    return ok & (t0 <= t1)
+    bx, by = bx[None, :], by[None, :]
+    overlap = ((np.maximum(ax, bx) >= rx0[:, None])
+               & (np.minimum(ax, bx) <= rx1[:, None])
+               & (np.maximum(ay, by) >= ry0[:, None])
+               & (np.minimum(ay, by) <= ry1[:, None]))
+    dx, dy = bx - ax, by - ay
+    all_pos = np.ones_like(overlap)
+    all_neg = np.ones_like(overlap)
+    for cx, cy in ((rx0, ry0), (rx0, ry1), (rx1, ry0), (rx1, ry1)):
+        f = dx * (cy[:, None] - ay) - dy * (cx[:, None] - ax)
+        all_pos &= f > 0
+        all_neg &= f < 0
+    return overlap & ~(all_pos | all_neg)
 
 
 def rects_intersect_polygon(rx0, ry0, rx1, ry1, ring: np.ndarray) -> np.ndarray:
