@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_stats": q.span_kind_stats,
         "pip_join": q.pip_join,
         "knn": q.knn,
+        "knn_ring": q.knn_ring,
         "media_features": q.media_features,
         "tile_zorder": q.tile_zorder,
         "sample_docs": q.sample_docs,
@@ -256,6 +257,8 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY d2, doc_id) AS rank FROM d)
 SELECT query_id, doc_id, d2, rank FROM r WHERE rank <= 5
 """
+    # the cell-ring kNN variant is result-identical to brute force
+    sqls["knn_ring"] = sqls["knn"]
 
     sqls["media_features"] = f"""
 WITH {_SPANS_CTE},

@@ -1,0 +1,105 @@
+"""CLI mirroring the reference binary's flag surface
+(/root/reference/src/args.rs:13-70):
+
+    python -m freemap_tiler_ray.cli --source scene.npy \
+        --target-file out.mbtiles --out-dir work/ --max-zoom 18 \
+        [--continue] [--bounding-polygon poly.geojson] [--tile-size 256] \
+        [--format jpeg|png] [--jpeg-quality 85] [--warp-zoom-offset 3] \
+        [--num-threads N] [--no-insert-empty] [--source-srs EPSG:4326]
+
+This entry point OWNS the Ray session (library code never calls
+ray.init). --transform-pipeline is rejected: PROJ pipelines are not
+available in this environment; the Transform abstraction in geo.py takes
+pluggable callables instead (SURVEY.md §2.2 T2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="freemap-tiler-ray")
+    p.add_argument("--source", required=True,
+                   help="scene .npy path (with .json georef sidecar)")
+    p.add_argument("--target-file", default=None, help="output MBTiles")
+    p.add_argument("--out-dir", required=True,
+                   help="checkpoint/shard directory")
+    p.add_argument("--max-zoom", type=int, required=True)
+    p.add_argument("--continue", dest="resume", action="store_true",
+                   help="resume from existing checkpoints (args.rs:24-26)")
+    p.add_argument("--bounding-polygon", default=None,
+                   help="GeoJSON polygon coverage filter")
+    p.add_argument("--tile-size", type=int, default=256)
+    p.add_argument("--format", choices=["jpeg", "png"], default="jpeg")
+    p.add_argument("--jpeg-quality", type=int, default=85)
+    p.add_argument("--warp-zoom-offset", type=int, default=3)
+    p.add_argument("--num-threads", type=int, default=None,
+                   help="Ray CPU count (default: available parallelism)")
+    p.add_argument("--no-insert-empty", action="store_true")
+    p.add_argument("--source-srs", default=None,
+                   help="override the sidecar CRS (EPSG:3857 or EPSG:4326)")
+    p.add_argument("--transform-pipeline", default=None,
+                   help="unsupported here (no PROJ); see geo.py")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.transform_pipeline:
+        print("error: --transform-pipeline requires PROJ, which is not "
+              "available; plug a transformer pair into geo.py instead",
+              file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if args.num_threads:
+            kwargs["num_cpus"] = args.num_threads
+        ray.init(**kwargs)
+    try:
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+
+        from .config import TilerConfig
+        from .pipelines.tiler import build_pyramid
+        from .raster import SceneSpec
+
+        scene = args.source
+        if args.source_srs:
+            import dataclasses
+            import os
+            spec = SceneSpec.load(scene)
+            spec = dataclasses.replace(spec, crs=args.source_srs)
+            os.makedirs(args.out_dir, exist_ok=True)
+            override = os.path.join(args.out_dir, "scene_override.npy")
+            if not os.path.exists(override):
+                os.symlink(os.path.abspath(scene), override)
+            spec = dataclasses.replace(spec, path=override)
+            spec.save()
+            scene = override
+
+        cfg = TilerConfig(
+            scene_spec_path=scene, out_dir=args.out_dir,
+            target_file=args.target_file, max_zoom=args.max_zoom,
+            resume=args.resume, bounding_polygon=args.bounding_polygon,
+            tile_size=args.tile_size, fmt=args.format,
+            jpeg_quality=args.jpeg_quality,
+            warp_zoom_offset=args.warp_zoom_offset,
+            insert_empty=not args.no_insert_empty)
+        res = build_pyramid(cfg)
+        out = {k: res[k] for k in ("max_zoom", "mbtiles_rows", "format",
+                                   "wall_sec", "metrics_sec", "limits_json")}
+        print(json.dumps(out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

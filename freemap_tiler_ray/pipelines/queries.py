@@ -377,6 +377,21 @@ def events_asof(sf_dir: str):
     return both.groupby("key").map_groups(asof, batch_format="pandas")
 
 
+def knn_ring(sf_dir: str):
+    """Cell-ring-expansion kNN (the scale path) — result-identical to the
+    brute-force `knn` (shares its oracle); rings prune the candidate set
+    per query instead of scanning every point."""
+    from ..stages.spatial import knn_cell_ring, make_add_cell
+
+    queries, k = knn_queries()
+    docs = (_docs(sf_dir)
+            .map_batches(add_doc_points, batch_format="pyarrow")
+            .map_batches(make_add_cell(4), batch_format="pyarrow")
+            .materialize())
+    out = knn_cell_ring(docs, queries, k, res=4)
+    return out[["query_id", "doc_id", "d2", "rank"]]
+
+
 def media_features(sf_dir: str):
     """Multimodal stub: 'decode' every non-text span into deterministic
     fake features (the Ray-side plumbing — schema, flat-map expansion,
