@@ -135,6 +135,54 @@ def test_mbtiles_output(built):
     assert set(rows) == exp_rows  # empty markers inserted too (K4)
 
 
+def test_pyramid_pixels_match_sequential_reference(built):
+    """Decoded pixels at EVERY level must equal a sequential in-process
+    pyramid computed directly from the scene (independent of Ray's
+    shuffle/ordering/quadrant bookkeeping; shares only the resampling
+    kernel, which has its own unit tests)."""
+    import ray.data as rd
+
+    from freemap_tiler_ray.pipelines.tiler import parquet_files
+    from freemap_tiler_ray.resample import downsample2x
+
+    root, spec, cfg, res = built
+    img = gradient_disk_pixels(SIZE, 4, DISK)
+    masked = np.where(img[:, :, 3:4] > 0, img, 0)
+
+    # sequential reference pyramid: dict zoom -> {(x, y): buf}
+    ref = {MAX_ZOOM: {}}
+    for lx in range(4):
+        for ly in range(4):
+            sec = masked[ly * 256:(ly + 1) * 256, lx * 256:(lx + 1) * 256]
+            if sec[:, :, 3].any():
+                ref[MAX_ZOOM][(36 + lx, 20 + ly)] = sec
+    for z in range(MAX_ZOOM, 0, -1):
+        ref[z - 1] = {}
+        parents = {(x >> 1, y >> 1) for (x, y) in ref[z]}
+        for px, py in parents:
+            mosaic = np.zeros((512, 512, 4), np.uint8)
+            for dx in range(2):
+                for dy in range(2):
+                    child = ref[z].get((2 * px + dx, 2 * py + dy))
+                    if child is not None:
+                        mosaic[dy * 256:(dy + 1) * 256,
+                               dx * 256:(dx + 1) * 256] = child
+            ref[z - 1][(px, py)] = downsample2x(mosaic)
+
+    ds = rd.read_parquet(parquet_files(res["tile_dirs"]))
+    n = 0
+    for b in ds.iter_batches(batch_format="pandas"):
+        for _, r in b.iterrows():
+            if r["status"] != "data":
+                continue
+            exp = ref[int(r["zoom"])][(int(r["x"]), int(r["y"]))]
+            dec = decode_tile(r["tile_data"], r["tile_alpha"], "png", 256)
+            np.testing.assert_array_equal(
+                dec, exp, err_msg=f"tile {r['zoom']}/{r['x']}/{r['y']}")
+            n += 1
+    assert n == sum(len(v) for v in ref.values())
+
+
 def test_resume_noop(built, tmp_path):
     """Re-running with resume=True must skip all stages and reproduce the
     same summary (bulk anti-join leaves nothing to do)."""
