@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": q.embedding_pairs,
         "ann_topk": q.ann_topk,
         "ann_ivf": q.ann_ivf,
+        "kmeans_clusters": q.kmeans_clusters,  # iterative: rows-only check
         "tile_pyramid_status": tile_pyramid_status,
         "tile_limits": tile_limits,
     }

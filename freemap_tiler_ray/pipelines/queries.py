@@ -485,6 +485,15 @@ def ann_ivf(sf_dir: str):
     return _ivf(sf_dir)
 
 
+def kmeans_clusters(sf_dir: str):
+    """Iterative distributed k-means (no SQL oracle — rows-only check)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.ann import kmeans
+    assigned, _ = kmeans(sf_dir)
+    return assigned.groupby("cluster").aggregate(Count(alias_name="n_vecs"))
+
+
 # ---------------------------------------------------------------------------
 # relational operators over the TPC-H-ish tables
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ import ray.data as rd
 
 from .. import tilemath as tm
 from ..config import TilerConfig
-from ..raster import SceneSpec
+from ..raster import load_raster_spec
 from ..sources.geojson_src import read_bounding_polygon
 from ..sources.mbtiles import write_mbtiles
 from ..stages.compose import compose_level
@@ -68,7 +68,7 @@ def _resolve_polygon(cfg: TilerConfig):
     return np.asarray(bp, np.float64)
 
 
-def megatile_universe(spec: SceneSpec, cfg: TilerConfig, ring=None):
+def megatile_universe(spec, cfg: TilerConfig, ring=None):
     """Lazy tile-universe generation (T3): the megatile index rectangle is
     derived from the reprojected source bbox (driver-side scalar math),
     then materialized distributedly from ray.data.range — the driver
@@ -126,7 +126,7 @@ def _anti_join_done(ds, done_keys: np.ndarray):
 def build_pyramid(cfg: TilerConfig) -> dict:
     """Run (or resume) the full pyramid build. Returns summary metadata."""
     t_start = time.time()
-    spec = SceneSpec.load(cfg.scene_spec_path)
+    spec = load_raster_spec(cfg.scene_spec_path)
     ring = _resolve_polygon(cfg)
     if not cfg.resume and os.path.isdir(cfg.out_dir):
         # fresh run into a used out_dir: clear stale checkpoints so parquet

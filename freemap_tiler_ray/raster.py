@@ -135,6 +135,60 @@ def gradient_disk_pixels(size: int, bands: int = 4,
     return img
 
 
+class MosaicSpec:
+    """Multi-scene source — the VRT-mosaic analog (the reference's
+    production inputs are GDAL VRTs over hundreds of files,
+    README.md:73-77). A mosaic is an ordered list of member SceneSpecs in
+    a shared CRS; a warped sample takes the LAST member with alpha > 0 at
+    that location (GDAL VRT overlay order). Persisted as a .mosaic.json
+    listing member sidecar paths."""
+
+    def __init__(self, scene_id: str, path: str, members: list):
+        self.scene_id = scene_id
+        self.path = path
+        self.members = members          # list[SceneSpec]
+        self.crs = members[0].crs
+        self.bands = members[0].bands
+        if any(m.crs != self.crs or m.bands != self.bands for m in members):
+            raise ValueError("mosaic members must share CRS and band layout")
+
+    @property
+    def band_count(self) -> int:
+        return ((self.bands + 1) // 2) * 2
+
+    def source_bbox(self):
+        boxes = [m.source_bbox() for m in self.members]
+        return (min(b[0] for b in boxes), min(b[1] for b in boxes),
+                max(b[2] for b in boxes), max(b[3] for b in boxes))
+
+    def mercator_bbox(self, densify_pts: int = 21):
+        if self.crs == "EPSG:3857":
+            return self.source_bbox()
+        if self.crs == "EPSG:4326":
+            return transform_bounds(lonlat_to_mercator, *self.source_bbox(),
+                                    densify_pts=densify_pts)
+        raise ValueError(self.crs)
+
+    def save(self):
+        with open(self.path, "w") as f:
+            json.dump({"scene_id": self.scene_id,
+                       "members": [m.path for m in self.members]}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "MosaicSpec":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["scene_id"], path,
+                   [SceneSpec.load(p) for p in d["members"]])
+
+
+def load_raster_spec(path: str):
+    """Polymorphic loader: .mosaic.json -> MosaicSpec, else SceneSpec."""
+    if path.endswith(".mosaic.json"):
+        return MosaicSpec.load(path)
+    return SceneSpec.load(path)
+
+
 def make_scene(path: str, anchor=(4, 9, 5), size: int = 1024, bands: int = 4,
                crs: str = "EPSG:3857", disk_frac: float = 400.0 / 1024.0) -> SceneSpec:
     """Write a synthetic scene exactly covering the EPSG:3857 bounds of the

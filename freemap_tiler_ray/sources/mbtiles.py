@@ -99,10 +99,10 @@ def import_mbtiles_leaves(prior: str, cfg, bands: int) -> dict:
 
     from .. import tilemath as tm
     from ..pipelines import checkpoint as ckpt
-    from ..raster import SceneSpec
+    from ..raster import load_raster_spec
     from ..stages.encode import DecodeStage
 
-    spec = SceneSpec.load(cfg.scene_spec_path)
+    spec = load_raster_spec(cfg.scene_spec_path)
     offset = cfg.effective_offset
     bbox = spec.mercator_bbox()
     lx0, ly0, lx1, ly1 = tm.bbox_covered_tile_range(*bbox, cfg.max_zoom)

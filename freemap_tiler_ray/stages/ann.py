@@ -97,6 +97,74 @@ def ann_topk(sf_dir: str, k: int = TOP_K):
             .map_groups(_merge_topk(k), batch_format="pandas"))
 
 
+def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Deterministic distributed k-means (the iterative-algorithm shape:
+    broadcast centroids -> per-batch partial sums -> tiny merge -> new
+    centroids, repeated). Init = the first k vectors by vec_id; centroid
+    updates use exact integer-scaled sums so results are independent of
+    block/merge order; ties in assignment break to the lowest cluster id.
+
+    Returns (ids, assignments, centroids) — exposed as the
+    `kmeans_clusters` query (rows-only driver check: iterative, not
+    SQL-expressible; pytest cross-checks an in-process reference).
+    """
+    import ray
+    import ray.data as rd
+
+    _, cent = _load_head(sf_dir, k)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _matrix(batch["embedding"])
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1).astype(np.int64)
+            e6 = np.floor(m * 1000000.0).astype(np.int64)
+            out = {"cluster": [], "dim": [], "part_sum": [], "part_n": []}
+            for cl in np.unique(assign):
+                sel = assign == cl
+                s = e6[sel].sum(axis=0)
+                out["cluster"].extend([int(cl)] * m.shape[1])
+                out["dim"].extend(range(m.shape[1]))
+                out["part_sum"].extend(s.tolist())
+                out["part_n"].extend([int(sel.sum())] * m.shape[1])
+            return pa.table({kk: pa.array(v, pa.int64())
+                             for kk, v in out.items()})
+
+        from ray.data.aggregate import Sum
+        agg = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby(["cluster", "dim"])
+               .aggregate(Sum("part_sum", alias_name="s"),
+                          Sum("part_n", alias_name="n"))
+               .to_pandas())
+        new = cent.copy()
+        for cl, grp in agg.groupby("cluster"):
+            grp = grp.sort_values("dim")
+            n = int(grp["n"].iloc[0])
+            if n > 0:
+                new[int(cl)] = grp["s"].to_numpy() / 1000000.0 / n
+        cent = new
+
+    ref = ray.put(cent)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _matrix(batch["embedding"])
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(final_assign, batch_format="pyarrow",
+                          batch_size=None), cent
+
+
 class IvfAssignStage:
     """Append ivf_cluster = argmax-cosine centroid (ties -> lowest id)."""
 

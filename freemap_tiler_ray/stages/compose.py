@@ -29,7 +29,6 @@ the reference's singleton top-of-pyramid tasks, state.rs:56-61).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .. import tilemath as tm

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import tilemath as tm
-from ..raster import SceneSpec, open_scene, with_alpha
+from ..raster import open_scene, with_alpha
 from ..resample import separable_warp
 
 
@@ -36,10 +36,15 @@ def _cached_scene(path: str):
     gives map_batches TASKS the amortized-open behavior of an actor pool
     without reserving CPUs — Ray reuses worker processes, so the mmap is
     opened once per worker, and the stage stays elastic (an actor pool
-    sized to the node starves the downstream sector/encode stages)."""
+    sized to the node starves the downstream sector/encode stages).
+    Mosaic sources cache one mmap per member."""
     if path not in _SCENE_CACHE:
-        spec = SceneSpec.load(path)
-        _SCENE_CACHE[path] = (spec, open_scene(spec))
+        from ..raster import MosaicSpec, load_raster_spec
+        spec = load_raster_spec(path)
+        if isinstance(spec, MosaicSpec):
+            _SCENE_CACHE[path] = (spec, [open_scene(m) for m in spec.members])
+        else:
+            _SCENE_CACHE[path] = (spec, open_scene(spec))
     return _SCENE_CACHE[path]
 
 
@@ -75,13 +80,29 @@ class WarpStage:
         self.__dict__.update(st)
 
     def _warp_one(self, mz: int, mx: int, my: int) -> np.ndarray:
+        from ..raster import MosaicSpec
+        if isinstance(self.spec, MosaicSpec):
+            # VRT-overlay semantics: later members win where they have
+            # alpha > 0 (GDAL VRT draw order, README.md:73-77)
+            out = None
+            for member, img in zip(self.spec.members, self.img):
+                part = self._warp_scene(member, img, mz, mx, my)
+                if out is None:
+                    out = part
+                else:
+                    covered = part[:, :, -1] > 0
+                    out[covered] = part[covered]
+            return out
+        return self._warp_scene(self.spec, self.img, mz, mx, my)
+
+    def _warp_scene(self, spec, img, mz: int, mx: int, my: int) -> np.ndarray:
         S = self.ts << self.offset
         bx0, by0, bx1, by1 = tm.bounds(mz, mx, my)
         # target pixel centers in EPSG:3857 (y row 0 = north)
         X = bx0 + (np.arange(S) + 0.5) * ((bx1 - bx0) / S)
         Y = by1 - (np.arange(S) + 0.5) * ((by1 - by0) / S)
-        col, _ = self.spec.mercator_to_source_px(X, np.full_like(X, (by0 + by1) / 2))
-        _, row = self.spec.mercator_to_source_px(np.full_like(Y, (bx0 + bx1) / 2), Y)
+        col, _ = spec.mercator_to_source_px(X, np.full_like(X, (by0 + by1) / 2))
+        _, row = spec.mercator_to_source_px(np.full_like(Y, (bx0 + bx1) / 2), Y)
 
         # window-pruned source read (+ kernel radius margin)
         scale_x = max(abs(float(col[-1] - col[0])) / max(S - 1, 1), 1e-12)
@@ -89,19 +110,19 @@ class WarpStage:
         mrg_x = int(np.ceil(3.0 * max(scale_x, 1.0))) + 2
         mrg_y = int(np.ceil(3.0 * max(scale_y, 1.0))) + 2
         c0 = max(0, int(np.floor(col.min())) - mrg_x)
-        c1 = min(self.spec.width, int(np.ceil(col.max())) + mrg_x)
+        c1 = min(spec.width, int(np.ceil(col.max())) + mrg_x)
         r0 = max(0, int(np.floor(row.min())) - mrg_y)
-        r1 = min(self.spec.height, int(np.ceil(row.max())) + mrg_y)
+        r1 = min(spec.height, int(np.ceil(row.max())) + mrg_y)
         if c0 >= c1 or r0 >= r1:
             return np.zeros((S, S, self.bands), np.uint8)
-        window = with_alpha(np.asarray(self.img[r0:r1, c0:c1]), self.spec.bands)
+        window = with_alpha(np.asarray(img[r0:r1, c0:c1]), spec.bands)
 
         out = separable_warp(window, col - c0, row - r0, scale_x, scale_y,
                              kernel=self.kernel)
         # T7 nodata -> transparent (processor.rs:404-439): any band equal to
         # its nodata zeroes the whole pixel (color + alpha)
-        if self.spec.nodata is not None:
-            nod = (out[:, :, :self.spec.bands] == int(self.spec.nodata)).any(axis=2)
+        if spec.nodata is not None:
+            nod = (out[:, :, :spec.bands] == int(spec.nodata)).any(axis=2)
             out[nod] = 0
         return out
 
