@@ -87,3 +87,16 @@ def test_polygon_coverage_filter(ray_session, tmp_path):
     assert got < full                       # strictly fewer tiles
     # NW corner tile must be in, SE corner out
     assert (36, 20) in got and (39, 23) not in got
+
+def test_tiny_max_zoom_clamps_offset(ray_session, tmp_path):
+    """max_zoom < warp_zoom_offset: offset clamps (config.effective_offset)
+    and the pyramid still reaches zoom 0."""
+    spec = make_scene(str(tmp_path / "scene"), size=256, bands=4,
+                      disk_frac=0.45)
+    cfg = TilerConfig(scene_spec_path=spec.path, out_dir=str(tmp_path / "o"),
+                      target_file=str(tmp_path / "o.mbtiles"),
+                      max_zoom=1, warp_zoom_offset=3, fmt="png")
+    res = build_pyramid(cfg)
+    rows = read_mbtiles_tiles(str(tmp_path / "o.mbtiles"),
+                              columns=("zoom_level", "tile_column", "tile_row"))
+    assert sorted({r[0] for r in rows}) == [0, 1]
