@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ring": q.knn_ring,
         "media_features": q.media_features,
         "tile_zorder": q.tile_zorder,
+        "docs_per_tile": q.docs_per_tile,
         "sample_docs": q.sample_docs,
         "q6_filtered_revenue": q.q6_filtered_revenue,
         "nation_region_join": q.nation_region_join,
@@ -224,6 +225,30 @@ cells AS (
     sqls["cell_counts"] = (f"WITH {_PTS_CTE}, {cell_expr} "
                            "SELECT cell_x, cell_y, count(*) AS n_docs "
                            "FROM cells GROUP BY cell_x, cell_y")
+
+    sqls["docs_per_tile"] = f"""
+WITH {_PTS_CTE},
+t AS (SELECT doc_id,
+  LEAST(GREATEST(CAST(floor((lon * ({_ORIGIN!r} / 180.0) + {_ORIGIN!r})
+      / (2 * {_ORIGIN!r} / 64.0)) AS BIGINT), 0), 63) AS tile_x,
+  LEAST(GREATEST(CAST(floor(({_ORIGIN!r} -
+      ln(tan((90.0 + lat) * (pi() / 360.0))) * 6378137.0)
+      / (2 * {_ORIGIN!r} / 64.0)) AS BIGINT), 0), 63) AS tile_y
+  FROM pts),
+s AS (SELECT tile_x, tile_y,
+  CASE WHEN tile_x BETWEEN 36 AND 39 AND tile_y BETWEEN 20 AND 23 THEN
+    CASE WHEN
+      (LEAST(GREATEST(512, (tile_x - 36) * 256), (tile_x - 36) * 256 + 255) - 512)
+      * (LEAST(GREATEST(512, (tile_x - 36) * 256), (tile_x - 36) * 256 + 255) - 512)
+      + (LEAST(GREATEST(512, (tile_y - 20) * 256), (tile_y - 20) * 256 + 255) - 512)
+      * (LEAST(GREATEST(512, (tile_y - 20) * 256), (tile_y - 20) * 256 + 255) - 512)
+      < 65536
+    THEN 'data' ELSE 'empty' END
+  ELSE 'outside' END AS status
+  FROM t)
+SELECT tile_x, tile_y, status, count(*) AS n_docs
+FROM s GROUP BY tile_x, tile_y, status
+"""
 
     sqls["spans_fp"] = f"""
 WITH {_SPANS_CTE}

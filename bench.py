@@ -95,10 +95,16 @@ def bench_spatial() -> dict:
         return pa.table({"cell": pa.array(cells),
                          "partial": pa.array(counts.astype("int64"))})
 
-    from ray.data.aggregate import Sum
-    n_cells = (base.map_batches(cell_partial, batch_format="pyarrow", batch_size=None)
-               .groupby("cell").aggregate(Sum("partial", alias_name="n"))
-               .count())
+    # combiner + driver-side final merge: the per-block partials are
+    # <= 4096 cells each, so the final sum is tiny — Ray's all-to-all
+    # aggregate has seconds of fixed cost that would dominate here
+    import pandas as pd
+    parts = pd.concat(
+        [b for b in base.map_batches(cell_partial, batch_format="pyarrow",
+                                     batch_size=None)
+         .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True)
+    n_cells = parts.groupby("cell")["partial"].sum().shape[0]
     t_cell = time.time() - t0
 
     t0 = time.time()
@@ -109,7 +115,7 @@ def bench_spatial() -> dict:
 
     t0 = time.time()
     queries, k = knn_queries(n=128)
-    knn_rows = knn_join(base, queries, k).count()
+    knn_rows = len(knn_join(base, queries, k, driver_merge=True))
     t_knn = time.time() - t0
 
     # each point flows through three joins/aggregations (cell, PIP, kNN)

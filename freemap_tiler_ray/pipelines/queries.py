@@ -284,6 +284,33 @@ def events_sliding(sf_dir: str):
     return ds.groupby("event_type").map_groups(win, batch_format="pandas")
 
 
+def docs_per_tile(sf_dir: str):
+    """Raster x vector fusion: geolocated docs assigned to z6 web-mercator
+    tiles, counted per tile, labeled with the fixture pyramid's tile
+    status where the tile lies in the scene's leaf range ('outside'
+    elsewhere) — the join of the document layer onto the tile grid."""
+    def assign(batch: pa.Table) -> pa.Table:
+        t = add_doc_points(batch)
+        tx, ty = tm.point_to_tile(t["x3857"].to_numpy(),
+                                  t["y3857"].to_numpy(), 6)
+        # fixture scene (anchor (4,9,5), disk 0.25): closed-form status
+        inr = (tx >= 36) & (tx <= 39) & (ty >= 20) & (ty <= 23)
+        scale = 256
+        lx, ly = tx - 36, ty - 20
+        nx = np.clip(512, lx * scale, lx * scale + scale - 1)
+        ny = np.clip(512, ly * scale, ly * scale + scale - 1)
+        data = (nx - 512) ** 2 + (ny - 512) ** 2 < 65536
+        status = np.where(inr, np.where(data, "data", "empty"), "outside")
+        return pa.table({"tile_x": pa.array(tx, pa.int64()),
+                         "tile_y": pa.array(ty, pa.int64()),
+                         "status": pa.array(status.tolist(), pa.string())})
+
+    from ray.data.aggregate import Count
+    return (_docs(sf_dir).map_batches(assign, batch_format="pyarrow")
+            .groupby(["tile_x", "tile_y", "status"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
 def tile_zorder(sf_dir: str):
     """Z-order (Morton) keys for the fixture leaf range — oracle-checks
     the bit-interleave math behind every shuffle key (the reference's

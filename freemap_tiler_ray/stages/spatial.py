@@ -76,15 +76,26 @@ class PIPJoinStage:
             px = batch["x3857"].to_numpy()
             py = batch["y3857"].to_numpy()
         ids = batch["doc_id"].to_numpy()
+        # per-batch spatial index: one sort by x, then each polygon's
+        # candidate set is an O(log n) slice of the sorted order instead
+        # of an O(n) bbox mask — with many polygons the mask passes
+        # dominate memory traffic (P x n booleans per batch)
+        order = np.argsort(px, kind="stable")
+        sx = px[order]
+        sy = py[order]
+        sids = ids[order]
         out_doc, out_poly = [], []
         for pid, ring in self.polys:
-            # cheap bbox prefilter, then exact ray casting
-            cand = ((px >= ring[:, 0].min()) & (px <= ring[:, 0].max()) &
-                    (py >= ring[:, 1].min()) & (py <= ring[:, 1].max()))
+            lo = np.searchsorted(sx, ring[:, 0].min(), side="left")
+            hi = np.searchsorted(sx, ring[:, 0].max(), side="right")
+            if lo >= hi:
+                continue
+            cy = sy[lo:hi]
+            cand = (cy >= ring[:, 1].min()) & (cy <= ring[:, 1].max())
             if not cand.any():
                 continue
-            inside = points_in_polygon(px[cand], py[cand], ring)
-            hit = ids[cand][inside]
+            inside = points_in_polygon(sx[lo:hi][cand], cy[cand], ring)
+            hit = sids[lo:hi][cand][inside]
             out_doc.append(hit)
             out_poly.append(np.full(len(hit), pid, dtype=object))
         if not out_doc:
@@ -134,12 +145,25 @@ def _knn_merge(k: int):
     return merge
 
 
-def knn_join(docs_ds, queries, k: int):
-    """Exact distributed brute-force kNN: partial top-k per batch, one
-    tiny groupby(query_id) merge. docs_ds needs doc_id + lon/lat columns
-    (use add_doc_points first)."""
+def knn_join(docs_ds, queries, k: int, driver_merge: bool = False):
+    """Exact distributed brute-force kNN: partial top-k per batch, then a
+    tiny final merge. docs_ds needs doc_id + lon/lat columns (use
+    add_doc_points first).
+
+    driver_merge=True streams the Q*k-per-block partials to the driver
+    and merges there — the right shape when Q*k*num_blocks is small
+    (Ray's all-to-all aggregate has ~seconds of fixed cost regardless of
+    data size). Default False uses groupby (tree-reduced; needed when the
+    block count is huge)."""
     partial = docs_ds.map_batches(KnnPartialStage(queries, k),
                                   batch_format="pyarrow", batch_size=65536)
+    if driver_merge:
+        parts = [b for b in partial.iter_batches(batch_format="pandas",
+                                                 batch_size=None)]
+        allp = pd.concat(parts, ignore_index=True)
+        merged = (allp.groupby("query_id", group_keys=False)
+                      .apply(_knn_merge(k)))
+        return merged.reset_index(drop=True)
     return (partial.groupby("query_id")
                    .map_groups(_knn_merge(k), batch_format="pandas"))
 
