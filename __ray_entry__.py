@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q.label_centroids,
         "tile_polygon_coverage": q.tile_polygon_coverage,
         "distinct_lang_source": q.distinct_lang_source,
+        "shuffle_docs": q.shuffle_docs,
         "events_sliding": q.events_sliding,
         "pip_join_spans": q.pip_join_spans,
         "events_asof": q.events_asof,
@@ -470,6 +471,7 @@ SELECT doc_id, lang FROM s2 WHERE xor(v2 >> 16, v2) % 100 < 10
 """
     sqls["distinct_lang_source"] = \
         "SELECT DISTINCT lang, source FROM documents"
+    sqls["shuffle_docs"] = "SELECT doc_id, lang FROM documents"
     sqls["events_sliding"] = """
 SELECT event_id,
        count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)

@@ -128,6 +128,14 @@ def sample_docs(sf_dir: str):
         flt, batch_format="pyarrow")
 
 
+def shuffle_docs(sf_dir: str):
+    """random_shuffle + repartition: content-preserving layout ops (the
+    driver compare is order-insensitive, so the oracle is the identity
+    projection)."""
+    return (_docs(sf_dir, ("doc_id", "lang"))
+            .random_shuffle(seed=7).repartition(8))
+
+
 def distinct_lang_source(sf_dir: str):
     """Distinct (lang, source) pairs (the `unique` operator)."""
     return (_docs(sf_dir, ("lang", "source"))

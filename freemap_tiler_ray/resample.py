@@ -196,16 +196,21 @@ def separable_warp(img, src_x_centers, src_y_centers, scale_x, scale_y,
     out_h, out_w = len(src_y_centers), len(src_x_centers)
     idx_y, w_y = _axis_taps(h, src_y_centers, scale_y, kernel, edge="zero")
     idx_x, w_x = _axis_taps(w, src_x_centers, scale_x, kernel, edge="zero")
-    # Stripe-wise evaluation: both passes run on a ~few-MB working set so
-    # the intermediate never round-trips DRAM (a monolithic two-pass warp
-    # moves GBs per megatile and saturates single-node memory bandwidth —
-    # the stage must stay compute-bound to scale with cores).
-    f = np.ascontiguousarray(img.reshape(h, w * c), dtype=np.float32)
+    # Stripe-wise evaluation: both passes AND the u8->f32 source
+    # conversion run on a ~few-MB working set, so neither the float
+    # source nor the intermediate ever round-trips DRAM (a monolithic
+    # two-pass warp moves GBs per megatile and saturates single-node
+    # memory bandwidth — the stage must stay compute-bound to scale).
+    flat = img.reshape(h, w * c)
     out = np.empty((out_h, out_w, c), np.uint8)
     stripe = max(16, (1 << 21) // max(1, w * c * 4))   # ~2 MB of rows
     for s0 in range(0, out_h, stripe):
         s1 = min(out_h, s0 + stripe)
-        vt = _apply_axis0(f, idx_y[s0:s1], w_y[s0:s1])    # (rows, W*C)
+        iy = idx_y[s0:s1]
+        r0 = int(iy.min())
+        r1 = int(iy.max()) + 1
+        src = flat[r0:r1].astype(np.float32)           # stripe-sized
+        vt = _apply_axis0(src, iy - r0, w_y[s0:s1])    # (rows, W*C)
         vt = np.ascontiguousarray(
             np.moveaxis(vt.reshape(s1 - s0, w, c), 1, 0)).reshape(w, -1)
         hz = _apply_axis0(vt, idx_x, w_x).reshape(out_w, s1 - s0, c)
