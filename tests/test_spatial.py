@@ -85,3 +85,31 @@ def test_span_invariant_detects_mutation():
     bad = pa.table({"doc_id": spans["doc_id"], "spans": swapped})
     with pytest.raises(AssertionError):
         check_span_invariant(bad)
+
+
+def test_salted_aggregate_matches_plain(ray_session):
+    """Skew-safe two-phase aggregate equals the direct groupby result."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from freemap_tiler_ray.stages.salt import salted_grouped_aggregate
+
+    n = 50_000
+    # heavy skew: 90% of rows share one key
+    keys = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 100)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys.astype(np.int64)),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+    }))
+    plain = (ds.groupby("k").aggregate(Sum("v", alias_name="s"),
+                                       Count(alias_name="c"))
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    salted = (salted_grouped_aggregate(
+        ds, "k",
+        [Sum("v", alias_name="s"), Count(alias_name="c")],
+        [Sum("s", alias_name="s"), Sum("c", alias_name="c")],
+        n_salt=8, id_col="rid")
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    assert plain[["k", "s", "c"]].equals(salted[["k", "s", "c"]])
