@@ -25,8 +25,16 @@ from ..stages.spatial import (PIPJoinStage, add_doc_points, knn_join,
 CELL_RES = 6
 
 
+def _split(ds, blocks: int = 16):
+    """The sf tables are single-row-group parquet files -> ONE block ->
+    serial map stages. Split after read (no shuffle) so per-doc work
+    (md5 shingles, signatures, regex) parallelizes."""
+    return ds.repartition(blocks)
+
+
 def _docs(sf_dir: str, columns=("doc_id",)):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return _split(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=list(columns)))
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +229,7 @@ def label_centroids(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["label", "embedding"])
+                         columns=["label", "embedding"]).repartition(8)
 
     def partial(t: pa.Table) -> pa.Table:
         lab = t["label"].to_numpy()
@@ -506,7 +514,7 @@ def simhash_pairs(sf_dir: str):
 def embedding_pairs(sf_dir: str):
     from ..stages.dedup import embedding_pairs as _ep
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
+                          columns=["vec_id", "embedding"]).repartition(8)
     return _ep(emb)
 
 

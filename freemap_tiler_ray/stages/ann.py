@@ -90,7 +90,7 @@ def ann_topk(sf_dir: str, k: int = TOP_K):
 
     qids, qmat = _load_head(sf_dir, N_QUERIES)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).repartition(8)
     partial = ds.map_batches(AnnPartialStage(qids, qmat, k),
                              batch_format="pyarrow", batch_size=4096)
     return (partial.groupby("query_vec_id")
@@ -113,7 +113,7 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
 
     _, cent = _load_head(sf_dir, k)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).materialize()
+                         columns=["vec_id", "embedding"]).repartition(8).materialize()
 
     for _ in range(iters):
         ref = ray.put(cent)
@@ -188,7 +188,7 @@ def ann_ivf(sf_dir: str, k: int = TOP_K):
     qprobe = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :NPROBE]
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).repartition(8)
     assigned = ds.map_batches(IvfAssignStage(cmat), batch_format="pyarrow",
                               batch_size=4096)
 
