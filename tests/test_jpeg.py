@@ -58,3 +58,24 @@ def test_encode_tile_jpeg_alpha_split(opaque):
     assert back.shape == tile.shape
     np.testing.assert_array_equal(back[:, :, 3], alpha)  # alpha lossless
     assert np.abs(back[:, :, :3].astype(int) - buf.astype(int)).mean() < 3.0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+import numpy as np
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([25, 60, 85, 95]),
+       st.sampled_from([(24, 24, 3), (17, 31, 3), (40, 8, 1)]))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(seed, quality, shape):
+    """Random images round-trip within the quantization error bound."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    if shape[-1] == 1:
+        img = img[:, :, 0]
+    out = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality))
+    assert out.shape == img.shape
+    # random noise is worst-case for JPEG; bound mean abs error loosely
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < (60 if quality <= 25 else 35)
