@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.knn,
         "knn_ring": q.knn_ring,
         "media_features": q.media_features,
+        "media_frames": q.media_frames,
         "tile_zorder": q.tile_zorder,
         "docs_per_tile": q.docs_per_tile,
         "sample_docs": q.sample_docs,
@@ -302,6 +303,19 @@ FROM h
 
     # monetary sums are floor-scaled to integers: float sums are not
     # associative, so only integer sums can value-match across engines
+    sqls["media_frames"] = f"""
+WITH {_SPANS_CTE},
+a AS (SELECT doc_id, j AS span_idx,
+             (doc_id * 31 + j) % 4294967296 AS v0
+      FROM spans WHERE kind = 'audio'),
+h1 AS (SELECT *, (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM a),
+h2 AS (SELECT *, (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM h1),
+h AS (SELECT doc_id, span_idx,
+             1 + xor(v2 >> 16, v2) % 4 AS n_frames FROM h2)
+SELECT doc_id, span_idx, f.f AS frame, f.f * 250 AS offset_ms
+FROM h, UNNEST(generate_series(0, (h.n_frames - 1)::INT)) AS f(f)
+"""
+
     sqls["q1_lineitem"] = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

@@ -537,6 +537,16 @@ def kmeans_clusters(sf_dir: str):
     return assigned.groupby("cluster").aggregate(Count(alias_name="n_vecs"))
 
 
+def media_frames(sf_dir: str):
+    """Frame sampling over audio spans (flat-map expansion; actor-pool
+    stage in a real pipeline — the codec is stubbed, the plumbing real)."""
+    from ..stages.media import FrameSampleStub
+
+    return (_docs(sf_dir)
+            .map_batches(FrameSampleStub, batch_format="pyarrow",
+                         concurrency=2))
+
+
 # ---------------------------------------------------------------------------
 # relational operators over the TPC-H-ish tables
 # ---------------------------------------------------------------------------

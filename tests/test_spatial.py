@@ -113,3 +113,22 @@ def test_salted_aggregate_matches_plain(ray_session):
         n_salt=8, id_col="rid")
         .to_pandas().sort_values("k").reset_index(drop=True))
     assert plain[["k", "s", "c"]].equals(salted[["k", "s", "c"]])
+
+
+def test_media_resize_stub(ray_session):
+    """Resize plumbing: decode(payload) -> resize box math + payload."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from freemap_tiler_ray.stages.media import MediaDecodeStub, MediaResizeStub
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(np.arange(50), "int64")}))
+    dec = docs.map_batches(MediaDecodeStub(payload=True),
+                           batch_format="pyarrow", concurrency=2,
+                           batch_size=None)
+    rs = dec.map_batches(MediaResizeStub(max_side=64), batch_format="pyarrow",
+                         concurrency=2, batch_size=None).to_pandas()
+    assert len(rs) > 0
+    assert (rs["out_width"] <= 64).all() and (rs["out_height"] <= 64).all()
+    assert all(len(p) == w * h for p, w, h in
+               zip(rs["payload"], rs["out_width"], rs["out_height"]))
