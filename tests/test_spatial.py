@@ -132,3 +132,25 @@ def test_media_resize_stub(ray_session):
     assert (rs["out_width"] <= 64).all() and (rs["out_height"] <= 64).all()
     assert all(len(p) == w * h for p, w, h in
                zip(rs["payload"], rs["out_width"], rs["out_height"]))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(3, 12))
+@settings(max_examples=40, deadline=None)
+def test_pip_property_convex(seed, k):
+    """For random convex k-gons: interior points (convex combinations of
+    vertices, shrunk toward the centroid) test inside; far points don't."""
+    r = np.random.default_rng(seed)
+    ring = regular_polygon(float(r.uniform(-50, 50)), float(r.uniform(-50, 50)),
+                           float(r.uniform(1, 20)), k,
+                           phase=float(r.uniform(0, 6)))
+    c = ring.mean(axis=0)
+    w = r.random((50, len(ring)))
+    w /= w.sum(axis=1, keepdims=True)
+    pts = 0.98 * (w @ ring - c) + c            # strictly interior
+    far = c[None, :] + (ring.max(0) - ring.min(0) + 5.0) * np.array([[3.0, 3.0]])
+    assert points_in_polygon(pts[:, 0], pts[:, 1], ring).all()
+    assert not points_in_polygon(far[:, 0], far[:, 1], ring).any()
