@@ -3,20 +3,25 @@
 Ray-Data-native reimplementation of the reference's three flows
 (/root/reference/src/main.rs:43-365, SURVEY.md §3):
 
-  universe (range -> megatile keys, polygon-filtered)
-    -> WarpStage actor pool (megatile warp, T6/T7)
-    -> SectorStage (leaf extraction + empty markers, T8/T9/K4)
-    -> raw leaf parquet  [resumable partitions = attempts, bulk anti-join]
-    -> per-zoom bottom-up loop: EncodeStage -> enc parquet;
-       compose_level (groupby parent_key) -> raw parquet at z-1
-    -> limits aggregate (A1) -> metadata
+  universe (range -> megatile keys, polygon-filtered, never on the driver)
+    -> ONE fused task per megatile: warp (T6/T7, worker-cached source
+       handle) -> sector extraction + empty markers (T8/T9/K4) ->
+       shuffle-free subtree compose down to z-offset (the megatile block
+       IS the subtree — the reference's compose-cache locality,
+       README.md:3-4) -> encode (T11-T13, streamed limits partials)
+    -> leaf parquet  [resumable partitions = attempts, bulk anti-join]
+    -> bottom-up compose SPANS: one groupby(ancestor_key) shuffle covers
+       several pyramid levels; the tiny top-of-pyramid finishes in a
+       single execution (the analog of the reference's singleton tasks)
+    -> limits merged from per-stage streamed partials (A1, ST5 analog)
     -> MBTiles compaction (single writer, K1-K3)
 
 The children-before-parent dependency is not expressible inside one Ray
-Data DAG stage, so each zoom level is one checkpointed groupby shuffle —
-the idiomatic replacement for the reference's z-order LIFO scheduler
-(SURVEY.md §7.3). Each level's parquet doubles as the checkpoint: a rerun
-skips any stage whose manifest says done.
+Data DAG stage, so each span is one checkpointed shuffle — the idiomatic
+replacement for the reference's z-order LIFO scheduler (SURVEY.md §7.3).
+Every stage's parquet holds both raw pixels (only at the next span's
+input zoom) and encoded blobs; consumers column-prune, and a rerun skips
+any stage whose manifest says done.
 """
 
 from __future__ import annotations
@@ -42,9 +47,6 @@ from ..stages.sectors import SectorStage
 from ..stages.warp import WarpStage
 from ..state.limits import limits_json
 from . import checkpoint as ckpt
-
-ENC_COLS = ["zoom", "x", "tms_y", "status"]
-
 
 def parquet_files(dirs) -> list[str]:
     """Expand directories to their parquet part files (ray.data
