@@ -103,3 +103,25 @@ def test_transform_bounds_densified():
     b = transform_bounds(lonlat_to_mercator, -10, -10, 10, 10)
     x0, y0 = lonlat_to_mercator(-10, -10)
     assert np.isclose(b[0], x0) and np.isclose(b[1], y0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(0, 2**32 - 1),
+       st.sampled_from([(16, 16), (32, 24), (64, 48)]),
+       st.sampled_from([1, 2, 4]))
+@settings(max_examples=30, deadline=None)
+def test_resample_properties(seed, shape, c):
+    """Identity at same size; constant images stay constant under any
+    resize; downsample2x equals resize(h/2, w/2) exactly."""
+    r = np.random.default_rng(seed)
+    img = r.integers(0, 256, shape + (c,), dtype=np.uint8)
+    np.testing.assert_array_equal(resample.resize(img, *shape), img)
+    const = np.full(shape + (c,), int(r.integers(0, 256)), np.uint8)
+    out = resample.resize(const, shape[0] // 2 + 1, shape[1] * 2)
+    assert (out == const[0, 0, 0]).all()
+    np.testing.assert_array_equal(
+        resample.downsample2x(img),
+        resample.resize(img, shape[0] // 2, shape[1] // 2))
