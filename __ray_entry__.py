@@ -89,6 +89,48 @@ st AS (
 """
 
 
+def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
+    """Exact mirror of stages.ann.kmeans: the 5 deterministic iterations
+    unrolled as chained CTEs. Distances are left-folded over dims in
+    both engines (numpy loop there, left-assoc '+' here) so float d2 is
+    bit-identical; centroid updates are integer-scaled sums divided in
+    the same order ((s / 1e6) / n); argmin ties break to lowest cluster
+    id via ORDER BY d2, cluster."""
+    ecols = ", ".join(f"CAST(embedding[{d + 1}] AS DOUBLE) AS e{d}"
+                      for d in range(dims))
+    parts = [f"ev AS (SELECT vec_id, {ecols} FROM embeddings)"]
+    init = ", ".join(f"e{d} AS c{d}" for d in range(dims))
+    parts.append(f"c0 AS (SELECT vec_id AS cluster, {init} FROM ev "
+                 f"WHERE vec_id < {k})")
+    d2 = "((v.e0 - c.c0) * (v.e0 - c.c0))"
+    for d in range(1, dims):
+        d2 = f"({d2} + ((v.e{d} - c.c{d}) * (v.e{d} - c.c{d})))"
+    argmin = ("SELECT vec_id, cluster FROM (SELECT vec_id, cluster, "
+              "row_number() OVER (PARTITION BY vec_id "
+              "ORDER BY d2, cluster) AS rn FROM {src}) WHERE rn = 1")
+    for i in range(iters):
+        parts.append(f"d{i} AS (SELECT v.vec_id, c.cluster, {d2} AS d2 "
+                     f"FROM ev v CROSS JOIN c{i} c)")
+        parts.append(f"a{i} AS ({argmin.format(src=f'd{i}')})")
+        scols = ", ".join(
+            f"CAST(sum(CAST(floor(v.e{d} * 1000000.0) AS BIGINT)) "
+            f"AS BIGINT) AS s{d}" for d in range(dims))
+        parts.append(f"u{i} AS (SELECT a.cluster, {scols}, count(*) AS n "
+                     f"FROM ev v JOIN a{i} a USING (vec_id) "
+                     f"GROUP BY a.cluster)")
+        ccols = ", ".join(
+            f"COALESCE((CAST(u.s{d} AS DOUBLE) / 1000000.0) "
+            f"/ CAST(u.n AS DOUBLE), p.c{d}) AS c{d}" for d in range(dims))
+        parts.append(f"c{i + 1} AS (SELECT p.cluster, {ccols} "
+                     f"FROM c{i} p LEFT JOIN u{i} u USING (cluster))")
+    parts.append(f"df AS (SELECT v.vec_id, c.cluster, {d2} AS d2 "
+                 f"FROM ev v CROSS JOIN c{iters} c)")
+    parts.append(f"af AS ({argmin.format(src='df')})")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT CAST(cluster AS BIGINT) AS cluster, "
+              "count(*) AS n_vecs FROM af GROUP BY cluster")
+
+
 def entry() -> Any:
     """Flagship: interleaved-doc spatial pipeline + a small pyramid build
     on sf0.001. Returns the PIP-join per-polygon counts DataFrame."""
@@ -199,7 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": q.embedding_pairs,
         "ann_topk": q.ann_topk,
         "ann_ivf": q.ann_ivf,
-        "kmeans_clusters": q.kmeans_clusters,  # iterative: rows-only check
+        "kmeans_clusters": q.kmeans_clusters,
         "tile_pyramid_status": tile_pyramid_status,
         "tile_limits": tile_limits,
     }
@@ -316,25 +358,29 @@ SELECT doc_id, span_idx, f.f AS frame, f.f * 250 AS offset_ms
 FROM h, UNNEST(generate_series(0, (h.n_frames - 1)::INT)) AS f(f)
 """
 
+    # outer aggregates CAST to BIGINT: DuckDB widens sum(BIGINT) to
+    # HUGEINT, which pandas converts to float64 and breaks the driver's
+    # dtype-sensitive value hash even when values are bit-exact
     sqls["q1_lineitem"] = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000.0)
-                AS BIGINT)) AS sum_disc_price_e4,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000.0)
+                AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
     sqls["revenue_by_segment"] = """
 SELECT c_mktsegment,
-       sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS revenue_e2,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS revenue_e2,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
     sqls["part_revenue_broadcast"] = """
 SELECT p_brand,
-       sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000.0)
-                AS BIGINT)) AS revenue_e4
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 10000.0)
+                AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -352,8 +398,8 @@ WITH e AS (SELECT user_id, epoch_us(ts) AS us,
                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
            FROM events)
 SELECT user_id,
-       1 + sum(CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
-               THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(1 + sum(CASE WHEN prev IS NOT NULL AND us - prev > 1800000000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM e GROUP BY user_id
 """
@@ -390,8 +436,8 @@ GROUP BY e.event_id
 """
 
     sqls["q6_filtered_revenue"] = """
-SELECT sum(CAST(floor((l_extendedprice * l_discount) * 10000.0) AS BIGINT))
-         AS revenue_e4,
+SELECT CAST(sum(CAST(floor((l_extendedprice * l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -410,9 +456,9 @@ SELECT k % 10 AS k_bucket, count(*) AS n,
 FROM p GROUP BY k_bucket
 """
     sqls["label_centroids"] = """
-SELECT label, d.d AS dim,
-       sum(CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000.0)
-                AS BIGINT)) AS sum_e6,
+SELECT CAST(label AS BIGINT) AS label, CAST(d.d AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000.0)
+                AS BIGINT)) AS BIGINT) AS sum_e6,
        count(*) AS n_vecs
 FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS d) d
 GROUP BY label, dim
@@ -558,7 +604,7 @@ sh AS (
 ),
 perms(p, a, b) AS (VALUES {perms_values}),
 sigs AS (
-  SELECT doc_id, p.p AS perm,
+  SELECT doc_id, CAST(p.p AS BIGINT) AS perm,
          min((p.a * (h % {MINHASH_MOD}) + p.b) % {MINHASH_MOD}) AS minhash
   FROM sh, perms p GROUP BY doc_id, p.p)
 """
@@ -614,7 +660,8 @@ bitsum AS (
   GROUP BY doc_id, b.b),
 sig AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM bitsum GROUP BY doc_id)
 """
     sqls["simhash_sigs"] = (f"WITH {_SIMHASH_CTE} "
@@ -622,7 +669,7 @@ sig AS (
     sqls["simhash_pairs"] = f"""
 WITH {_SIMHASH_CTE}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
@@ -676,10 +723,14 @@ r AS (SELECT qid AS query_vec_id, vec_id,
 SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {TOP_K}
 """
 
-    sqls["tile_pyramid_status"] = (_tile_status_sql()
-                                   + "SELECT zoom, x, y, status FROM st")
+    sqls["kmeans_clusters"] = _kmeans_sql()
+
+    sqls["tile_pyramid_status"] = (
+        _tile_status_sql()
+        + "SELECT CAST(zoom AS BIGINT) AS zoom, CAST(x AS BIGINT) AS x, "
+          "CAST(y AS BIGINT) AS y, status FROM st")
     sqls["tile_limits"] = _tile_status_sql() + """
-SELECT zoom, min(x) AS min_x, max(x) AS max_x,
+SELECT CAST(zoom AS BIGINT) AS zoom, min(x) AS min_x, max(x) AS max_x,
        min((1 << zoom) - 1 - y) AS min_y, max((1 << zoom) - 1 - y) AS max_y
 FROM st WHERE status = 'data' GROUP BY zoom
 """

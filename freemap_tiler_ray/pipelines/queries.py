@@ -557,8 +557,8 @@ def q1_lineitem(sf_dir: str):
     Float sums are not associative, so a distributed sum cannot
     value-match a sequential oracle bit-for-bit; monetary aggregates are
     therefore computed on floor-scaled integers (exact + associative).
-    sum_qty stays double: quantities are integer-valued, so their float
-    sum is exact in any order."""
+    Quantities are integer-valued doubles, so they are summed as int64
+    (exact, and the dtype matches the BIGINT oracle)."""
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -568,12 +568,14 @@ def q1_lineitem(sf_dir: str):
         disc = (t["l_extendedprice"].to_numpy()
                 * (1.0 - t["l_discount"].to_numpy())) * 10000.0
         e4 = np.floor(disc).astype(np.int64)
-        return t.append_column("disc_price_e4", pa.array(e4, pa.int64()))
+        qty = t["l_quantity"].to_numpy().astype(np.int64)
+        return (t.append_column("disc_price_e4", pa.array(e4, pa.int64()))
+                 .append_column("qty_i", pa.array(qty, pa.int64())))
 
     from ray.data.aggregate import Count, Sum
     return (ds.map_batches(derive, batch_format="pyarrow")
             .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+            .aggregate(Sum("qty_i", alias_name="sum_qty"),
                        Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
                        Count(alias_name="count_order")))
 

@@ -30,7 +30,27 @@ NPROBE = 2
 
 
 def _matrix(batch_col) -> np.ndarray:
-    return np.stack([np.asarray(v, np.float64) for v in batch_col.to_pylist()])
+    """Fixed-length list<float> column -> (n, d) float64, zero-copy via
+    list_flatten (no per-row Python)."""
+    import pyarrow.compute as pc
+
+    if isinstance(batch_col, pa.ChunkedArray):
+        batch_col = batch_col.combine_chunks()
+    n = len(batch_col)
+    flat = pc.list_flatten(batch_col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
+
+
+def _d2_fold(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared L2 distances (n, k), accumulated dim-by-dim in index order
+    (left-fold) so a DuckDB ((..)+term) expression mirrors it bit-for-bit
+    — numpy's .sum() uses pairwise summation, which SQL cannot mirror."""
+    diff = m[:, 0, None] - c[None, :, 0]
+    acc = diff * diff
+    for d in range(1, m.shape[1]):
+        diff = m[:, d, None] - c[None, :, d]
+        acc = acc + diff * diff
+    return acc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -104,9 +124,10 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     updates use exact integer-scaled sums so results are independent of
     block/merge order; ties in assignment break to the lowest cluster id.
 
-    Returns (ids, assignments, centroids) — exposed as the
-    `kmeans_clusters` query (rows-only driver check: iterative, not
-    SQL-expressible; pytest cross-checks an in-process reference).
+    Returns (assignments, centroids) — exposed as the `kmeans_clusters`
+    query with an exact DuckDB oracle (the 5 iterations unrolled as
+    chained CTEs; distances left-folded over dims in both engines so
+    float results are bit-identical — see __ray_entry__.oracle_sql).
     """
     import ray
     import ray.data as rd
@@ -121,7 +142,7 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
             m = _matrix(batch["embedding"])
-            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            d2 = _d2_fold(m, c)
             assign = np.argmin(d2, axis=1).astype(np.int64)
             e6 = np.floor(m * 1000000.0).astype(np.int64)
             out = {"cluster": [], "dim": [], "part_sum": [], "part_n": []}
@@ -155,7 +176,7 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     def final_assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         m = _matrix(batch["embedding"])
-        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_fold(m, c)
         return pa.table({
             "vec_id": batch["vec_id"],
             "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),

@@ -5,7 +5,7 @@ sums, lowest-id tie break)."""
 import numpy as np
 import pyarrow.parquet as pq
 
-from freemap_tiler_ray.stages.ann import kmeans
+from freemap_tiler_ray.stages.ann import _d2_fold, kmeans
 
 SF = "/root/testdata/sf0.001"
 
@@ -19,15 +19,14 @@ def _reference(k=8, iters=5):
                     for v in t["embedding"].to_pylist()])[order]
     cent = mat[ids < k][np.argsort(ids[ids < k])].copy()
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d2, axis=1)
+        assign = np.argmin(_d2_fold(mat, cent), axis=1)
         e6 = np.floor(mat * 1000000.0).astype(np.int64)
         for cl in range(k):
             sel = assign == cl
             if sel.any():
                 cent[cl] = e6[sel].sum(axis=0) / 1000000.0 / int(sel.sum())
-    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    return dict(zip(ids.tolist(), np.argmin(d2, axis=1).tolist()))
+    return dict(zip(ids.tolist(),
+                    np.argmin(_d2_fold(mat, cent), axis=1).tolist()))
 
 
 def test_kmeans_matches_sequential(ray_session):
