@@ -648,15 +648,16 @@ cand AS (
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {NGRAM_JACCARD_TAU!r}
 """
 
+    # 60-bit simhash: 15 hex chars of md5 = 60 bits (positive in BIGINT)
     _SIMHASH_CTE = """
 tok AS (
   SELECT d.doc_id,
-         ('0x' || substr(md5(t.tk), 1, 15))::BIGINT % 4294967296 AS h
+         ('0x' || substr(md5(t.tk), 1, 15))::BIGINT AS h
   FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tk)),
 bitsum AS (
   SELECT doc_id, b.b AS bit,
          sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM tok, (SELECT unnest(generate_series(0, 31)) AS b) b
+  FROM tok, (SELECT unnest(generate_series(0, 59)) AS b) b
   GROUP BY doc_id, b.b),
 sig AS (
   SELECT doc_id,

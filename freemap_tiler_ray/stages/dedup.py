@@ -4,15 +4,15 @@ embedding-cosine near-dup (training-data-pipeline layer).
 Shapes follow the scalable patterns (ray_guide / SURVEY.md §7):
   - exact: content-hash in map_batches -> groupby(hash) keep-first
   - MinHash-LSH: shingle->minhash per batch (vectorized reduceat) ->
-    explode (band_key, doc, shingle-set) -> groupby(band) -> candidate
-    pairs verified by true Jaccard inside the group (the shingle sets
-    ride along with the band rows: one shuffle, no second join)
-  - SimHash: 32-bit signature; candidate pairs via 4x8-bit band buckets
-    (pigeonhole: hamming <= 3 pairs must agree on >= 1 band), verified
-    by exact hamming distance
-  - embedding: normalized matrix broadcast once (ray.put), per-batch
-    matmul against it (at 1e12 scale the broadcast side becomes the
-    IVF/LSH bucket index from stages/ann.py; same batch contract)
+    explode integer-packed (band_key, doc_id) rows ONLY (16 bytes/row,
+    no shingle sets through the shuffle) -> Bloom singleton prefilter
+    -> groupby(band) candidate pairs -> hash-join the candidates back
+    to their shingle sets -> vectorized exact-Jaccard verify
+  - SimHash: 60-bit signature; candidate pairs via 4x15-bit band
+    buckets (pigeonhole: hamming <= 3 pairs must agree on >= 1 band;
+    32768 buckets per band keeps in-bucket pair work O(N^2/32768))
+  - embedding: exact distributed triangle self-join over hash buckets
+    (every unordered pair meets in exactly one groupby group)
 
 Every variant's semantics are mirrored by a DuckDB oracle; thresholds
 and hash constants are defined here and embedded into the SQL.
@@ -81,7 +81,10 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
 
 
 def _band_rows(batch: pa.Table) -> pa.Table:
-    """(doc_id, shingles) -> one row per (band_key, doc_id, shingles)."""
+    """(doc_id, shingles) -> one row per (band_key, doc_id). The band
+    key packs (band, sig0, sig1) into one int64 ((3+30+30 bits), no
+    per-row strings) and the shingle sets do NOT ride along: the shuffle
+    carries 16 bytes per band row instead of the whole set x8 bands."""
     a, b = minhash_params()
     sh = batch["shingles"]
     if isinstance(sh, pa.ChunkedArray):
@@ -95,76 +98,154 @@ def _band_rows(batch: pa.Table) -> pa.Table:
         vals = (a[p] * flat + b[p]) % MINHASH_MOD
         sigs[p] = np.minimum.reduceat(vals, offsets[:-1])
     n_bands = MINHASH_PERMS // LSH_ROWS_PER_BAND
-    keys, docs, lists = [], [], []
-    sh_py = sh.to_pylist()
-    for bi in range(n_bands):
-        rows = sigs[bi * LSH_ROWS_PER_BAND:(bi + 1) * LSH_ROWS_PER_BAND]
-        for i in range(n):
-            keys.append(f"{bi}:" + "-".join(str(int(v)) for v in rows[:, i]))
-            docs.append(int(doc_ids[i]))
-            lists.append(sh_py[i])
-    return pa.table({"band_key": pa.array(keys, pa.string()),
-                     "doc_id": pa.array(docs, pa.int64()),
-                     "shingles": pa.array(lists, pa.list_(pa.int64()))})
+    bi = np.arange(n_bands, dtype=np.int64)
+    keys = ((bi[:, None] << 60) | (sigs[0::2] << 30) | sigs[1::2]).ravel()
+    return pa.table({"band_key": pa.array(keys, pa.int64()),
+                     "doc_id": pa.array(np.tile(doc_ids, n_bands),
+                                        pa.int64())})
 
 
-def _pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("doc_id").drop_duplicates("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sets = [np.asarray(s, np.int64) for s in g["shingles"]]
-    out_a, out_b, out_j = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            inter = np.intersect1d(sets[i], sets[j],
-                                   assume_unique=True).size
-            union = sets[i].size + sets[j].size - inter
+def _cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """All unordered doc pairs inside one bucket (ids only)."""
+    ids = np.unique(g["doc_id"].to_numpy())
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"doc_a": pd.array(ids[ii], "int64"),
+                         "doc_b": pd.array(ids[jj], "int64")})
+
+
+def _distinct_pairs(pairs_ds):
+    from ray.data.aggregate import Count
+
+    return (pairs_ds.groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["doc_a", "doc_b"]))
+
+
+def _verify_jaccard(pairs_ds, shingled_ds, tau: float):
+    """Hash-join candidate pairs back to their shingle sets (sets ship
+    only for candidate docs, not on every band row) and verify exact
+    Jaccard. The per-row set intersection runs only over candidates —
+    a tiny fraction of N — so the Python loop is off the hot path."""
+
+    def _ren(suffix):
+        # the set rides as a binary blob: Acero hash joins reject
+        # list-typed payload columns, and bytes shuffle just as well
+        def ren(t: pa.Table) -> pa.Table:
+            sh = t["shingles"]
+            if isinstance(sh, pa.ChunkedArray):
+                sh = sh.combine_chunks()
+            off = sh.offsets.to_numpy() * 8
+            buf = sh.flatten().to_numpy().astype(np.int64).tobytes()
+            blobs = [buf[off[i]:off[i + 1]] for i in range(len(sh))]
+            return pa.table({f"rid_{suffix}": t["doc_id"],
+                             f"sh_{suffix}": pa.array(blobs, pa.binary())})
+        return ren
+
+    sa = shingled_ds.map_batches(_ren("a"), batch_format="pyarrow")
+    sb = shingled_ds.map_batches(_ren("b"), batch_format="pyarrow")
+    j = (pairs_ds
+         .join(sa, join_type="inner", num_partitions=8,
+               on=("doc_a",), right_on=("rid_a",))
+         .join(sb, join_type="inner", num_partitions=8,
+               on=("doc_b",), right_on=("rid_b",)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        sh_a, sh_b = t["sh_a"].to_pylist(), t["sh_b"].to_pylist()
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(da)):
+            x = np.frombuffer(sh_a[i], np.int64)
+            y = np.frombuffer(sh_b[i], np.int64)
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = x.size + y.size - inter
             jac = np.float64(inter) / np.float64(union)
-            if jac >= JACCARD_TAU:
-                out_a.append(int(ids[i])); out_b.append(int(ids[j]))
+            if jac >= tau:
+                out_a.append(int(da[i])); out_b.append(int(db[i]))
                 out_j.append(float(jac))
-    return pd.DataFrame({"doc_a": pd.array(out_a, "int64"),
-                         "doc_b": pd.array(out_b, "int64"),
-                         "jaccard": pd.array(out_j, "float64")})
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
-def _keep_multi_keys(ds, key: str):
-    """Drop rows whose key value occurs only once: a cheap key-column-only
-    count pass, then a broadcast isin filter. (Collision keys are a tiny
-    fraction of all keys, so the driver-side collect of multi-keys stays
-    small even at large doc counts; at extreme scale swap the collect for
-    a Bloom filter.) Most buckets are singletons and can never produce a
-    pair, so this cuts the heavy-shuffle row count drastically."""
+BLOOM_BITS = 1 << 23        # 1 MiB bitmap, fixed regardless of key count
+
+
+def _bloom_hashes(k: np.ndarray, bits: int):
+    k = k.astype(np.uint64)
+    h1 = k * np.uint64(0x9E3779B97F4A7C15)
+    h1 = h1 ^ (h1 >> np.uint64(29))
+    h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F)) ^ (k >> np.uint64(33))
+    return h1 % np.uint64(bits), h2 % np.uint64(bits)
+
+
+def _keep_multi_keys(ds, key: str, bloom_bits: int = BLOOM_BITS):
+    """Drop rows whose integer key occurs only once — singleton buckets
+    can never produce a pair, so this cuts the heavy-shuffle row count
+    drastically. The multi-occurrence key set is summarized as a
+    fixed-size Bloom filter built distributedly (per-block partial
+    bitmaps, OR-merged): the driver holds O(bloom_bits) bytes no matter
+    how many keys exist, and a false positive only lets a singleton row
+    through to a size-1 group that emits no pairs — exactness holds."""
     import ray
     from ray.data.aggregate import Count
 
     counts = (ds.select_columns([key]).groupby(key)
-                .aggregate(Count(alias_name="n")).to_pandas())
-    multi = counts.loc[counts["n"] > 1, key].to_numpy()
-    ref = ray.put(multi)
+                .aggregate(Count(alias_name="_n")))
+    words = bloom_bits // 64
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bm = np.zeros(words, np.uint64)
+        k = t[key].to_numpy()[t["_n"].to_numpy() > 1]
+        for h in _bloom_hashes(k, bloom_bits):
+            np.bitwise_or.at(bm, (h >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (h & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    bm = np.zeros(words, np.uint64)
+    for row in (counts.map_batches(block_bloom, batch_format="pyarrow")
+                .take_all()):
+        bm |= np.frombuffer(row["bloom"], np.uint64)
+    ref = ray.put(bm)
 
     def flt(batch: pa.Table) -> pa.Table:
-        keep = np.isin(np.asarray(batch[key].to_pandas()), ray.get(ref))
+        b = ray.get(ref)
+        h1, h2 = _bloom_hashes(batch[key].to_numpy(), bloom_bits)
+        one = np.uint64(1)
+        six = np.uint64(6)
+        mask = np.uint64(63)
+        keep = ((((b[(h1 >> six).astype(np.int64)] >> (h1 & mask)) & one)
+                 != 0)
+                & (((b[(h2 >> six).astype(np.int64)] >> (h2 & mask)) & one)
+                   != 0))
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
 def lsh_candidate_pairs(shingled_ds):
-    """MinHash-LSH near-dup pairs: band explode -> groupby(band_key) ->
-    in-group verified pairs -> distinct over bands."""
-    from ray.data.aggregate import Max
-
+    """MinHash-LSH near-dup pairs, two-phase: integer band rows ->
+    Bloom singleton prefilter -> groupby(band_key) candidate pairs ->
+    distinct -> join shingle sets back -> exact-Jaccard verify."""
     bands = shingled_ds.map_batches(_band_rows, batch_format="pyarrow")
     bands = _keep_multi_keys(bands, "band_key")
-    pairs = bands.groupby("band_key").map_groups(_pairs_in_band,
-                                                 batch_format="pandas")
-    return (pairs.groupby(["doc_a", "doc_b"])
-                 .aggregate(Max("jaccard", alias_name="jaccard")))
+    cands = _distinct_pairs(bands.groupby("band_key")
+                            .map_groups(_cand_pairs, batch_format="pandas"))
+    return _verify_jaccard(cands, shingled_ds, JACCARD_TAU)
+
+
+SIMHASH_BITS = 60            # 4 hex-truncated md5 nibbles short of 64:
+SIMHASH_BAND_BITS = 15       # stays positive in int64/BIGINT; 4 bands
+                             # of 15 bits -> 32768 buckets per band
 
 
 def simhash_signature(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) -> 32-bit simhash over token hashes (weight +-1 per
-    bit), vectorized with reduceat."""
+    """(doc_id, text) -> 60-bit simhash over token hashes (weight +-1
+    per bit), vectorized with reduceat. Token md5 runs once per UNIQUE
+    token in the batch (Zipf: the vocabulary is far smaller than the
+    token stream), mirrored by DuckDB ('0x'||substr(md5(tk),1,15))."""
     import hashlib
 
     df = batch.select(["doc_id", "text"]).to_pandas()
@@ -172,34 +253,39 @@ def simhash_signature(batch: pa.Table) -> pa.Table:
     counts = tok_lists.str.len().to_numpy()
     offsets = np.zeros(len(counts) + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
-    flat_tokens = [t for lst in tok_lists for t in lst]
-    th = np.array([int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                   for t in flat_tokens], np.int64) % (1 << 32)
-    bits = ((th[:, None] >> np.arange(32)[None, :]) & 1) * 2 - 1  # (N, 32)
+    flat_tokens = np.asarray([t for lst in tok_lists for t in lst],
+                             dtype=object)
+    uniq, inv = np.unique(flat_tokens, return_inverse=True)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 4
+         for t in uniq), np.int64, count=len(uniq))
+    th = uh[inv]
+    nb = SIMHASH_BITS
+    bits = ((th[:, None] >> np.arange(nb)[None, :]) & 1) * 2 - 1  # (N, nb)
     sums = np.add.reduceat(bits, offsets[:-1], axis=0)
-    sig = ((sums > 0).astype(np.int64) << np.arange(32)[None, :]).sum(axis=1)
+    sig = ((sums > 0).astype(np.int64) << np.arange(nb)[None, :]).sum(axis=1)
     return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
                      "simhash": pa.array(sig, pa.int64())})
 
 
 def simhash_pairs(sig_ds):
-    """Pairs with hamming(simhash) <= SIMHASH_MAX_HAMMING via 4x8-bit
+    """Pairs with hamming(simhash) <= SIMHASH_MAX_HAMMING via 4x15-bit
     band buckets (exact by pigeonhole: <= 3 flipped bits cannot touch
-    all 4 bands; we use an even tighter threshold)."""
+    all 4 bands; we use an even tighter threshold). Band keys are
+    integer-packed (band << 15 | part); the Bloom singleton prefilter
+    drops the dominant no-pair buckets before the shuffle."""
 
     def bands(batch: pa.Table) -> pa.Table:
         sig = batch["simhash"].to_numpy()
         ids = batch["doc_id"].to_numpy()
-        keys, docs, sigs = [], [], []
-        for bi in range(4):
-            part = (sig >> (8 * bi)) & 0xFF
-            for i in range(len(ids)):
-                keys.append(f"{bi}:{int(part[i])}")
-                docs.append(int(ids[i]))
-                sigs.append(int(sig[i]))
-        return pa.table({"band_key": pa.array(keys, pa.string()),
-                         "doc_id": pa.array(docs, pa.int64()),
-                         "simhash": pa.array(sigs, pa.int64())})
+        nb = SIMHASH_BITS // SIMHASH_BAND_BITS
+        bi = np.arange(nb, dtype=np.int64)
+        part = ((sig[None, :] >> (SIMHASH_BAND_BITS * bi[:, None]))
+                & ((1 << SIMHASH_BAND_BITS) - 1))
+        keys = ((bi[:, None] << SIMHASH_BAND_BITS) | part).ravel()
+        return pa.table({"band_key": pa.array(keys, pa.int64()),
+                         "doc_id": pa.array(np.tile(ids, nb), pa.int64()),
+                         "simhash": pa.array(np.tile(sig, nb), pa.int64())})
 
     def _popcount64(v: np.ndarray) -> np.ndarray:
         v = v.astype(np.uint64)
@@ -224,15 +310,18 @@ def simhash_pairs(sig_ds):
     from ray.data.aggregate import Min
 
     b = sig_ds.map_batches(bands, batch_format="pyarrow")
+    b = _keep_multi_keys(b, "band_key")
     p = b.groupby("band_key").map_groups(pairs, batch_format="pandas")
     return (p.groupby(["doc_a", "doc_b"])
              .aggregate(Min("hamming", alias_name="hamming")))
 
 
 def ngram_pairs(shingled_ds):
-    """n-gram Jaccard pairs: explode (shingle, doc) -> groupby(shingle)
-    candidate pairs -> distinct -> verify Jaccard >= NGRAM_JACCARD_TAU.
-    Shingle sets ride along (same one-shuffle shape as LSH)."""
+    """n-gram Jaccard pairs, two-phase like LSH: explode bare
+    (shingle, doc_id) rows -> Bloom singleton prefilter ->
+    groupby(shingle) candidate pairs -> distinct -> join shingle sets
+    back -> verify Jaccard >= NGRAM_JACCARD_TAU. The shuffle carries 16
+    bytes per (shingle, doc) row, never the whole set per shingle."""
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch["shingles"]
@@ -242,62 +331,66 @@ def ngram_pairs(shingled_ds):
         flat = sh.flatten().to_numpy()
         ids = np.repeat(batch["doc_id"].to_numpy(),
                         offsets[1:] - offsets[:-1])
-        lists = np.repeat(np.arange(len(offsets) - 1),
-                          offsets[1:] - offsets[:-1])
-        sh_py = sh.to_pylist()
         return pa.table({"shingle": pa.array(flat, pa.int64()),
-                         "doc_id": pa.array(ids, pa.int64()),
-                         "shingles": pa.array([sh_py[i] for i in lists],
-                                              pa.list_(pa.int64()))})
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [np.asarray(s, np.int64) for s in g["shingles"]]
-        a, b, js = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
-                union = sets[i].size + sets[j].size - inter
-                jac = np.float64(inter) / np.float64(union)
-                if jac >= NGRAM_JACCARD_TAU:
-                    a.append(int(ids[i])); b.append(int(ids[j]))
-                    js.append(float(jac))
-        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
-                             "doc_b": pd.array(b, "int64"),
-                             "jaccard": pd.array(js, "float64")})
-
-    from ray.data.aggregate import Max
+                         "doc_id": pa.array(ids, pa.int64())})
 
     ex = shingled_ds.map_batches(explode, batch_format="pyarrow")
     ex = _keep_multi_keys(ex, "shingle")
-    p = ex.groupby("shingle").map_groups(pairs, batch_format="pandas")
-    return (p.groupby(["doc_a", "doc_b"])
-             .aggregate(Max("jaccard", alias_name="jaccard")))
+    cands = _distinct_pairs(ex.groupby("shingle")
+                            .map_groups(_cand_pairs, batch_format="pandas"))
+    return _verify_jaccard(cands, shingled_ds, NGRAM_JACCARD_TAU)
 
 
-def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU):
-    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= tau).
-    The normalized matrix is broadcast once; each batch does one matmul
-    against it. (At 1e12 scale, replace the broadcast with the ANN
-    bucket index — stages/ann.py — same per-batch contract.)"""
-    import ray
+def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU,
+                    n_buckets: int = 8):
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= tau) as a
+    distributed triangle self-join — exact semantics, no driver
+    materialization, no full-matrix broadcast.
 
-    all_df = emb_ds.to_pandas()
-    ids = all_df["vec_id"].to_numpy()
-    mat = np.stack([np.asarray(v, np.float64) for v in all_df["embedding"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
+    Vectors are hash-bucketed by vec_id into B buckets; each row is
+    replicated to the B bucket-pair groups it participates in (key =
+    (min(b,t), max(b,t)) for t in 0..B-1), then one groupby(pair_key)
+    computes the cross/within-bucket cosine pairs inside each group.
+    Every unordered pair of vectors meets in exactly one group, so no
+    post-dedup pass is needed. Shuffle volume is O(N*B) rows and each
+    group holds ~2N/B vectors: per-task memory is bounded by the bucket
+    size, and B scales as sqrt(2 * parallelism) on a real cluster."""
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        bids = batch["vec_id"].to_numpy()
-        bm = np.stack([np.asarray(v, np.float64)
-                       for v in batch["embedding"].to_pylist()])
-        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-        aids, amat = ray.get(ref)
-        cos = bm @ amat.T
-        ii, jj = np.where((cos >= tau) & (bids[:, None] < aids[None, :]))
-        return pa.table({"vec_a": pa.array(bids[ii], pa.int64()),
-                         "vec_b": pa.array(aids[jj], pa.int64())})
+    B = n_buckets
 
-    return emb_ds.map_batches(batch_pairs, batch_format="pyarrow")
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        n = len(ids)
+        b = (ids % B).astype(np.int64)
+        t = np.arange(B, dtype=np.int64)
+        lo = np.minimum(b[:, None], t[None, :])
+        hi = np.maximum(b[:, None], t[None, :])
+        key = (lo * B + hi).ravel()
+        idx = np.repeat(np.arange(n), B)
+        out = batch.take(pa.array(idx))
+        out = out.append_column("pair_key", pa.array(key, pa.int64()))
+        return out.append_column("bucket", pa.array(b[idx], pa.int64()))
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = int(g["pair_key"].iloc[0])
+        lo, hi = divmod(key, B)
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if lo == hi:
+            cos = mat @ mat.T
+            ii, jj = np.where((cos >= tau) & (ids[:, None] < ids[None, :]))
+            a, bb = ids[ii], ids[jj]
+        else:
+            ma = g["bucket"].to_numpy() == lo
+            cos = mat[ma] @ mat[~ma].T
+            ii, jj = np.where(cos >= tau)
+            ia, ib = ids[ma][ii], ids[~ma][jj]
+            a, bb = np.minimum(ia, ib), np.maximum(ia, ib)
+        order = np.lexsort((bb, a))
+        return pd.DataFrame({"vec_a": pd.array(a[order], "int64"),
+                             "vec_b": pd.array(bb[order], "int64")})
+
+    return (emb_ds.map_batches(replicate, batch_format="pyarrow")
+            .groupby("pair_key")
+            .map_groups(group_pairs, batch_format="pandas"))
