@@ -53,6 +53,48 @@ def stage_done(out_dir: str, stage: str) -> bool:
     return bool(m and m.get("done"))
 
 
+def ranges_from_keys(keys) -> list[list[int]]:
+    """Compress a set of megatile keys into contiguous [lo, hi] runs.
+    Manifests store these runs — O(runs), which for rectangle-derived
+    universes is O(tile rows), never O(#megatiles)."""
+    import numpy as np
+
+    k = np.unique(np.asarray(keys, np.uint64))
+    if len(k) == 0:
+        return []
+    brk = np.where(np.diff(k) != 1)[0]
+    lo = k[np.concatenate(([0], brk + 1))]
+    hi = k[np.concatenate((brk, [len(k) - 1]))]
+    return [[int(a), int(b)] for a, b in zip(lo, hi)]
+
+
+def merge_ranges(range_lists) -> list[list[int]]:
+    """Union of several [lo, hi] run lists (overlap/adjacency merged)."""
+    runs = sorted((r for rl in range_lists for r in rl))
+    out: list[list[int]] = []
+    for lo, hi in runs:
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+def keys_from_ranges(ranges):
+    """Expand [lo, hi] runs back to the full key array (test/debug aid —
+    production code filters by searchsorted on the run bounds instead)."""
+    import numpy as np
+
+    if not ranges:
+        return np.array([], np.uint64)
+    return np.concatenate([np.arange(lo, hi + 1, dtype=np.uint64)
+                           for lo, hi in ranges])
+
+
+def range_count(ranges) -> int:
+    return sum(hi - lo + 1 for lo, hi in ranges)
+
+
 def partition_files(path: str) -> list[dict]:
     """Per-partition lineage record: every parquet part file with its row
     count (from parquet footers — no data read)."""

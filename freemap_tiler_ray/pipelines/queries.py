@@ -185,14 +185,18 @@ def nation_region_join(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    ref = ray.put((n2r, r2name))
+    # pre-join the two dimension tables on the driver, broadcast one
+    # sorted (nationkey -> r_name) array pair for searchsorted lookup
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey").sort_values("n_nationkey")
+    ref = ray.put((dim["n_nationkey"].to_numpy(),
+                   dim["r_name"].to_numpy()))
 
     def joined(t: pa.Table) -> pa.Table:
-        n2r_, r2name_ = ray.get(ref)
+        nk, rn = ray.get(ref)
         keys = t["s_nationkey"].to_numpy()
-        rname = [r2name_.get(n2r_.get(int(k), -1), "") for k in keys]
+        idx = np.clip(np.searchsorted(nk, keys), 0, len(nk) - 1)
+        rname = np.where(nk[idx] == keys, rn[idx], "")
         return pa.table({"r_name": pa.array(rname, pa.string())})
 
     ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
@@ -232,19 +236,20 @@ def label_centroids(sf_dir: str):
                          columns=["label", "embedding"]).repartition(8)
 
     def partial(t: pa.Table) -> pa.Table:
+        from ..stages.ann import _matrix
+
         lab = t["label"].to_numpy()
-        mat = np.stack([np.asarray(v, np.float64)
-                        for v in t["embedding"].to_pylist()])
-        e6 = np.floor(mat * 1000000.0).astype(np.int64)
-        out = {"label": [], "dim": [], "part_sum": [], "part_n": []}
-        for lb in np.unique(lab):
-            m = lab == lb
-            s = e6[m].sum(axis=0)
-            out["label"].extend([int(lb)] * e6.shape[1])
-            out["dim"].extend(range(e6.shape[1]))
-            out["part_sum"].extend(s.tolist())
-            out["part_n"].extend([int(m.sum())] * e6.shape[1])
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        e6 = np.floor(_matrix(t["embedding"]) * 1000000.0).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), e6.shape[1]
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, inv, e6)
+        ns = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "part_sum": pa.array(sums.ravel(), pa.int64()),
+            "part_n": pa.array(np.repeat(ns, d), pa.int64())})
 
     from ray.data.aggregate import Sum
     return (ds.map_batches(partial, batch_format="pyarrow")
@@ -607,15 +612,18 @@ def part_revenue_broadcast(sf_dir: str):
     lineitem map_batches lookup — no shuffle of the big side."""
     import ray
 
-    part_tbl = rd.read_parquet(f"{sf_dir}/part.parquet",
-                               columns=["p_partkey", "p_brand"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(part_tbl["p_partkey"], part_tbl["p_brand"])))
+    part_tbl = (rd.read_parquet(f"{sf_dir}/part.parquet",
+                                columns=["p_partkey", "p_brand"])
+                .to_pandas().sort_values("p_partkey"))
+    lookup_ref = ray.put((part_tbl["p_partkey"].to_numpy(),
+                          part_tbl["p_brand"].to_numpy()))
 
     def join_batch(t: pa.Table) -> pa.Table:
         import ray as _r
-        lk = _r.get(lookup_ref)
+        pk, pb = _r.get(lookup_ref)
         keys = t["l_partkey"].to_numpy()
-        brand = pa.array([lk.get(int(k), "") for k in keys], pa.string())
+        idx = np.clip(np.searchsorted(pk, keys), 0, len(pk) - 1)
+        brand = pa.array(np.where(pk[idx] == keys, pb[idx], ""), pa.string())
         e4 = np.floor((t["l_extendedprice"].to_numpy()
                        * (1.0 - t["l_discount"].to_numpy()))
                       * 10000.0).astype(np.int64)

@@ -108,21 +108,51 @@ def _cpus() -> int:
         return 8
 
 
-def _anti_join_done(ds, done_keys: np.ndarray):
+def _anti_join_done(ds, done_ranges):
     """Bulk resume anti-join: drop megatiles already completed by a prior
-    attempt. The done-set is broadcast once via ray.put and read per
-    task (never re-shipped per batch)."""
-    if len(done_keys) == 0:
+    attempt. The done-set is a list of contiguous [lo, hi] key runs —
+    O(runs) bytes broadcast once via ray.put (never re-shipped per
+    batch) and tested by searchsorted, so neither the driver nor the
+    manifest ever holds O(#megatiles) keys."""
+    if not done_ranges:
         return ds
-    ref = ray.put(np.asarray(done_keys, np.uint64))
+    lo = np.array([r[0] for r in done_ranges], np.uint64)
+    hi = np.array([r[1] for r in done_ranges], np.uint64)
+    ref = ray.put((lo, hi))
 
     def flt(batch: pa.Table) -> pa.Table:
-        done = ray.get(ref)
+        lo_, hi_ = ray.get(ref)
         keys = tm.tile_key(batch["mz"].to_numpy(), batch["mx"].to_numpy(),
-                           batch["my"].to_numpy())
-        return batch.filter(pa.array(~np.isin(keys, done)))
+                           batch["my"].to_numpy()).astype(np.uint64)
+        idx = np.searchsorted(lo_, keys, side="right").astype(np.int64) - 1
+        inside = (idx >= 0) & (keys <= hi_[np.maximum(idx, 0)])
+        return batch.filter(pa.array(~inside))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def _todo_ranges(ds) -> list[list[int]]:
+    """Contiguous key runs of a megatile dataset, computed per block
+    (vectorized diff) and union-merged on the driver — the driver holds
+    O(runs), not O(#megatiles)."""
+    def runs(batch: pa.Table) -> pa.Table:
+        k = np.sort(tm.tile_key(batch["mz"].to_numpy(),
+                                batch["mx"].to_numpy(),
+                                batch["my"].to_numpy()).astype(np.uint64))
+        if len(k) == 0:
+            return pa.table({"lo": pa.array([], pa.uint64()),
+                             "hi": pa.array([], pa.uint64())})
+        brk = np.where(np.diff(k) != 1)[0]
+        return pa.table({
+            "lo": pa.array(k[np.concatenate(([0], brk + 1))], pa.uint64()),
+            "hi": pa.array(k[np.concatenate((brk, [len(k) - 1]))],
+                           pa.uint64())})
+
+    df = ds.map_batches(runs, batch_format="pyarrow").to_pandas()
+    if len(df) == 0:                     # fully-resumed: no todo blocks
+        return []
+    return ckpt.merge_ranges([[[int(a), int(b)]
+                               for a, b in zip(df["lo"], df["hi"])]])
 
 
 def build_pyramid(cfg: TilerConfig) -> dict:
@@ -149,18 +179,23 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     limit_parts: list[dict] = []
 
     def _make_encoder(pixels_only_zoom: int | None = None):
-        """Fresh limits collector per stage; its merged partial lands in
-        the stage manifest so resume recovers limits without re-reading
-        tiles (the streaming analog of processor.rs:567-584)."""
-        actor = LimitsActor.remote()
+        """Fresh limits collectors per stage; their merged partial lands
+        in the stage manifest so resume recovers limits without
+        re-reading tiles (the streaming analog of processor.rs:567-584).
+        The collector is SHARDED (one actor per ~4 CPUs): each encode
+        task acks a tiny update to its pid-local shard, so no single
+        actor serializes every encode task on a wide cluster."""
+        shards = [LimitsActor.remote()
+                  for _ in range(max(1, min(8, _cpus() // 4)))]
         enc = EncodeStage(cfg.fmt, cfg.jpeg_quality, cfg.tile_size, bands,
-                          keep_pixels=True, limits_actor=actor,
+                          keep_pixels=True, limits_actor=shards,
                           pixels_only_zoom=pixels_only_zoom)
-        return actor, enc
+        return shards, enc
 
-    def _collect(actor) -> dict:
-        part = ray.get(actor.get.remote())
-        ray.kill(actor)
+    def _collect(shards) -> dict:
+        part = merge_limits(ray.get([a.get.remote() for a in shards]))
+        for a in shards:
+            ray.kill(a)
         limit_parts.append(part)
         return part
 
@@ -175,25 +210,24 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     man["leaf_min_zoom"] = cfg.max_zoom - local_levels
     if not (cfg.resume and man["done"]):
         t0 = time.time()
-        done_keys = np.concatenate(
-            [np.asarray(a["megatile_keys"], np.uint64)
-             for a in man["attempts"]] or [np.array([], np.uint64)])
-        todo = _anti_join_done(universe, done_keys) if cfg.resume else universe
-        todo_tbl = todo.to_arrow_refs()
-        todo_keys = []
-        for ref in todo_tbl:
-            t = ray.get(ref)
-            todo_keys.append(tm.tile_key(t["mz"].to_numpy(), t["mx"].to_numpy(),
-                                         t["my"].to_numpy()))
-        todo_keys = (np.concatenate(todo_keys) if todo_keys
-                     else np.array([], np.uint64))
+        done_ranges = ckpt.merge_ranges(
+            [a.get("key_ranges", []) for a in man["attempts"]])
+        todo = _anti_join_done(universe, done_ranges) if cfg.resume \
+            else universe
+        todo_ranges = _todo_ranges(todo)
         for a in man["attempts"]:         # prior attempts' stored limits
             if a.get("limits_partial"):
                 limit_parts.append(a["limits_partial"])
-        if len(todo_keys) or not man["attempts"]:
+        if ckpt.range_count(todo_ranges) or not man["attempts"]:
             attempt = len(man["attempts"])
             adir = os.path.join(lvl_dir(cfg.max_zoom), f"attempt-{attempt}")
-            todo = _anti_join_done(universe, done_keys) if cfg.resume else universe
+            if os.path.isdir(adir):
+                # leftovers of a crashed, never-recorded attempt: a rerun
+                # into the same dir would append duplicate part files
+                import shutil
+                shutil.rmtree(adir)
+            todo = _anti_join_done(universe, done_ranges) if cfg.resume \
+                else universe
             # ONE fused task per megatile: warp -> sector extraction ->
             # shuffle-free subtree compose (a megatile block holds the
             # complete z..z-offset subtree — the reference's compose-cache
@@ -223,7 +257,7 @@ def build_pyramid(cfg: TilerConfig) -> dict:
             leaves.write_parquet(adir)
             man["attempts"].append({
                 "dir": adir,
-                "megatile_keys": [int(k) for k in todo_keys],
+                "key_ranges": todo_ranges,
                 "partitions": ckpt.partition_files(adir),
                 "limits_partial": _collect(actor),
             })
@@ -256,6 +290,9 @@ def build_pyramid(cfg: TilerConfig) -> dict:
         cstage = f"span_z{z - 1}_to_z{z - L}"
         if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
             t0 = time.time()
+            if os.path.isdir(sdir):       # crashed, never-recorded span
+                import shutil
+                shutil.rmtree(sdir)
             raw = rd.read_parquet(
                 parquet_files(src),
                 columns=["zoom", "x", "y", "pixels", "status"],

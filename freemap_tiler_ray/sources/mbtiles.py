@@ -160,7 +160,8 @@ def import_mbtiles_leaves(prior: str, cfg, bands: int) -> dict:
     pq.write_table(out, os.path.join(adir, "imported.parquet"))
     from ..state.limits import partial_limits
     is_data = np.array([s == "data" for s in status]) & keep
-    man = {"attempts": [{"dir": adir, "megatile_keys": [int(k) for k in done],
+    man = {"attempts": [{"dir": adir,
+                         "key_ranges": ckpt.ranges_from_keys(done),
                          "partitions": ckpt.partition_files(adir),
                          "limits_partial": partial_limits(z, x, tms, is_data),
                          "imported_from": prior}],

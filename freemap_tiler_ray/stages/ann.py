@@ -145,16 +145,16 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
             d2 = _d2_fold(m, c)
             assign = np.argmin(d2, axis=1).astype(np.int64)
             e6 = np.floor(m * 1000000.0).astype(np.int64)
-            out = {"cluster": [], "dim": [], "part_sum": [], "part_n": []}
-            for cl in np.unique(assign):
-                sel = assign == cl
-                s = e6[sel].sum(axis=0)
-                out["cluster"].extend([int(cl)] * m.shape[1])
-                out["dim"].extend(range(m.shape[1]))
-                out["part_sum"].extend(s.tolist())
-                out["part_n"].extend([int(sel.sum())] * m.shape[1])
-            return pa.table({kk: pa.array(v, pa.int64())
-                             for kk, v in out.items()})
+            ucl, inv = np.unique(assign, return_inverse=True)
+            kk, dd = len(ucl), e6.shape[1]
+            sums = np.zeros((kk, dd), np.int64)
+            np.add.at(sums, inv, e6)
+            ns = np.bincount(inv, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(ucl, dd), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dd, dtype=np.int64), kk)),
+                "part_sum": pa.array(sums.ravel(), pa.int64()),
+                "part_n": pa.array(np.repeat(ns, dd), pa.int64())})
 
         from ray.data.aggregate import Sum
         agg = (ds.map_batches(partial, batch_format="pyarrow",

@@ -34,7 +34,11 @@ class EncodeStage:
         self.ts = tile_size
         self.bands = bands
         self.keep_pixels = keep_pixels
-        self.limits_actor = limits_actor  # state/limits.LimitsActor handle
+        # state/limits.LimitsActor handle(s); a list is treated as shards
+        # and each worker picks one by pid so updates fan out
+        if limits_actor is not None and not isinstance(limits_actor, list):
+            limits_actor = [limits_actor]
+        self.limits_actor = limits_actor
         # raw pixels are only ever re-read at the NEXT span's input zoom;
         # storing them for other rows multiplies write volume ~12x (raw
         # 256KB vs ~20KB encoded) for data nobody reads
@@ -63,13 +67,18 @@ class EncodeStage:
             from ..state.limits import partial_limits
             is_data = _np.array([s == "data" for s in status])
             if is_data.any():
+                import os as _os
+
                 import ray as _ray
 
                 # acknowledged update: the stage execution finishing then
                 # guarantees every partial reached the actor (a
                 # fire-and-forget update could still be in flight when
-                # the driver collects)
-                _ray.get(self.limits_actor.update.remote(
+                # the driver collects); pid-sharded so no single actor
+                # serializes every encode task
+                shard = self.limits_actor[_os.getpid()
+                                          % len(self.limits_actor)]
+                _ray.get(shard.update.remote(
                     partial_limits(zoom, batch["x"].to_numpy(), tms, is_data)))
         cols = {
             "zoom": batch["zoom"], "x": batch["x"], "y": batch["y"],

@@ -211,21 +211,31 @@ def knn_cell_ring(docs_ds, queries, k: int, res: int = 6, max_ring: int | None =
 
         cand = docs_ds.map_batches(flt, batch_format="pyarrow")
         merged = knn_join(cand, active, k).to_pandas()
-        # closure test per query: kth distance vs nearest unexplored ring
-        span_deg = 360.0 / n_cells  # lon degrees per cell (lat differs; use
-        # the smaller lat extent conservatively via mercator bounds)
+        # closure test per query: kth distance vs nearest unexplored ring.
+        # The covered region after ring r is the mercator block of the
+        # query's cell grown by r uniform cell widths; its DEGREE margin
+        # around the query is taken side-by-side through the exact
+        # mercator->lat transform, so poleward-shrinking lat extents can
+        # never overstate coverage (any uncovered point differs by more
+        # than the min margin in lon or lat -> d2 > closed).
+        cell_m = tm.WORLD / n_cells
         for qid, qlon, qlat in active:
             mine = merged[merged["query_id"] == qid]
             r = pending[qid]
-            # conservative closed distance: (r-? ) use (r-0?) cells fully
-            # covered: ring r means cells within Chebyshev r -> guaranteed
-            # coverage radius (r) * min cell extent in degrees around query
             cx, cy = int(qxy[qid][0]), int(qxy[qid][1])
             bx0, by0, bx1, by1 = tm.bounds(res, cx, cy)
-            lon0, lat0 = mercator_to_lonlat(bx0, by0)
-            lon1, lat1 = mercator_to_lonlat(bx1, by1)
-            cell_deg = min(float(lon1 - lon0), abs(float(lat1 - lat0)))
-            closed = (r * cell_deg) ** 2  # distances <= this are final
+            gx0, gy0 = bx0 - r * cell_m, by0 - r * cell_m
+            gx1, gy1 = bx1 + r * cell_m, by1 + r * cell_m
+            margins = []
+            if gx0 > -tm.ORIGIN:
+                margins.append(qlon - float(mercator_to_lonlat(gx0, 0.0)[0]))
+            if gx1 < tm.ORIGIN:
+                margins.append(float(mercator_to_lonlat(gx1, 0.0)[0]) - qlon)
+            if gy0 > -tm.ORIGIN:
+                margins.append(qlat - float(mercator_to_lonlat(0.0, gy0)[1]))
+            if gy1 < tm.ORIGIN:
+                margins.append(float(mercator_to_lonlat(0.0, gy1)[1]) - qlat)
+            closed = (min(margins) ** 2 if margins else np.inf)
             kth = mine["d2"].iloc[k - 1] if len(mine) >= k else np.inf
             if kth <= closed or (r >= max_ring):
                 results[qid] = mine.head(k)

@@ -1,11 +1,13 @@
 """Text-analysis stages: tokenization, quality scoring, language-ID
 heuristic, document fingerprinting (training-data-pipeline layer).
 
-All per-batch bodies are vectorized (pandas str ops / numpy); the only
-per-row Python is md5 fingerprinting (stdlib hashlib; at scale this
-stage runs in an actor pool where a faster hash plugs in via __init__).
-Every derivation is mirrored term-for-term by a DuckDB oracle in
-__ray_entry__ (same split char, same regex, same division structure).
+All per-batch bodies are vectorized: token streams are flattened across
+the batch, factorized once with np.unique, and per-row statistics come
+from reduceat/bincount over the flat codes. md5 (which the oracles pin
+— DuckDB's only mirrorable string hash here) runs once per UNIQUE
+token/shingle in the batch, not per occurrence. Every derivation is
+mirrored term-for-term by a DuckDB oracle in __ray_entry__ (same split
+char, same regex, same division structure).
 """
 
 from __future__ import annotations
@@ -28,6 +30,20 @@ LANG_MARKERS = {
 }
 
 
+def _flat_tokens(texts: pd.Series):
+    """Split-on-space token stream for a batch: (flat object array,
+    row offsets, unique tokens, inverse codes). One np.unique factorizes
+    the whole batch; every per-row statistic is then a reduceat/bincount
+    over integer codes — no per-row Python in the callers."""
+    toks = texts.str.split(" ")
+    counts = toks.str.len().to_numpy()
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    return offsets, uniq, inv
+
+
 class TextStatsStage:
     """(doc_id, text) -> token/quality statistics. Stateful: the token
     regex is compiled once per actor."""
@@ -37,23 +53,32 @@ class TextStatsStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.select(["doc_id", "text"]).to_pandas()
-        toks = df["text"].str.split(" ")
-        n_tokens = toks.str.len().astype(np.int64)
-        n_unique = toks.map(lambda t: len(set(t))).astype(np.int64)
-        n_stop = toks.map(lambda t: sum(w in STOPWORDS for w in t)).astype(np.int64)
-        n_bpe = df["text"].str.lower().map(
-            lambda s: len(self.token_re.findall(s))).astype(np.int64)
-        n_chars = df["text"].str.len().astype(np.int64)
+        n = len(df)
+        offsets, uniq, inv = _flat_tokens(df["text"])
+        n_tokens = offsets[1:] - offsets[:-1]
+        # distinct (row, code) pairs -> per-row unique-token count
+        row = np.repeat(np.arange(n, dtype=np.int64),
+                        n_tokens)
+        pair = row * np.int64(len(uniq)) + inv
+        n_unique = np.bincount(np.unique(pair) // np.int64(len(uniq)),
+                               minlength=n).astype(np.int64)
+        stop_u = np.isin(uniq, np.asarray(STOPWORDS, dtype=object))
+        n_stop = np.add.reduceat(stop_u[inv].astype(np.int64),
+                                 offsets[:-1])
+        # str.count(regex) == len(findall): non-overlapping matches
+        n_bpe = (df["text"].str.lower().str.count(TOKEN_RE)
+                 .to_numpy().astype(np.int64))
+        n_chars = df["text"].str.len().to_numpy().astype(np.int64)
         return pa.table({
             "doc_id": pa.array(df["doc_id"], pa.int64()),
             "n_chars_calc": pa.array(n_chars),
-            "n_tokens": pa.array(n_tokens),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
             "n_bpe_tokens": pa.array(n_bpe),
             "n_unique": pa.array(n_unique),
-            "uniq_ratio": pa.array(n_unique.to_numpy().astype(np.float64)
-                                   / n_tokens.to_numpy().astype(np.float64)),
-            "stop_ratio": pa.array(n_stop.to_numpy().astype(np.float64)
-                                   / n_tokens.to_numpy().astype(np.float64)),
+            "uniq_ratio": pa.array(n_unique.astype(np.float64)
+                                   / n_tokens.astype(np.float64)),
+            "stop_ratio": pa.array(n_stop.astype(np.float64)
+                                   / n_tokens.astype(np.float64)),
         })
 
 
@@ -63,9 +88,10 @@ def lang_id(batch: pa.Table) -> pa.Table:
     zero. (The testdata's `lang` column is unrelated synthetic metadata;
     the oracle mirrors this heuristic, not that column.)"""
     df = batch.select(["doc_id", "text"]).to_pandas()
-    toks = df["text"].str.split(" ")
-    scores = {lang: toks.map(lambda t, m=set(markers): sum(w in m for w in t))
-                        .astype(np.int64).to_numpy()
+    offsets, uniq, inv = _flat_tokens(df["text"])
+    scores = {lang: np.add.reduceat(
+                  np.isin(uniq, np.asarray(markers, dtype=object))[inv]
+                  .astype(np.int64), offsets[:-1])
               for lang, markers in LANG_MARKERS.items()}
     en, de, fr = scores["en"], scores["de"], scores["fr"]
     pred = np.where((en >= de) & (en >= fr) & (en > 0), "en",
@@ -83,28 +109,38 @@ def md5_hex(s: str) -> str:
 
 def fingerprint(batch: pa.Table) -> pa.Table:
     """Normalized-content fingerprint: md5(lower(trim(text))) — the exact
-    dedup key (SQL mirror: md5(lower(trim(text))))."""
+    dedup key (SQL mirror: md5(lower(trim(text)))). Hashed once per
+    unique normalized text in the batch."""
     df = batch.select(["doc_id", "text"]).to_pandas()
-    norm = df["text"].str.strip().str.lower()
-    fps = [md5_hex(s) for s in norm]
+    norm = df["text"].str.strip().str.lower().to_numpy()
+    uniq, inv = np.unique(norm, return_inverse=True)
+    fps = np.asarray([md5_hex(s) for s in uniq], dtype=object)[inv]
     return pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
                      "fingerprint": pa.array(fps, pa.string())})
 
 
 def shingle_hashes(texts: pd.Series, k: int = 3):
     """Per doc: sorted unique 60-bit hashes of the k-word shingles
-    (hash = int(md5(shingle)[:15], 16), mirroring DuckDB's
+    (hash = first 60 bits of md5(shingle), mirroring DuckDB's
     ('0x' || substr(md5(s), 1, 15))::BIGINT). Docs with fewer than k
-    tokens hash the whole text as one shingle."""
-    out = []
-    for t in texts:
+    tokens hash the whole text as one shingle. md5 runs once per UNIQUE
+    shingle across the batch (duplicate docs/shingles hash once)."""
+    all_sh, counts = [], np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
         toks = t.split(" ")
         if len(toks) < k:
             sh = [t]
         else:
-            sh = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        hs = np.unique(np.array(
-            [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh],
-            dtype=np.int64))
-        out.append(hs)
-    return out
+            sh = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        all_sh.extend(sh)
+        counts[i] = len(sh)
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    uniq, inv = np.unique(np.asarray(all_sh, dtype=object),
+                          return_inverse=True)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 4
+         for s in uniq), np.int64, count=len(uniq))
+    flat = uh[inv]
+    return [np.unique(flat[offsets[i]:offsets[i + 1]])
+            for i in range(len(counts))]

@@ -48,9 +48,9 @@ def test_partial_resume(ray_session, tmp_path):
     build_pyramid(cfg2)
 
     man = ckpt.load_manifest(out2, "leaves")
-    all_keys = man["attempts"][0]["megatile_keys"]
+    all_keys = ckpt.keys_from_ranges(man["attempts"][0]["key_ranges"])
     assert len(all_keys) == 4
-    done_keys = sorted(all_keys)[:2]
+    done_keys = sorted(int(k) for k in all_keys)[:2]
     # keep only leaves belonging to the two "done" megatiles
     adir = man["attempts"][0]["dir"]
     kept = []
@@ -67,7 +67,7 @@ def test_partial_resume(ray_session, tmp_path):
     import pyarrow as pa
     pq.write_table(pa.concat_tables(kept), os.path.join(adir, "part-0.parquet"))
     # manifest: only 2 megatiles claimed; downstream stages wiped
-    man["attempts"][0]["megatile_keys"] = done_keys
+    man["attempts"][0]["key_ranges"] = ckpt.ranges_from_keys(done_keys)
     man["attempts"][0]["partitions"] = ckpt.partition_files(adir)
     man["done"] = False
     ckpt.save_manifest(out2, "leaves", man)
@@ -85,8 +85,11 @@ def test_partial_resume(ray_session, tmp_path):
     # the rerun's second attempt covers exactly the 2 missing megatiles
     man2 = ckpt.load_manifest(out2, "leaves")
     assert len(man2["attempts"]) == 2
-    new_keys = sorted(man2["attempts"][1]["megatile_keys"])
-    assert new_keys == sorted(set(all_keys) - set(done_keys))
+    new_keys = sorted(
+        int(k) for k in
+        ckpt.keys_from_ranges(man2["attempts"][1]["key_ranges"]))
+    assert new_keys == sorted(set(int(k) for k in all_keys)
+                              - set(done_keys))
     t2 = pq.read_table(parquet_files(man2["attempts"][1]["dir"]))
     sh2 = (t2["zoom"].to_numpy() - mzoom).astype(np.int64)
     mkey2 = np.unique(tm.tile_key(np.full(t2.num_rows, mzoom),

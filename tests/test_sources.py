@@ -46,12 +46,12 @@ def test_import_mbtiles_resume(ray_session, tmp_path):
                        max_zoom=6, warp_zoom_offset=1, resume=True)
     os.makedirs(cfg2.out_dir, exist_ok=True)
     man = import_mbtiles_leaves(str(tmp_path / "a.mbtiles"), cfg2, bands=4)
-    assert len(man["attempts"][0]["megatile_keys"]) == 4  # all complete
+    assert ckpt.range_count(man["attempts"][0]["key_ranges"]) == 4  # all
 
     res2 = build_pyramid(cfg2)
     # resume added no new warp attempt beyond the import
     man2 = ckpt.load_manifest(cfg2.out_dir, "leaves")
-    extra = [a for a in man2["attempts"][1:] if a["megatile_keys"]]
+    extra = [a for a in man2["attempts"][1:] if a.get("key_ranges")]
     assert not extra
     assert res2["limits"] == res1["limits"]
     from freemap_tiler_ray.sources.mbtiles import read_mbtiles_tiles
