@@ -3,9 +3,9 @@
 Mirrors the reference's encode stage semantics
 (/root/reference/src/processor.rs:496-562):
   - PNG: CompressionType::Best + Adaptive filtering, La8 (2-band) or
-    Rgba8 (4-band)  -> here: zlib level 9, per-row adaptive filter chosen
-    among None/Sub/Up by the minimum-sum-of-absolute-differences
-    heuristic (restricted to the filters with fully vectorizable decode).
+    Rgba8 (4-band)  -> here: zlib level 9, per-row adaptive filter over
+    ALL FIVE filters (None/Sub/Up/Average/Paeth, the image-png crate's
+    Adaptive set) by the minimum-sum-of-absolute-differences heuristic.
     Byte-identical PNG across encoders is not guaranteed (SURVEY.md §7.5)
     — correctness is defined on DECODED pixels.
   - JPEG + alpha split: color planes JPEG-encoded, alpha plane compressed
@@ -52,7 +52,20 @@ def png_encode(img: np.ndarray) -> bytes:
     prev = np.vstack([np.zeros((1, w * c), np.uint8), raw[:-1]])
     left = np.zeros_like(raw)
     left[:, c:] = raw[:, :-c]
-    cands = np.stack([raw, raw - left, raw - prev])        # None, Sub, Up (mod 256)
+    upleft = np.zeros_like(prev)
+    upleft[:, c:] = prev[:, :-c]
+    # predictors use RAW neighbor values (PNG spec), so every candidate
+    # row vectorizes from raw/prev/left/upleft directly
+    a16 = left.astype(np.int16)
+    b16 = prev.astype(np.int16)
+    c16 = upleft.astype(np.int16)
+    avg = ((a16 + b16) // 2).astype(np.uint8)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    paeth = np.where((pa <= pb) & (pa <= pc), a16,
+                     np.where(pb <= pc, b16, c16)).astype(np.uint8)
+    cands = np.stack([raw, raw - left, raw - prev,         # None, Sub, Up
+                      raw - avg, raw - paeth])             # Average, Paeth
     folded = np.minimum(cands, 256 - cands.astype(np.int16)).astype(np.int64)
     choice = folded.sum(axis=2).argmin(axis=0)             # per-row filter id
     filtered = np.take_along_axis(cands, choice[None, :, None], axis=0)[0]
@@ -99,20 +112,29 @@ def png_decode(data: bytes) -> np.ndarray:
                                     dtype=np.uint8).reshape(-1)
         elif f == 2:
             cur = row + prev
-        elif f == 3:
-            cur = row
-            for j in range(w * c):
-                a = cur[j - c] if j >= c else np.uint8(0)
-                cur[j] = cur[j] + np.uint8((int(a) + int(prev[j])) // 2)
-        elif f == 4:
-            cur = row
-            for j in range(w * c):
-                a = int(cur[j - c]) if j >= c else 0
-                b, cc = int(prev[j]), int(prev[j - c]) if j >= c else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                cur[j] = cur[j] + np.uint8(pred)
+        elif f in (3, 4):
+            # sequential only in x (left neighbor is reconstructed);
+            # vectorized across channels per pixel
+            rw = row.reshape(w, c).astype(np.int16)
+            pr = prev.reshape(w, c).astype(np.int16)
+            rec = np.zeros((w, c), np.int16)
+            a = np.zeros(c, np.int16)
+            zc = np.zeros(c, np.int16)
+            for x in range(w):
+                b = pr[x]
+                cc = pr[x - 1] if x >= 1 else zc
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - cc
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - b)
+                    pc = np.abs(p - cc)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, cc))
+                a = (rw[x] + pred) & 0xFF
+                rec[x] = a
+            cur = rec.astype(np.uint8).reshape(-1)
         else:
             raise ValueError(f"bad filter {f}")
         out[r] = cur
