@@ -8,9 +8,12 @@
         [--num-threads N] [--no-insert-empty] [--source-srs EPSG:4326]
 
 This entry point OWNS the Ray session (library code never calls
-ray.init). --transform-pipeline is rejected: PROJ pipelines are not
-available in this environment; the Transform abstraction in geo.py takes
-pluggable callables instead (SURVEY.md §2.2 T2).
+ray.init). --transform-pipeline takes a 'module:function' spec (no PROJ
+in this environment): the named factory returns (fwd, inv[, separable])
+callable pairs and is imported lazily in every Ray worker — the direct
+analog of the reference handing its PROJ pipeline string to each warp
+thread (args.rs:37-43, warp.rs:22-58). See geo.resolve_crs and
+transforms_demo.py for ready-made examples.
 """
 
 from __future__ import annotations
@@ -42,17 +45,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source-srs", default=None,
                    help="override the sidecar CRS (EPSG:3857 or EPSG:4326)")
     p.add_argument("--transform-pipeline", default=None,
-                   help="unsupported here (no PROJ); see geo.py")
+                   help="'module:function' factory returning (fwd, inv"
+                        "[, separable]) — the PROJ-pipeline analog; "
+                        "see transforms_demo.py")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.transform_pipeline:
-        print("error: --transform-pipeline requires PROJ, which is not "
-              "available; plug a transformer pair into geo.py instead",
-              file=sys.stderr)
-        return 2
+        if args.source_srs:
+            print("error: --transform-pipeline and --source-srs are "
+                  "mutually exclusive", file=sys.stderr)
+            return 2
+        args.source_srs = f"pipeline:{args.transform_pipeline}"
 
     import ray
 

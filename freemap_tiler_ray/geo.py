@@ -42,6 +42,56 @@ def mercator_to_lonlat(x, y):
     return lon, lat
 
 
+# ---------------------------------------------------------------------------
+# Pluggable CRS registry — the sandbox analog of the reference's
+# --transform-pipeline (PROJ pipeline string, warp.rs:22-58, args.rs:37-43):
+# a transform is a callable pair resolved BY NAME in every process, so a
+# 'pipeline:module:function' spec travels to Ray workers as a string and
+# each worker imports/instantiates it locally (exactly how the reference
+# hands the PROJ string to each thread).
+# ---------------------------------------------------------------------------
+
+_CRS_REGISTRY: dict[str, tuple] = {}
+
+
+def register_crs(name: str, fwd, inv, separable: bool = True) -> None:
+    """Register a transform pair under `name` (usable as SceneSpec.crs).
+    fwd: (src_x, src_y) -> (merc_x, merc_y); inv: the inverse.
+    separable=True promises merc_x depends only on src_x and merc_y only
+    on src_y (enables the fast separable warp; otherwise the warp falls
+    back to the full-grid path)."""
+    _CRS_REGISTRY[name] = (fwd, inv, bool(separable))
+
+
+def resolve_crs(name: str):
+    """(fwd, inv, separable) for a CRS name: the EPSG built-ins, any
+    register_crs() entry, or a 'pipeline:module:function' spec whose
+    factory (imported lazily in the calling process — worker-safe)
+    returns (fwd, inv) or (fwd, inv, separable)."""
+    got = _CRS_REGISTRY.get(name)
+    if got is not None:
+        return got
+    if name == "EPSG:3857":
+        ident = lambda x, y: (np.asarray(x, np.float64),  # noqa: E731
+                              np.asarray(y, np.float64))
+        got = (ident, ident, True)
+    elif name == "EPSG:4326":
+        got = (lonlat_to_mercator, mercator_to_lonlat, True)
+    elif name.startswith("pipeline:"):
+        import importlib
+
+        mod_name, func = name[len("pipeline:"):].rsplit(":", 1)
+        factory = getattr(importlib.import_module(mod_name), func)
+        parts = tuple(factory())
+        got = parts if len(parts) == 3 else parts + (True,)
+    else:
+        raise ValueError(
+            f"unsupported CRS {name!r}: use EPSG:3857, EPSG:4326, a "
+            f"register_crs() name, or 'pipeline:module:function'")
+    _CRS_REGISTRY[name] = got
+    return got
+
+
 def transform_bounds(fwd, min_x, min_y, max_x, max_y, densify_pts=21):
     """Densified bbox transform, mirroring GDAL's transform_bounds with
     21-point densification (reference main.rs:166-169): sample each edge at

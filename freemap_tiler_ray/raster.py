@@ -24,7 +24,8 @@ import os
 import numpy as np
 
 from . import tilemath as tm
-from .geo import lonlat_to_mercator, mercator_to_lonlat, transform_bounds
+from .geo import (lonlat_to_mercator, mercator_to_lonlat, resolve_crs,
+                  transform_bounds)
 
 
 @dataclasses.dataclass
@@ -53,24 +54,30 @@ class SceneSpec:
 
     def mercator_bbox(self, densify_pts: int = 21):
         """Source bbox reprojected to EPSG:3857 with densification
-        (main.rs:166-169)."""
+        (main.rs:166-169). Any registered / pipeline CRS works — the
+        forward transform comes from geo.resolve_crs."""
         b = self.source_bbox()
         if self.crs == "EPSG:3857":
             return b
-        if self.crs == "EPSG:4326":
-            return transform_bounds(lonlat_to_mercator, *b, densify_pts=densify_pts)
-        raise ValueError(f"unsupported CRS {self.crs}")
+        fwd, _, _ = resolve_crs(self.crs)
+        return transform_bounds(fwd, *b, densify_pts=densify_pts)
+
+    @property
+    def crs_separable(self) -> bool:
+        """True when merc_x depends only on src_x and merc_y only on
+        src_y — the condition for the fast separable warp (T6); pipeline
+        CRS entries declare this themselves (geo.register_crs)."""
+        return resolve_crs(self.crs)[2]
 
     def mercator_to_source_px(self, X, Y):
         """EPSG:3857 coords -> fractional source pixel coords (col, row),
-        pixel-center convention (integer + 0.5 = center). Axis-separable
-        for both supported CRS pairs (SURVEY.md §2.2 T6)."""
+        pixel-center convention (integer + 0.5 = center). Accepts 1-D
+        axes (separable CRS) or full 2-D grids (pipeline CRS)."""
         if self.crs == "EPSG:3857":
             sx, sy = np.asarray(X, np.float64), np.asarray(Y, np.float64)
-        elif self.crs == "EPSG:4326":
-            sx, sy = mercator_to_lonlat(X, Y)
         else:
-            raise ValueError(f"unsupported CRS {self.crs}")
+            _, inv, _ = resolve_crs(self.crs)
+            sx, sy = inv(X, Y)
         col = (sx - self.origin_x) / self.px_w
         row = (self.origin_y - sy) / self.px_h
         return col, row
@@ -164,10 +171,9 @@ class MosaicSpec:
     def mercator_bbox(self, densify_pts: int = 21):
         if self.crs == "EPSG:3857":
             return self.source_bbox()
-        if self.crs == "EPSG:4326":
-            return transform_bounds(lonlat_to_mercator, *self.source_bbox(),
-                                    densify_pts=densify_pts)
-        raise ValueError(self.crs)
+        fwd, _, _ = resolve_crs(self.crs)
+        return transform_bounds(fwd, *self.source_bbox(),
+                                densify_pts=densify_pts)
 
     def save(self):
         with open(self.path, "w") as f:

@@ -177,6 +177,51 @@ def downsample2x_batch(arr, kernel="lanczos3"):
     return _to_u8(out)
 
 
+def grid_warp(img, col, row, scale_x, scale_y, kernel="lanczos3"):
+    """Warp with a FULL dst->src coordinate grid — the fallback for
+    non-axis-separable transforms (arbitrary pipeline CRS, rotations),
+    where separable_warp's 1-D tap factorization does not apply. The
+    Lanczos kernel itself is still separable per sample, so each output
+    pixel sums an (n_tap_y x n_tap_x) window with product weights;
+    out-of-range taps contribute nothing and weights renormalize
+    (edge="zero" semantics, matching separable_warp); samples whose
+    center falls outside the source come out zero (-> transparent).
+
+    img: (H, W[, C]) uint8; col/row: (outH, outW) fractional source
+    coords; scale_*: local src/dst pixel-size ratio (kernel stretch)."""
+    img = np.asarray(img)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    kfn, support = _KERNELS[kernel]
+    sx, sy = max(float(scale_x), 1.0), max(float(scale_y), 1.0)
+    radx, rady = support * sx, support * sy
+    ntx = int(np.ceil(2.0 * radx)) + 2
+    nty = int(np.ceil(2.0 * rady)) + 2
+    leftx = np.floor(col - radx - 0.5).astype(np.int64)
+    topy = np.floor(row - rady - 0.5).astype(np.int64)
+    acc = np.zeros(col.shape + (c,), np.float32)
+    wsum = np.zeros(col.shape, np.float32)
+    for ty in range(nty):
+        tr = topy + ty
+        wy = kfn((tr + 0.5 - row) / sy)
+        vr = (tr >= 0) & (tr < h)
+        trc = np.clip(tr, 0, h - 1)
+        for tx in range(ntx):
+            tc = leftx + tx
+            wx = kfn((tc + 0.5 - col) / sx)
+            wgt = np.where(vr & (tc >= 0) & (tc < w),
+                           (wx * wy), 0.0).astype(np.float32)
+            acc += wgt[:, :, None] * img[trc, np.clip(tc, 0, w - 1)]
+            wsum += wgt
+    wsum[wsum == 0.0] = 1.0
+    out = acc / wsum[:, :, None]
+    out[(col < 0.0) | (col > w) | (row < 0.0) | (row > h)] = 0.0
+    out = _to_u8(out)
+    return out[:, :, 0] if squeeze else out
+
+
 def separable_warp(img, src_x_centers, src_y_centers, scale_x, scale_y,
                    kernel="lanczos3"):
     """Warp via independent per-axis resampling (valid whenever the

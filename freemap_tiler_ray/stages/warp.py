@@ -101,6 +101,8 @@ class WarpStage:
         # target pixel centers in EPSG:3857 (y row 0 = north)
         X = bx0 + (np.arange(S) + 0.5) * ((bx1 - bx0) / S)
         Y = by1 - (np.arange(S) + 0.5) * ((by1 - by0) / S)
+        if not spec.crs_separable:
+            return self._warp_grid(spec, img, X, Y, S)
         col, _ = spec.mercator_to_source_px(X, np.full_like(X, (by0 + by1) / 2))
         _, row = spec.mercator_to_source_px(np.full_like(Y, (bx0 + bx1) / 2), Y)
 
@@ -121,6 +123,32 @@ class WarpStage:
                              kernel=self.kernel)
         # T7 nodata -> transparent (processor.rs:404-439): any band equal to
         # its nodata zeroes the whole pixel (color + alpha)
+        if spec.nodata is not None:
+            nod = (out[:, :, :spec.bands] == int(spec.nodata)).any(axis=2)
+            out[nod] = 0
+        return out
+
+    def _warp_grid(self, spec, img, X, Y, S: int) -> np.ndarray:
+        """Non-separable (pipeline-CRS) path: full dst->src coordinate
+        grid + resample.grid_warp — the analog of GDAL warping through an
+        arbitrary PROJ pipeline (warp.rs:22-58). Window pruning and the
+        nodata rule are identical to the separable path."""
+        from ..resample import grid_warp
+        Xg, Yg = np.meshgrid(X, Y)
+        col, row = spec.mercator_to_source_px(Xg, Yg)
+        # local pixel-size ratios: median absolute neighbor step
+        scale_x = max(float(np.median(np.abs(np.diff(col, axis=1)))), 1e-12)
+        scale_y = max(float(np.median(np.abs(np.diff(row, axis=0)))), 1e-12)
+        mrg = int(np.ceil(3.0 * max(scale_x, scale_y, 1.0))) + 2
+        c0 = max(0, int(np.floor(col.min())) - mrg)
+        c1 = min(spec.width, int(np.ceil(col.max())) + mrg)
+        r0 = max(0, int(np.floor(row.min())) - mrg)
+        r1 = min(spec.height, int(np.ceil(row.max())) + mrg)
+        if c0 >= c1 or r0 >= r1:
+            return np.zeros((S, S, self.bands), np.uint8)
+        window = with_alpha(np.asarray(img[r0:r1, c0:c1]), spec.bands)
+        out = grid_warp(window, col - c0, row - r0, scale_x, scale_y,
+                        kernel=self.kernel)
         if spec.nodata is not None:
             nod = (out[:, :, :spec.bands] == int(spec.nodata)).any(axis=2)
             out[nod] = 0
