@@ -155,6 +155,53 @@ def _todo_ranges(ds) -> list[list[int]]:
                                for a, b in zip(df["lo"], df["hi"])]])
 
 
+@ray.remote
+def _compose_top_task(files: list[str], zoom: int, ts: int, bands: int,
+                      kernel: str, fmt: str, quality: int,
+                      sdir: str) -> dict:
+    """Singleton top-of-pyramid task: once the remaining pyramid fits a
+    constant budget (<= 4^4 tiles at the current zoom — O(1) data at ANY
+    input scale), one Ray task reads the boundary-zoom rows, composes
+    every remaining level, encodes, and writes one parquet file. This
+    replaces several near-empty groupby barriers whose fixed all-to-all
+    cost (~seconds each) does not shrink with cluster size — the direct
+    analog of the reference's singleton top-of-pyramid tasks
+    (state.rs:56-61). Returns the stage's limits partial."""
+    import pyarrow.parquet as pq
+
+    from ..stages.compose import _compose_once
+    from ..stages.encode import EncodeStage
+    from ..state.limits import partial_limits
+
+    tbl = pq.read_table(files, columns=["zoom", "x", "y", "pixels",
+                                        "status"],
+                        filters=[("zoom", "=", zoom)])
+    xs = tbl["x"].to_numpy().astype(np.int64)
+    ys = tbl["y"].to_numpy().astype(np.int64)
+    is_data = np.asarray(tbl["status"].to_pandas()) == "data"
+    pix = tbl["pixels"].combine_chunks().to_pylist()
+    rows = {"zoom": [], "x": [], "y": [], "pixels": [], "status": []}
+    for step in range(zoom):
+        xs, ys, is_data, pix = _compose_once(
+            zoom - step, xs, ys, is_data, pix, ts, bands, kernel)
+        rows["zoom"].extend([zoom - step - 1] * len(xs))
+        rows["x"].extend(xs.tolist())
+        rows["y"].extend(ys.tolist())
+        rows["pixels"].extend(pix)
+        rows["status"].extend("data" if d else "empty" for d in is_data)
+    out = pa.table({"zoom": pa.array(rows["zoom"], pa.int64()),
+                    "x": pa.array(rows["x"], pa.int64()),
+                    "y": pa.array(rows["y"], pa.int64()),
+                    "pixels": pa.array(rows["pixels"], pa.binary()),
+                    "status": pa.array(rows["status"], pa.string())})
+    enc = EncodeStage(fmt, quality, ts, bands, keep_pixels=False)(out)
+    os.makedirs(sdir, exist_ok=True)
+    pq.write_table(enc, os.path.join(sdir, "part-0.parquet"))
+    return partial_limits(enc["zoom"].to_numpy(), enc["x"].to_numpy(),
+                          enc["tms_y"].to_numpy(),
+                          np.asarray(enc["status"].to_pandas()) == "data")
+
+
 def build_pyramid(cfg: TilerConfig) -> dict:
     """Run (or resume) the full pyramid build. Returns summary metadata."""
     t_start = time.time()
@@ -288,6 +335,31 @@ def build_pyramid(cfg: TilerConfig) -> dict:
         L, coarse = choose_span(est, z, _cpus())
         sdir = os.path.join(cfg.out_dir, f"span_z{z - 1}_to_z{z - L}")
         cstage = f"span_z{z - 1}_to_z{z - L}"
+        if L >= z:
+            # constant-size top of the pyramid: ONE task, zero shuffles
+            if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
+                t0 = time.time()
+                if os.path.isdir(sdir):
+                    import shutil
+                    shutil.rmtree(sdir)
+                part = ray.get(_compose_top_task.remote(
+                    parquet_files(src), z, cfg.tile_size, bands,
+                    cfg.kernel, cfg.fmt, cfg.jpeg_quality, sdir))
+                limit_parts.append(part)
+                ckpt.save_manifest(cfg.out_dir, cstage, {
+                    "done": True, "lineage": {"inputs": [src]},
+                    "partitions": ckpt.partition_files(sdir),
+                    "limits_partial": part,
+                    "metrics_sec": time.time() - t0})
+                metrics["compose"] = (metrics.get("compose", 0.0)
+                                      + time.time() - t0)
+            else:
+                m = ckpt.load_manifest(cfg.out_dir, cstage) or {}
+                if m.get("limits_partial"):
+                    limit_parts.append(m["limits_partial"])
+            out_dirs.append(sdir)
+            z = 0
+            break
         if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
             t0 = time.time()
             if os.path.isdir(sdir):       # crashed, never-recorded span

@@ -115,24 +115,42 @@ class KnnPartialStage:
         self.qy = np.array([q[2] for q in queries], np.float64)
         self.k = k
 
+    _CHUNK = 4096     # (Q=128, 4096) f64 distance block ~4 MB: stays
+                      # cache-resident instead of streaming a (Q, 65536)
+                      # 67 MB matrix (and its temporaries) through DRAM
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         lon = batch["lon"].to_numpy()
         lat = batch["lat"].to_numpy()
-        if len(ids) == 0:
+        n = len(ids)
+        if n == 0:
             return pa.table({"query_id": pa.array([], pa.string()),
                              "doc_id": pa.array([], pa.int64()),
                              "d2": pa.array([], pa.float64())})
-        d2 = (lon[None, :] - self.qx[:, None]) ** 2 + \
-             (lat[None, :] - self.qy[:, None]) ** 2          # (Q, n)
-        k = min(self.k, len(ids))
-        part = np.argpartition(d2, k - 1, axis=1)[:, :k]     # (Q, k)
+        k = min(self.k, n)
+        # exact top-k of per-chunk top-ks; d2 values are identical to the
+        # monolithic computation (same expression per element)
+        cand_i, cand_d = [], []
+        for c0 in range(0, n, self._CHUNK):
+            d2c = (lon[c0:c0 + self._CHUNK][None, :]
+                   - self.qx[:, None]) ** 2 \
+                + (lat[c0:c0 + self._CHUNK][None, :]
+                   - self.qy[:, None]) ** 2                  # (Q, ch)
+            kk = min(k, d2c.shape[1])
+            part = np.argpartition(d2c, kk - 1, axis=1)[:, :kk]
+            cand_d.append(np.take_along_axis(d2c, part, axis=1))
+            cand_i.append(part + c0)
+        D = np.concatenate(cand_d, axis=1)
+        I = np.concatenate(cand_i, axis=1)
+        part = np.argpartition(D, k - 1, axis=1)[:, :k]      # (Q, k)
         rows_q = np.repeat(np.arange(len(self.qid)), k)
-        rows_d = part.ravel()
+        rows_d = np.take_along_axis(I, part, axis=1).ravel()
         return pa.table({
             "query_id": pa.array(np.repeat(self.qid, k).tolist(), pa.string()),
             "doc_id": pa.array(ids[rows_d], pa.int64()),
-            "d2": pa.array(d2[rows_q, rows_d], pa.float64()),
+            "d2": pa.array(np.take_along_axis(D, part, axis=1).ravel(),
+                           pa.float64()),
         })
 
 
