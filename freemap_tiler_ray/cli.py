@@ -77,6 +77,17 @@ def main(argv=None) -> int:
         from .raster import SceneSpec
 
         scene = args.source
+        if scene.endswith((".tif", ".tiff")):
+            # one-time import to the mmap-able scene format (the VRT-build
+            # analog); reruns reuse the imported copy
+            import os
+
+            from .sources.geotiff import geotiff_to_scene
+            os.makedirs(args.out_dir, exist_ok=True)
+            imported = os.path.join(args.out_dir, "scene_import.npy")
+            if not os.path.exists(imported + ".json"):
+                geotiff_to_scene(scene, imported)
+            scene = imported
         if args.source_srs:
             import dataclasses
             import os

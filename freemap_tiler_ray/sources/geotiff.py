@@ -1,0 +1,333 @@
+"""Thin GeoTIFF reader (pure numpy + stdlib zlib) — closes the gap with
+the reference, which opens any GDAL-readable raster incl. GeoTIFFs
+(/root/reference/src/main.rs:80, README.md:73-77). The sandbox has no
+rasterio/GDAL, so this parses the TIFF container directly:
+
+  - classic (II/MM, magic 42) single- or multi-IFD files; first IFD
+  - 8-bit samples, 1-4 bands, chunky planar config
+  - strip AND tile layouts
+  - compression: none (1), deflate (8 / 32946), PackBits (32773)
+  - predictor 2 (horizontal differencing)
+  - georef from ModelPixelScaleTag + ModelTiepointTag (33550/33922) and
+    the EPSG code from GeoKeyDirectoryTag (34735) keys 1024/3072
+    (ProjectedCSTypeGeoKey wins over GeographicTypeGeoKey)
+
+`geotiff_to_scene` converts to the engine's mmap-able .npy + sidecar
+SceneSpec once (an import step, like building a VRT); `read_geotiff`
+returns the decoded array + georef for direct use. LZW/JPEG-in-TIFF and
+16-bit samples are rejected with a clear message rather than silently
+misread.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_TAG_NAMES = {
+    256: "width", 257: "height", 258: "bits_per_sample",
+    259: "compression", 277: "samples_per_pixel", 278: "rows_per_strip",
+    273: "strip_offsets", 279: "strip_byte_counts",
+    284: "planar_config", 317: "predictor",
+    322: "tile_width", 323: "tile_length",
+    324: "tile_offsets", 325: "tile_byte_counts",
+    33550: "pixel_scale", 33922: "tiepoint", 34735: "geo_keys",
+    34737: "geo_ascii",
+}
+_TYPE_FMT = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
+             5: ("II", 8), 11: ("f", 4), 12: ("d", 8),
+             6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
+             16: ("Q", 8), 17: ("q", 8)}
+
+
+def _read_ifd(buf: bytes, endian: str, off: int) -> dict:
+    (n,) = struct.unpack_from(endian + "H", buf, off)
+    tags: dict[str, tuple] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", buf, base)
+        name = _TAG_NAMES.get(tag)
+        fmt, sz = _TYPE_FMT.get(typ, (None, 0))
+        if name is None or fmt is None:
+            continue
+        total = sz * cnt
+        if total <= 4:
+            data_off = base + 8
+        else:
+            (data_off,) = struct.unpack_from(endian + "I", buf, base + 8)
+        if typ == 5 or typ == 10:          # rationals -> floats
+            vals = struct.unpack_from(endian + ("I" * 2 * cnt), buf, data_off)
+            vals = tuple(vals[2 * j] / max(vals[2 * j + 1], 1)
+                         for j in range(cnt))
+        elif typ == 2:
+            vals = (buf[data_off:data_off + cnt].split(b"\0")[0]
+                    .decode("ascii", "replace"),)
+        else:
+            vals = struct.unpack_from(endian + fmt * cnt, buf, data_off)
+        tags[name] = vals
+    (nxt,) = struct.unpack_from(endian + "I", buf, off + 2 + 12 * n)
+    tags["_next_ifd"] = (nxt,)
+    return tags
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _decode_chunk(raw: bytes, comp: int, nbytes: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):
+        return zlib.decompress(raw)
+    if comp == 32773:
+        return _unpackbits(raw, nbytes)
+    raise NotImplementedError(
+        f"TIFF compression {comp} not supported (supported: none=1, "
+        "deflate=8/32946, PackBits=32773); re-export with deflate")
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    # predictor 2: horizontal byte differencing per sample
+    return np.cumsum(arr.astype(np.int64), axis=1).astype(np.uint8)
+
+
+def read_geotiff(path: str):
+    """-> (img (H, W, C) uint8, georef dict with origin_x, origin_y,
+    px_w, px_h, crs)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] == b"II":
+        endian = "<"
+    elif buf[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, first = struct.unpack_from(endian + "HI", buf, 2)
+    if magic != 42:
+        raise NotImplementedError("BigTIFF (magic 43) not supported")
+    t = _read_ifd(buf, endian, first)
+
+    w = int(t["width"][0])
+    h = int(t["height"][0])
+    spp = int(t.get("samples_per_pixel", (1,))[0])
+    bits = t.get("bits_per_sample", (8,))
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit samples (got {bits})")
+    if int(t.get("planar_config", (1,))[0]) != 1:
+        raise NotImplementedError("only chunky planar configuration")
+    comp = int(t.get("compression", (1,))[0])
+    pred = int(t.get("predictor", (1,))[0])
+
+    img = np.zeros((h, w, spp), np.uint8)
+    if "tile_offsets" in t:
+        tw = int(t["tile_width"][0])
+        tl = int(t["tile_length"][0])
+        offs = t["tile_offsets"]
+        cnts = t["tile_byte_counts"]
+        per_row = (w + tw - 1) // tw
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decode_chunk(buf[o:o + c], comp, tl * tw * spp)
+            a = np.frombuffer(raw, np.uint8)[:tl * tw * spp] \
+                .reshape(tl, tw, spp)
+            if pred == 2:
+                a = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8)
+            ty, tx = divmod(i, per_row)
+            y0, x0 = ty * tl, tx * tw
+            ys, xs = min(tl, h - y0), min(tw, w - x0)
+            img[y0:y0 + ys, x0:x0 + xs] = a[:ys, :xs]
+    else:
+        rps = int(t.get("rows_per_strip", (h,))[0])
+        offs = t["strip_offsets"]
+        cnts = t["strip_byte_counts"]
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            y0 = i * rps
+            rows = min(rps, h - y0)
+            raw = _decode_chunk(buf[o:o + c], comp, rows * w * spp)
+            a = np.frombuffer(raw, np.uint8)[:rows * w * spp] \
+                .reshape(rows, w, spp)
+            if pred == 2:
+                a = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8)
+            img[y0:y0 + rows] = a
+
+    georef = {}
+    if "pixel_scale" in t and "tiepoint" in t:
+        sx, sy = float(t["pixel_scale"][0]), float(t["pixel_scale"][1])
+        tp = t["tiepoint"]
+        # raster point (i, j) maps to model (x, y): origin at the
+        # tiepoint shifted back by i*sx / j*sy (almost always i=j=0)
+        georef["origin_x"] = float(tp[3]) - float(tp[0]) * sx
+        georef["origin_y"] = float(tp[4]) + float(tp[1]) * sy
+        georef["px_w"] = sx
+        georef["px_h"] = sy
+    crs = None
+    if "geo_keys" in t:
+        gk = t["geo_keys"]
+        proj = geog = None
+        for k in range(4, len(gk), 4):
+            key, loc, cnt, val = gk[k:k + 4]
+            if key == 3072 and loc == 0:
+                proj = int(val)
+            elif key == 1024 and loc == 0 and val in (1, 2):
+                pass                       # model type, not a code
+            elif key == 2048 and loc == 0:
+                geog = int(val)
+        code = proj or geog
+        if code:
+            crs = f"EPSG:{code}"
+    georef["crs"] = crs or "EPSG:3857"
+    return img, georef
+
+
+def geotiff_to_scene(tif_path: str, npy_path: str):
+    """Import a GeoTIFF as an engine SceneSpec (.npy + sidecar): decode
+    once, then every warp worker mmaps the .npy — the same one-time
+    conversion role as building a VRT for the reference."""
+    import os
+
+    from ..raster import SceneSpec
+
+    img, geo = read_geotiff(tif_path)
+    if not npy_path.endswith(".npy"):
+        npy_path += ".npy"
+    with open(npy_path, "wb") as f:
+        np.save(f, img)
+    if "origin_x" not in geo:
+        raise ValueError(f"{tif_path} has no GeoTIFF georeferencing "
+                         "(ModelPixelScale + ModelTiepoint required)")
+    spec = SceneSpec(scene_id=os.path.basename(npy_path)[:-4],
+                     path=npy_path, width=img.shape[1],
+                     height=img.shape[0], bands=img.shape[2],
+                     crs=geo["crs"], origin_x=geo["origin_x"],
+                     origin_y=geo["origin_y"], px_w=geo["px_w"],
+                     px_h=geo["px_h"])
+    spec.save()
+    return spec
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (tests + fixtures only): strips, deflate optional,
+# predictor optional, GeoTIFF georef tags.
+# ---------------------------------------------------------------------------
+
+def write_geotiff(path: str, img: np.ndarray, origin_x: float,
+                  origin_y: float, px_w: float, px_h: float,
+                  epsg: int = 3857, compression: str = "deflate",
+                  predictor: bool = False, rows_per_strip: int = 64,
+                  tiled: bool = False, tile_size: int = 256) -> None:
+    img = np.ascontiguousarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, spp = img.shape
+    comp = {"none": 1, "deflate": 8}[compression]
+
+    chunks: list[bytes] = []
+    if tiled:
+        tl = tw = tile_size
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                block = np.zeros((tl, tw, spp), np.uint8)
+                ys, xs = min(tl, h - y0), min(tw, w - x0)
+                block[:ys, :xs] = img[y0:y0 + ys, x0:x0 + xs]
+                data = block
+                if predictor:
+                    data = np.diff(data.astype(np.int16), axis=1,
+                                   prepend=0).astype(np.uint8)
+                raw = data.tobytes()
+                chunks.append(zlib.compress(raw) if comp == 8 else raw)
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            data = img[y0:y0 + rows_per_strip]
+            if predictor:
+                data = np.diff(data.astype(np.int16), axis=1,
+                               prepend=0).astype(np.uint8)
+            raw = data.tobytes()
+            chunks.append(zlib.compress(raw) if comp == 8 else raw)
+
+    # layout: header | tag data area | chunk data | IFD
+    geo_keys = (1, 1, 0, 3,
+                1024, 0, 1, 1,          # ModelTypeProjected
+                3072, 0, 1, epsg,
+                1025, 0, 1, 1)
+    scale = struct.pack("<3d", px_w, px_h, 0.0)
+    tiepoint = struct.pack("<6d", 0, 0, 0, origin_x, origin_y, 0)
+
+    header = struct.pack("<2sHI", b"II", 42, 8)
+    body = bytearray()
+    pos = 8
+
+    def put(data: bytes) -> int:
+        nonlocal pos
+        off = pos
+        body.extend(data)
+        pos += len(data)
+        if pos % 2:
+            body.extend(b"\0")
+            pos += 1
+        return off
+
+    scale_off = put(scale)
+    tp_off = put(tiepoint)
+    gk_off = put(struct.pack("<%dH" % len(geo_keys), *geo_keys))
+    chunk_offs = [put(c) for c in chunks]
+    offs_off = put(struct.pack("<%dI" % len(chunks), *chunk_offs))
+    cnts_off = put(struct.pack("<%dI" % len(chunks),
+                               *[len(c) for c in chunks]))
+
+    def tag(tid, typ, cnt, val):
+        if typ == 3 and cnt == 1:
+            return struct.pack("<HHIHH", tid, typ, cnt, val, 0)
+        return struct.pack("<HHII", tid, typ, cnt, val)
+
+    def tag_shorts(tid, vals):
+        """SHORT tag with small counts packed inline per the TIFF spec."""
+        if len(vals) * 2 <= 4:
+            padded = list(vals) + [0] * (2 - len(vals))
+            return struct.pack("<HHIHH", tid, 3, len(vals), *padded)
+        return struct.pack("<HHII", tid, 3, len(vals),
+                           put(struct.pack("<%dH" % len(vals), *vals)))
+
+    tags = [tag(256, 3, 1, w), tag(257, 3, 1, h),
+            tag_shorts(258, [8] * spp),
+            tag(259, 3, 1, comp),
+            tag(262, 3, 1, 2 if spp >= 3 else 1),   # photometric
+            tag(277, 3, 1, spp),
+            tag(284, 3, 1, 1)]
+    if predictor:
+        tags.append(tag(317, 3, 1, 2))
+    if tiled:
+        tags += [tag(322, 3, 1, tile_size), tag(323, 3, 1, tile_size),
+                 tag(324, 4, len(chunks),
+                     offs_off if len(chunks) > 1 else chunk_offs[0]),
+                 tag(325, 4, len(chunks),
+                     cnts_off if len(chunks) > 1 else len(chunks[0]))]
+    else:
+        tags += [tag(273, 4, len(chunks),
+                     offs_off if len(chunks) > 1 else chunk_offs[0]),
+                 tag(278, 3, 1, rows_per_strip),
+                 tag(279, 4, len(chunks),
+                     cnts_off if len(chunks) > 1 else len(chunks[0]))]
+    tags += [tag(33550, 12, 3, scale_off), tag(33922, 12, 6, tp_off),
+             tag(34735, 3, len(geo_keys), gk_off)]
+    tags.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
+
+    ifd_off = pos
+    ifd = struct.pack("<H", len(tags)) + b"".join(tags) + \
+        struct.pack("<I", 0)
+    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(bytes(body))
+        f.write(ifd)

@@ -1,0 +1,80 @@
+"""GeoTIFF reader conformance: roundtrip through the in-repo writer
+over the layout/compression matrix, georef + EPSG extraction, import
+into a SceneSpec, and an end-to-end warp from a GeoTIFF source matching
+the same pixels warped from a native .npy scene."""
+
+import numpy as np
+import pytest
+
+from freemap_tiler_ray import tilemath as tm
+from freemap_tiler_ray.sources.geotiff import (geotiff_to_scene,
+                                               read_geotiff, write_geotiff)
+
+ANCHOR = (4, 9, 5)
+
+
+def _img(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, c), np.uint8)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+@pytest.mark.parametrize("predictor", [False, True])
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("bands", [1, 3, 4])
+def test_roundtrip(tmp_path, compression, predictor, tiled, bands):
+    img = _img(300, 520, bands, seed=bands)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, img, origin_x=-100.0, origin_y=50.0, px_w=0.5,
+                  px_h=0.25, epsg=4326, compression=compression,
+                  predictor=predictor, tiled=tiled, tile_size=128)
+    got, geo = read_geotiff(p)
+    assert np.array_equal(got, img)
+    assert geo["crs"] == "EPSG:4326"
+    assert (geo["origin_x"], geo["origin_y"]) == (-100.0, 50.0)
+    assert (geo["px_w"], geo["px_h"]) == (0.5, 0.25)
+
+
+def test_unsupported_compression_message(tmp_path):
+    img = _img(16, 16, 3)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, img, 0, 0, 1, 1)
+    raw = bytearray(open(p, "rb").read())
+    # flip the compression tag value to LZW (5)
+    import struct
+    ifd_off = struct.unpack_from("<I", raw, 4)[0]
+    (n,) = struct.unpack_from("<H", raw, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", raw, base)[0] == 259:
+            struct.pack_into("<H", raw, base + 8, 5)
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        read_geotiff(p)
+
+
+def test_geotiff_scene_warp_matches_npy(ray_session, tmp_path):
+    """A GeoTIFF source warps to the same pixels as the equivalent .npy
+    scene (the reference's 'any GDAL raster' parity path)."""
+    from freemap_tiler_ray.raster import make_scene
+    from freemap_tiler_ray.stages.warp import WarpStage
+
+    size = 512
+    spec_npy = make_scene(str(tmp_path / "a"), anchor=ANCHOR, size=size,
+                          bands=4, crs="EPSG:3857", disk_frac=0.3)
+    img = np.load(spec_npy.path)
+    bx0, by0, bx1, by1 = tm.bounds(*ANCHOR)
+    tif = str(tmp_path / "a.tif")
+    write_geotiff(tif, img, origin_x=bx0, origin_y=by1,
+                  px_w=(bx1 - bx0) / size, px_h=(by1 - by0) / size,
+                  epsg=3857, compression="deflate", predictor=True,
+                  tiled=True)
+    spec_tif = geotiff_to_scene(tif, str(tmp_path / "b.npy"))
+    assert spec_tif.crs == "EPSG:3857"
+
+    def warp(spec):
+        st = WarpStage(scene_spec_path=spec.path, tile_size=256,
+                       warp_zoom_offset=2)
+        return st._warp_one(*ANCHOR)
+
+    assert np.array_equal(warp(spec_npy), warp(spec_tif))
