@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q.text_stats,
         "lang_id": q.lang_id,
         "dedup_exact": q.dedup_exact,
+        "dedup_clusters": q.dedup_clusters,
         "minhash_sigs": q.minhash_sigs,
         "lsh_pairs": q.lsh_pairs,
         "ngram_pairs": q.ngram_pairs,
@@ -626,8 +627,7 @@ jac AS (
   JOIN cnt ca ON ca.doc_id = i.doc_a
   JOIN cnt cb ON cb.doc_id = i.doc_b)
 """
-    sqls["lsh_pairs"] = f"""
-WITH {_SH_CTE},
+    _LSH_CHAIN = f"""{_SH_CTE},
 bands AS (
   SELECT doc_id, perm // {LSH_ROWS_PER_BAND} AS band,
          string_agg(minhash::VARCHAR, '-' ORDER BY perm) AS sig
@@ -636,8 +636,24 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-{_JACCARD_TAIL}
+{_JACCARD_TAIL}"""
+    sqls["lsh_pairs"] = f"""
+WITH {_LSH_CHAIN}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_TAU!r}
+"""
+    # near-dup clusters: transitive closure (min reachable doc id) over
+    # the LSH pair graph — mirrors stages.dedup.connected_components
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE {_LSH_CHAIN},
+p AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_TAU!r}),
+e(src, dst) AS (SELECT doc_a, doc_b FROM p
+                UNION ALL SELECT doc_b, doc_a FROM p),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.doc)
+SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+FROM reach GROUP BY doc
 """
     sqls["ngram_pairs"] = f"""
 WITH {_SH_CTE},

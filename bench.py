@@ -278,6 +278,11 @@ def run_at(ncpu: int, skip_dedup: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if skip_dedup:
         env["FTR_BENCH_SKIP_DEDUP"] = "1"
+        # scaling runs use a 4x bigger point set (same input at BOTH
+        # levels): at 16 CPUs the default 16M-point phases finish in
+        # 2-4 s, where ~1 s of fixed per-pipeline startup cost would be
+        # measured as false inefficiency rather than scaling
+        env.setdefault("FTR_BENCH_POINTS", "64000000")
     out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                          env=env, capture_output=True, text=True, check=True,
                          cwd=os.path.dirname(os.path.abspath(__file__))).stdout

@@ -516,6 +516,17 @@ def simhash_pairs(sf_dir: str):
     return dedup.simhash_pairs(simhash_sigs(sf_dir))
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup clusters: connected components (min-label propagation)
+    over the MinHash-LSH pair graph; every doc gets the min doc_id of
+    its component (singletons -> themselves)."""
+    from ..stages.dedup import connected_components, lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(_shingled(sf_dir)) \
+        .select_columns(["doc_a", "doc_b"])
+    return connected_components(pairs, _docs(sf_dir))
+
+
 def embedding_pairs(sf_dir: str):
     from ..stages.dedup import embedding_pairs as _ep
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",

@@ -70,11 +70,20 @@ def _resolve_polygon(cfg: TilerConfig):
     return np.asarray(bp, np.float64)
 
 
-def megatile_universe(spec, cfg: TilerConfig, ring=None):
+def megatile_universe(spec, cfg: TilerConfig, ring=None,
+                      interleave: bool = False):
     """Lazy tile-universe generation (T3): the megatile index rectangle is
     derived from the reprojected source bbox (driver-side scalar math),
     then materialized distributedly from ray.data.range — the driver
-    never holds the tile list."""
+    never holds the tile list.
+
+    interleave=True applies a bit-reversal permutation to the index
+    before decoding, so execution order mixes far-apart megatiles: real
+    scenes concentrate heavy (data-dense) megatiles spatially, and
+    row-major order would put whole waves of heavy tasks back-to-back —
+    interleaving evens the per-wave load and shrinks the straggler tail
+    at high parallelism. Resume key RANGES must stay compact, so callers
+    compute ranges from the UNPERMUTED variant (same key set)."""
     offset = cfg.effective_offset
     mzoom = cfg.max_zoom - offset
     bbox = spec.mercator_bbox()
@@ -82,9 +91,17 @@ def megatile_universe(spec, cfg: TilerConfig, ring=None):
     mx0, my0, mx1, my1 = tm.bbox_covered_tile_range(*bbox, mzoom)
     w = mx1 - mx0 + 1
     n = w * (my1 - my0 + 1)
+    kbits = max(1, int(np.ceil(np.log2(max(n, 2)))))
 
     def gen(batch: pa.Table) -> pa.Table:
         idx = batch["id"].to_numpy()
+        if interleave:
+            v = idx.astype(np.uint64)
+            r = np.zeros_like(v)
+            for b in range(kbits):
+                r |= ((v >> np.uint64(b)) & np.uint64(1)) \
+                    << np.uint64(kbits - 1 - b)
+            idx = r[r < n].astype(np.int64)
         mx = mx0 + (idx % w)
         my = my0 + (idx // w)
         if ring is not None:
@@ -95,8 +112,9 @@ def megatile_universe(spec, cfg: TilerConfig, ring=None):
                          "mx": pa.array(mx, pa.int64()),
                          "my": pa.array(my, pa.int64())})
 
+    span = (1 << kbits) if interleave else n
     blocks = max(1, min(n, 4 * _cpus()))
-    ds = rd.range(n, override_num_blocks=blocks).map_batches(
+    ds = rd.range(span, override_num_blocks=blocks).map_batches(
         gen, batch_format="pyarrow")
     return ds, mzoom, leaf_range, bbox, n
 
@@ -221,6 +239,8 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     metrics: dict[str, float] = {}
 
     universe, mzoom, leaf_range, bbox, n_mega = megatile_universe(spec, cfg, ring)
+    # execution-order variant: same key set, straggler-friendly order
+    universe_x, *_ = megatile_universe(spec, cfg, ring, interleave=True)
     lvl_dir = lambda z: os.path.join(cfg.out_dir, f"level_z{z}")  # noqa: E731
     from ..state.limits import LimitsActor, merge_limits
     limit_parts: list[dict] = []
@@ -273,8 +293,8 @@ def build_pyramid(cfg: TilerConfig) -> dict:
                 # into the same dir would append duplicate part files
                 import shutil
                 shutil.rmtree(adir)
-            todo = _anti_join_done(universe, done_ranges) if cfg.resume \
-                else universe
+            todo = _anti_join_done(universe_x, done_ranges) if cfg.resume \
+                else universe_x
             # ONE fused task per megatile: warp -> sector extraction ->
             # shuffle-free subtree compose (a megatile block holds the
             # complete z..z-offset subtree — the reference's compose-cache

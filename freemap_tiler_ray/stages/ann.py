@@ -213,25 +213,30 @@ def ann_ivf(sf_dir: str, k: int = TOP_K):
     assigned = ds.map_batches(IvfAssignStage(cmat), batch_format="pyarrow",
                               batch_size=4096)
 
-    probe_sets = {int(qids[i]): set(int(c) for c in qprobe[i])
-                  for i in range(len(qids))}
-    stage = AnnPartialStage(qids, qmat, k)
+    # (Q, n_centroids) bool probe matrix: one matmul + one gather-mask
+    # per batch covers every query at once (no per-query Python loop)
+    probe_mask = np.zeros((len(qids), len(cids)), bool)
+    probe_mask[np.repeat(np.arange(len(qids)), NPROBE), qprobe.ravel()] = True
+    qn_all = _normalize(qmat)
 
     def partial(batch: pa.Table) -> pa.Table:
-        outs = []
         cl = batch["ivf_cluster"].to_numpy()
-        for qi, qid in enumerate(qids):
-            mask = np.isin(cl, list(probe_sets[int(qid)]))
-            if not mask.any():
-                continue
-            sub = batch.filter(pa.array(mask))
-            one = AnnPartialStage(np.array([qid]), qmat[qi:qi + 1], k)(sub)
-            outs.append(one)
-        if not outs:
-            return pa.table({"query_vec_id": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "cos": pa.array([], pa.float64())})
-        return pa.concat_tables(outs)
+        ids = batch["vec_id"].to_numpy()
+        m = _normalize(_matrix(batch["embedding"]))
+        cos = qn_all @ m.T                                  # (Q, n)
+        allowed = probe_mask[:, cl]                         # (Q, n) gather
+        masked = np.where(allowed, cos, -np.inf)
+        k_eff = min(k, masked.shape[1])
+        part = np.argpartition(-masked, k_eff - 1, axis=1)[:, :k_eff]
+        rows_q = np.repeat(np.arange(len(qids)), k_eff)
+        rows_d = part.ravel()
+        keep = allowed[rows_q, rows_d]                      # drop -inf fill
+        return pa.table({
+            "query_vec_id": pa.array(np.repeat(qids, k_eff)[keep],
+                                     pa.int64()),
+            "vec_id": pa.array(ids[rows_d][keep], pa.int64()),
+            "cos": pa.array(cos[rows_q, rows_d][keep], pa.float64()),
+        })
 
     return (assigned.map_batches(partial, batch_format="pyarrow",
                                  batch_size=4096)

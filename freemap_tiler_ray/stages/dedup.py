@@ -341,6 +341,53 @@ def ngram_pairs(shingled_ds):
     return _verify_jaccard(cands, shingled_ds, NGRAM_JACCARD_TAU)
 
 
+def connected_components(pairs_ds, docs_ds, max_iters: int = 16):
+    """Near-dup cluster assignment: connected components over the dup
+    pair graph by distributed min-label propagation — the step that
+    turns pairwise dedup output into keep/drop decisions at corpus
+    scale. Each iteration is one hash-join + grouped-min shuffle round
+    (edges joined to current labels, every node takes the min of its
+    own and its neighbors' labels); convergence in O(component
+    diameter) rounds, detected by the monotone non-increasing sum of
+    labels. Labels materialize between rounds (bounded: 16 bytes/doc)
+    so iteration k does not re-execute rounds 0..k-1.
+
+    Returns (doc_id, cluster) with cluster = min doc_id of the
+    component; docs in no pair cluster to themselves."""
+    from ray.data.aggregate import Min, Sum
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        return pa.table({
+            "e_src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "e_dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def relab(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["e_dst"].cast(pa.int64()),
+                         "cluster": t["cluster"].cast(pa.int64())})
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "cluster": t["doc_id"].cast(pa.int64())})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = docs_ds.map_batches(init, batch_format="pyarrow").materialize()
+    prev = None
+    for _ in range(max_iters):
+        j = edges.join(labels, join_type="inner", num_partitions=8,
+                       on=("e_src",), right_on=("doc_id",))
+        prop = j.map_batches(relab, batch_format="pyarrow")
+        labels = (labels.union(prop).groupby("doc_id")
+                  .aggregate(Min("cluster", alias_name="cluster"))
+                  .materialize())
+        cur = list(labels.aggregate(Sum("cluster")).values())[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU,
                     n_buckets: int = 8):
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= tau) as a
