@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": q.embedding_pairs,
         "ann_topk": q.ann_topk,
         "ann_ivf": q.ann_ivf,
+        "ann_lsh": q.ann_lsh,
         "kmeans_clusters": q.kmeans_clusters,
         "tile_pyramid_status": tile_pyramid_status,
         "tile_limits": tile_limits,
@@ -699,8 +700,8 @@ WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_COS_TAU!r}
 """
 
     # ---- ANN ----
-    from freemap_tiler_ray.stages.ann import (N_CENTROIDS, N_QUERIES, NPROBE,
-                                              TOP_K)
+    from freemap_tiler_ray.stages.ann import (N_CENTROIDS, N_PLANES,
+                                              N_QUERIES, NPROBE, TOP_K)
     sqls["ann_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
@@ -732,6 +733,32 @@ cand AS (SELECT p.qid, a.vec_id
          FROM probes p JOIN asg a ON a.cluster = p.cid),
 d AS (SELECT c.qid, c.vec_id,
              list_cosine_similarity(q.qv, e.v) AS cos
+      FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.vec_id),
+r AS (SELECT qid AS query_vec_id, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM d)
+SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {TOP_K}
+"""
+
+    # LSH-bucketed ANN: sign-bit buckets over the first N_PLANES
+    # embeddings as hyperplanes; candidates within hamming <= 1
+    sqls["ann_lsh"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < {N_PLANES}),
+bits AS (SELECT e.vec_id, p.pid,
+                CASE WHEN list_inner_product(e.v, p.pv) >= 0
+                     THEN 1 ELSE 0 END AS bit
+         FROM e CROSS JOIN pl p),
+bk AS (SELECT vec_id,
+              CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << pid)
+                       ELSE 0 END) AS BIGINT) AS bucket
+       FROM bits GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+qb AS (SELECT q.qid, b.bucket FROM q JOIN bk b ON b.vec_id = q.qid),
+cand AS (SELECT qb.qid, v.vec_id
+         FROM qb JOIN bk v ON bit_count(xor(qb.bucket, v.bucket)) <= 1),
+d AS (SELECT c.qid, c.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
       FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.vec_id),
 r AS (SELECT qid AS query_vec_id, vec_id,
              row_number() OVER (PARTITION BY qid

@@ -544,6 +544,11 @@ def ann_ivf(sf_dir: str):
     return _ivf(sf_dir)
 
 
+def ann_lsh(sf_dir: str):
+    from ..stages.ann import ann_lsh as _lsh
+    return _lsh(sf_dir)
+
+
 def kmeans_clusters(sf_dir: str):
     """Iterative distributed k-means (no SQL oracle — rows-only check)."""
     from ray.data.aggregate import Count

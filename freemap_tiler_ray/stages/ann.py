@@ -27,6 +27,7 @@ N_QUERIES = 10       # queries = embeddings with vec_id < N_QUERIES
 TOP_K = 5
 N_CENTROIDS = 8      # IVF coarse quantizer = embeddings with vec_id < 8
 NPROBE = 2
+N_PLANES = 16        # LSH: hyperplanes = embeddings with vec_id < 16
 
 
 def _matrix(batch_col) -> np.ndarray:
@@ -239,6 +240,74 @@ def ann_ivf(sf_dir: str, k: int = TOP_K):
         })
 
     return (assigned.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=4096)
+            .groupby("query_vec_id")
+            .map_groups(_merge_topk(k), batch_format="pandas"))
+
+
+class LshBucketStage:
+    """Append lsh_bucket = sign bits of dot products against N_PLANES
+    broadcast hyperplanes (random-hyperplane LSH; deterministic planes =
+    the first N_PLANES embeddings so the DuckDB mirror can re-derive
+    them)."""
+
+    def __init__(self, planes: np.ndarray):
+        self.h = planes                               # (P, d) raw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch["embedding"])
+        bits = (m @ self.h.T) >= 0.0                  # (n, P)
+        p = np.arange(self.h.shape[0], dtype=np.int64)
+        bucket = (bits.astype(np.int64) << p[None, :]).sum(axis=1)
+        return batch.append_column("lsh_bucket",
+                                   pa.array(bucket, pa.int64()))
+
+
+def ann_lsh(sf_dir: str, k: int = TOP_K):
+    """LSH-bucketed ANN — the second scale path next to IVF: vectors
+    hash to 2^N_PLANES sign buckets inside map_batches; each query
+    ranks only candidates within hamming <= 1 of its own bucket (a
+    (Q, 2^P) boolean probe mask, one gather per batch). Semantics (not
+    recall-vs-bruteforce) are oracle-checked like ann_ivf."""
+    import ray.data as rd
+
+    _, planes = _load_head(sf_dir, N_PLANES)
+    qids, qmat = _load_head(sf_dir, N_QUERIES)
+    qbits = (qmat @ planes.T) >= 0.0
+    p = np.arange(N_PLANES, dtype=np.int64)
+    qbucket = (qbits.astype(np.int64) << p[None, :]).sum(axis=1)
+    probe_mask = np.zeros((len(qids), 1 << N_PLANES), bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, qbucket[qi]] = True
+        for b in range(N_PLANES):
+            probe_mask[qi, qbucket[qi] ^ (1 << b)] = True
+    qn_all = _normalize(qmat)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).repartition(8)
+    bucketed = ds.map_batches(LshBucketStage(planes),
+                              batch_format="pyarrow", batch_size=4096)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bk = batch["lsh_bucket"].to_numpy()
+        ids = batch["vec_id"].to_numpy()
+        m = _normalize(_matrix(batch["embedding"]))
+        cos = qn_all @ m.T
+        allowed = probe_mask[:, bk]
+        masked = np.where(allowed, cos, -np.inf)
+        k_eff = min(k, masked.shape[1])
+        part = np.argpartition(-masked, k_eff - 1, axis=1)[:, :k_eff]
+        rows_q = np.repeat(np.arange(len(qids)), k_eff)
+        rows_d = part.ravel()
+        keep = allowed[rows_q, rows_d]
+        return pa.table({
+            "query_vec_id": pa.array(np.repeat(qids, k_eff)[keep],
+                                     pa.int64()),
+            "vec_id": pa.array(ids[rows_d][keep], pa.int64()),
+            "cos": pa.array(cos[rows_q, rows_d][keep], pa.float64()),
+        })
+
+    return (bucketed.map_batches(partial, batch_format="pyarrow",
                                  batch_size=4096)
             .groupby("query_vec_id")
             .map_groups(_merge_topk(k), batch_format="pandas"))
