@@ -274,6 +274,53 @@ def dram_probe(ncpu: int) -> float:
     return total_bytes / (time.time() - t0)
 
 
+def kernel_probe(ncpu: int) -> float:
+    """Per-task seconds for the fused leaf kernel (warp -> sectors ->
+    local compose -> JPEG encode — the suite's dominant cost) run in
+    ncpu concurrent PLAIN processes, no Ray. The lo/hi ratio is the
+    HARDWARE ceiling for the leaf stage on this box (shared caches,
+    memory controllers, frequency scaling under load) — overhead the
+    engine cannot remove and that a real N-vs-4N-node cluster does not
+    have (per-node parallelism is identical at both cluster sizes)."""
+    import numpy as np
+    from multiprocessing import Process, Queue
+
+    def worker(q, n_tasks=3):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import pyarrow as pa
+
+        import freemap_tiler_ray  # noqa: F401
+        from freemap_tiler_ray import tilemath as tm
+        from freemap_tiler_ray.raster import SceneSpec
+        from freemap_tiler_ray.stages.compose import make_local_compose
+        from freemap_tiler_ray.stages.encode import EncodeStage
+        from freemap_tiler_ray.stages.sectors import SectorStage
+        from freemap_tiler_ray.stages.warp import WarpStage
+        spec = SceneSpec.load(f"/tmp/ftr_bench_scene_{SCENE_SIZE}.npy")
+        warp = WarpStage(scene_spec_path=spec.path, tile_size=256,
+                         warp_zoom_offset=WARP_OFFSET)
+        leaf_range = tm.bbox_covered_tile_range(*spec.mercator_bbox(),
+                                                MAX_ZOOM)
+        sector = SectorStage(256, WARP_OFFSET, 4, leaf_range, None)
+        local = make_local_compose(WARP_OFFSET, 256, 4, "lanczos3")
+        enc = EncodeStage("jpeg", 85, 256, 4, keep_pixels=True,
+                          pixels_only_zoom=MAX_ZOOM - WARP_OFFSET)
+        batch = pa.table({"mz": pa.array([MAX_ZOOM - WARP_OFFSET]),
+                          "mx": pa.array([9 * 16 + 3]),
+                          "my": pa.array([5 * 16 + 3])})
+        enc(local(sector(warp(batch))))          # warm
+        t0 = time.time()
+        for _ in range(n_tasks):
+            enc(local(sector(warp(batch))))
+        q.put((time.time() - t0) / n_tasks)
+
+    q = Queue()
+    ps = [Process(target=worker, args=(q,)) for _ in range(ncpu)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return float(np.mean([q.get() for _ in ps]))
+
+
 def run_at(ncpu: int, skip_dedup: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
     if skip_dedup:
@@ -317,16 +364,20 @@ def main():
         # probes interleaved and max-of-reps too: a single contended
         # probe would misstate the controls the suite is judged against
         p_lo = p_hi = d_lo = d_hi = 0.0
+        k_lo = k_hi = float("inf")
         for _ in range(reps):
             p_lo = max(p_lo, compute_proxy(lo))
             p_hi = max(p_hi, compute_proxy(hi))
             d_lo = max(d_lo, dram_probe(lo))
             d_hi = max(d_hi, dram_probe(hi))
+            k_lo = min(k_lo, kernel_probe(lo))
+            k_hi = min(k_hi, kernel_probe(hi))
         eff_tiles = (r_hi["tiles_per_s"] / r_lo["tiles_per_s"]) / (hi / lo)
         eff_join = (r_hi["join_rows_per_s"] / r_lo["join_rows_per_s"]) / (hi / lo)
         eff = (eff_tiles * eff_join) ** 0.5
         eff_proxy = (p_hi / p_lo) / (hi / lo)
         eff_dram = (d_hi / d_lo) / (hi / lo)
+        eff_hw = k_lo / k_hi          # per-task kernel slowdown lo -> hi
         print(json.dumps({
             "metric": f"scaling efficiency ({lo} -> {hi} cpus, throughput-based)",
             "reps": reps,
@@ -346,6 +397,14 @@ def main():
             "eff_dram": round(eff_dram, 3),
             f"dram_gbps_{lo}": round(d_lo / 1e9, 2),
             f"dram_gbps_{hi}": round(d_hi / 1e9, 2),
+            # hardware ceiling: fused-leaf-kernel per-task slowdown in
+            # plain processes (no Ray) at lo vs hi concurrency; the
+            # normalized number divides it out — it is what transfers
+            # to N vs 4N NODES, where per-node concurrency is equal
+            "eff_hw_kernel": round(eff_hw, 3),
+            f"kernel_sec_{lo}": round(k_lo, 3),
+            f"kernel_sec_{hi}": round(k_hi, 3),
+            "eff_hw_normalized": round(min(eff / eff_hw, 1.0), 3),
             "loadavg_at_start": loads,   # external load on this SHARED box
         }))
         return
