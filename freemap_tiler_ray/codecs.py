@@ -11,10 +11,12 @@ Mirrors the reference's encode stage semantics
   - JPEG + alpha split: color planes JPEG-encoded, alpha plane compressed
     separately (zstd level 0 = library default in the reference,
     processor.rs:518); `fully_opaque` (all alpha == 255) skips the alpha
-    blob entirely (processor.rs:505-517). The sandbox has neither a JPEG
-    codec nor zstd: JPEG is provided by the pure-numpy baseline codec in
-    `jpeg.py`, and alpha compression uses zstd when importable, else a
-    raw zlib stream (the two are distinguished by frame magic on decode).
+    blob entirely (processor.rs:505-517). The sandbox has no JPEG codec:
+    JPEG is provided by the pure-numpy baseline codec in `jpeg.py`.
+    Alpha compression is REAL zstd (byte-compatible with the reference's
+    tileserver alpha extension): pyarrow bundles a zstd codec
+    (`pyarrow.Codec("zstd")`), with `zstandard` preferred when importable
+    and a magic-tagged zlib stream as the last-resort fallback.
 """
 
 from __future__ import annotations
@@ -28,6 +30,12 @@ try:  # optional, absent in this sandbox
     import zstandard as _zstd
 except ImportError:  # pragma: no cover
     _zstd = None
+
+try:  # pyarrow ships a bundled zstd codec — real zstd frames
+    import pyarrow as _pa
+    _pa_zstd = _pa.Codec("zstd", compression_level=3)
+except Exception:  # pragma: no cover
+    _pa_zstd = None
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -152,7 +160,9 @@ _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 def compress_alpha(alpha_plane: bytes) -> bytes:
     if _zstd is not None:
         return _zstd.ZstdCompressor(level=3).compress(alpha_plane)
-    return zlib.compress(alpha_plane, 6)
+    if _pa_zstd is not None:
+        return _pa_zstd.compress(alpha_plane, asbytes=True)
+    return zlib.compress(alpha_plane, 6)  # pragma: no cover
 
 
 def decompress_alpha(blob: bytes, size: int) -> np.ndarray:
@@ -160,9 +170,14 @@ def decompress_alpha(blob: bytes, size: int) -> np.ndarray:
     if len(blob) == 0:
         return np.full(size, 255, np.uint8)
     if blob[:4] == _ZSTD_MAGIC:
-        if _zstd is None:
-            raise RuntimeError("zstd blob but zstandard not installed")
-        raw = _zstd.ZstdDecompressor().decompress(blob, max_output_size=size)
+        if _zstd is not None:
+            raw = _zstd.ZstdDecompressor().decompress(
+                blob, max_output_size=size)
+        elif _pa_zstd is not None:
+            raw = _pa_zstd.decompress(blob, decompressed_size=size,
+                                      asbytes=True)
+        else:  # pragma: no cover
+            raise RuntimeError("zstd blob but no zstd codec importable")
     else:
         raw = zlib.decompress(blob)
     return np.frombuffer(raw, np.uint8)

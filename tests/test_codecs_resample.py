@@ -31,6 +31,9 @@ def test_alpha_roundtrip():
     blob = codecs.compress_alpha(alpha)
     out = codecs.decompress_alpha(blob, 256 * 256)
     assert out.tobytes() == alpha
+    # alpha blobs are REAL zstd frames (reference processor.rs:518 —
+    # freemap-tileserver's alpha extension must be able to decode them)
+    assert blob[:4] == codecs._ZSTD_MAGIC
     # empty blob = fully opaque marker
     assert (codecs.decompress_alpha(b"", 16) == 255).all()
 
