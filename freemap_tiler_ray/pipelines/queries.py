@@ -496,13 +496,18 @@ def minhash_sigs(sf_dir: str):
 
 
 def lsh_pairs(sf_dir: str):
-    from ..stages.dedup import lsh_candidate_pairs
-    return lsh_candidate_pairs(_shingled(sf_dir))
+    from ..stages.dedup import doc_shingles, lsh_candidate_pairs
+    return lsh_candidate_pairs(_shingled(sf_dir),
+                               docs_ds=_docs(sf_dir, ("doc_id", "text")),
+                               shingle_fn=doc_shingles)
 
 
 def ngram_pairs(sf_dir: str):
     from ..stages import dedup
-    return dedup.ngram_pairs(_shingled(sf_dir))
+    from ..stages.dedup import doc_shingles
+    return dedup.ngram_pairs(_shingled(sf_dir),
+                             docs_ds=_docs(sf_dir, ("doc_id", "text")),
+                             shingle_fn=doc_shingles)
 
 
 def simhash_sigs(sf_dir: str):
@@ -522,8 +527,10 @@ def dedup_clusters(sf_dir: str):
     its component (singletons -> themselves)."""
     from ..stages.dedup import connected_components, lsh_candidate_pairs
 
-    pairs = lsh_candidate_pairs(_shingled(sf_dir)) \
-        .select_columns(["doc_a", "doc_b"])
+    from ..stages.dedup import doc_shingles
+    pairs = lsh_candidate_pairs(
+        _shingled(sf_dir), docs_ds=_docs(sf_dir, ("doc_id", "text")),
+        shingle_fn=doc_shingles).select_columns(["doc_a", "doc_b"])
     return connected_components(pairs, _docs(sf_dir))
 
 

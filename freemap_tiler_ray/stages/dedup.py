@@ -121,11 +121,60 @@ def _distinct_pairs(pairs_ds):
             .select_columns(["doc_a", "doc_b"]))
 
 
-def _verify_jaccard(pairs_ds, shingled_ds, tau: float):
+def _verify_jaccard(pairs_ds, shingled_ds, tau: float,
+                    docs_ds=None, shingle_fn=None):
     """Hash-join candidate pairs back to their shingle sets (sets ship
     only for candidate docs, not on every band row) and verify exact
     Jaccard. The per-row set intersection runs only over candidates —
-    a tiny fraction of N — so the Python loop is off the hot path."""
+    a tiny fraction of N — so the Python loop is off the hot path.
+
+    When (docs_ds, shingle_fn) are given, the join side is built by
+    Bloom-filtering the RAW docs down to candidate ids BEFORE
+    shingling, so corpus-scale shingle work runs once (in the caller's
+    band branch) instead of once per join branch; the candidate-only
+    side is then materialized (bounded by the candidate count) so the
+    a/b branches and the joins never recompute it. A Bloom false
+    positive only ships one extra doc's set into an inner join that
+    drops it."""
+    import ray
+
+    # candidates are the SMALL output of the band phase — materialize
+    # once so the bloom build and the join don't re-run that phase
+    pairs_ds = pairs_ds.materialize()
+
+    if docs_ds is not None:
+        words = BLOOM_BITS // 64
+
+        def pair_ids_bloom(t: pa.Table) -> pa.Table:
+            bm = np.zeros(words, np.uint64)
+            k = np.unique(np.concatenate([t["doc_a"].to_numpy(),
+                                          t["doc_b"].to_numpy()]))
+            for h in _bloom_hashes(k, BLOOM_BITS):
+                np.bitwise_or.at(bm, (h >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (h & np.uint64(63)))
+            return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+        bm = np.zeros(words, np.uint64)
+        for row in (pairs_ds.select_columns(["doc_a", "doc_b"])
+                    .map_batches(pair_ids_bloom, batch_format="pyarrow",
+                                 batch_size=None).take_all()):
+            bm |= np.frombuffer(row["bloom"], np.uint64)
+        ref = ray.put(bm)
+
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            b = ray.get(ref)
+            h1, h2 = _bloom_hashes(batch["doc_id"].to_numpy(), BLOOM_BITS)
+            one, six, mask = np.uint64(1), np.uint64(6), np.uint64(63)
+            hit = ((((b[(h1 >> six).astype(np.int64)] >> (h1 & mask)) & one)
+                    != 0)
+                   & (((b[(h2 >> six).astype(np.int64)] >> (h2 & mask))
+                       & one) != 0))
+            return batch.filter(pa.array(hit))
+
+        shingled_ds = (docs_ds
+                       .map_batches(keep_candidates, batch_format="pyarrow")
+                       .map_batches(shingle_fn, batch_format="pyarrow")
+                       .materialize())
 
     def _ren(suffix):
         # the set rides as a binary blob: Acero hash joins reject
@@ -184,30 +233,62 @@ def _bloom_hashes(k: np.ndarray, bits: int):
 def _keep_multi_keys(ds, key: str, bloom_bits: int = BLOOM_BITS):
     """Drop rows whose integer key occurs only once — singleton buckets
     can never produce a pair, so this cuts the heavy-shuffle row count
-    drastically. The multi-occurrence key set is summarized as a
-    fixed-size Bloom filter built distributedly (per-block partial
-    bitmaps, OR-merged): the driver holds O(bloom_bits) bytes no matter
-    how many keys exist, and a false positive only lets a singleton row
-    through to a size-1 group that emits no pairs — exactness holds."""
-    import ray
-    from ray.data.aggregate import Count
+    drastically. The multi-occurrence key set is summarized as a pair
+    of fixed-size Bloom bitmaps (seen, dup) built in ONE streaming
+    map_batches pass — no groupby/shuffle of the band rows themselves:
 
-    counts = (ds.select_columns([key]).groupby(key)
-                .aggregate(Count(alias_name="_n")))
+        merge((s1, d1), (s2, d2)) = (s1|s2, d1|d2|(s1 & s2))
+
+    is an associative monoid, so per-block bitmaps tree-merge through a
+    32-way repartition and a tiny driver fold. Exactness: a key present
+    in two blocks sets BOTH its bit positions in each block's `seen`,
+    so `s_i & s_j` flags it in `dup`; a Bloom false positive only lets
+    a singleton row through to a size-1 group that emits no pairs."""
+    import ray
+
     words = bloom_bits // 64
 
-    def block_bloom(t: pa.Table) -> pa.Table:
-        bm = np.zeros(words, np.uint64)
-        k = t[key].to_numpy()[t["_n"].to_numpy() > 1]
-        for h in _bloom_hashes(k, bloom_bits):
-            np.bitwise_or.at(bm, (h >> np.uint64(6)).astype(np.int64),
-                             np.uint64(1) << (h & np.uint64(63)))
-        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+    def block_bitmaps(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy()
+        seen = np.zeros(words, np.uint64)
+        dup = np.zeros(words, np.uint64)
+        uniq, counts = np.unique(k, return_counts=True)
+        h1, h2 = _bloom_hashes(uniq, bloom_bits)
+        one = np.uint64(1)
+        six = np.uint64(6)
+        mask = np.uint64(63)
+        for h in (h1, h2):
+            np.bitwise_or.at(seen, (h >> six).astype(np.int64),
+                             one << (h & mask))
+        multi = counts > 1
+        for h in (h1[multi], h2[multi]):
+            np.bitwise_or.at(dup, (h >> six).astype(np.int64),
+                             one << (h & mask))
+        return pa.table({"seen": pa.array([seen.tobytes()], pa.binary()),
+                         "dup": pa.array([dup.tobytes()], pa.binary())})
 
+    def merge_bitmaps(t: pa.Table) -> pa.Table:
+        seen = np.zeros(words, np.uint64)
+        dup = np.zeros(words, np.uint64)
+        for s_buf, d_buf in zip(t["seen"].to_pylist(), t["dup"].to_pylist()):
+            s = np.frombuffer(s_buf, np.uint64)
+            dup |= np.frombuffer(d_buf, np.uint64) | (seen & s)
+            seen |= s
+        return pa.table({"seen": pa.array([seen.tobytes()], pa.binary()),
+                         "dup": pa.array([dup.tobytes()], pa.binary())})
+
+    parts = (ds.select_columns([key])
+             .map_batches(block_bitmaps, batch_format="pyarrow",
+                          batch_size=None)
+             .repartition(32)
+             .map_batches(merge_bitmaps, batch_format="pyarrow",
+                          batch_size=None))
+    seen = np.zeros(words, np.uint64)
     bm = np.zeros(words, np.uint64)
-    for row in (counts.map_batches(block_bloom, batch_format="pyarrow")
-                .take_all()):
-        bm |= np.frombuffer(row["bloom"], np.uint64)
+    for row in parts.take_all():
+        s = np.frombuffer(row["seen"], np.uint64)
+        bm |= np.frombuffer(row["dup"], np.uint64) | (seen & s)
+        seen |= s
     ref = ray.put(bm)
 
     def flt(batch: pa.Table) -> pa.Table:
@@ -225,7 +306,7 @@ def _keep_multi_keys(ds, key: str, bloom_bits: int = BLOOM_BITS):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
-def lsh_candidate_pairs(shingled_ds):
+def lsh_candidate_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
     """MinHash-LSH near-dup pairs, two-phase: integer band rows ->
     Bloom singleton prefilter -> groupby(band_key) candidate pairs ->
     distinct -> join shingle sets back -> exact-Jaccard verify."""
@@ -233,7 +314,8 @@ def lsh_candidate_pairs(shingled_ds):
     bands = _keep_multi_keys(bands, "band_key")
     cands = _distinct_pairs(bands.groupby("band_key")
                             .map_groups(_cand_pairs, batch_format="pandas"))
-    return _verify_jaccard(cands, shingled_ds, JACCARD_TAU)
+    return _verify_jaccard(cands, shingled_ds, JACCARD_TAU,
+                           docs_ds=docs_ds, shingle_fn=shingle_fn)
 
 
 SIMHASH_BITS = 60            # 4 hex-truncated md5 nibbles short of 64:
@@ -316,7 +398,7 @@ def simhash_pairs(sig_ds):
              .aggregate(Min("hamming", alias_name="hamming")))
 
 
-def ngram_pairs(shingled_ds):
+def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
     """n-gram Jaccard pairs, two-phase like LSH: explode bare
     (shingle, doc_id) rows -> Bloom singleton prefilter ->
     groupby(shingle) candidate pairs -> distinct -> join shingle sets
@@ -338,7 +420,8 @@ def ngram_pairs(shingled_ds):
     ex = _keep_multi_keys(ex, "shingle")
     cands = _distinct_pairs(ex.groupby("shingle")
                             .map_groups(_cand_pairs, batch_format="pandas"))
-    return _verify_jaccard(cands, shingled_ds, NGRAM_JACCARD_TAU)
+    return _verify_jaccard(cands, shingled_ds, NGRAM_JACCARD_TAU,
+                           docs_ds=docs_ds, shingle_fn=shingle_fn)
 
 
 def connected_components(pairs_ds, docs_ds, max_iters: int = 16):
