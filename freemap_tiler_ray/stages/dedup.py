@@ -105,20 +105,84 @@ def _band_rows(batch: pa.Table) -> pa.Table:
                                         pa.int64())})
 
 
-def _cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """All unordered doc pairs inside one bucket (ids only)."""
-    ids = np.unique(g["doc_id"].to_numpy())
-    ii, jj = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": pd.array(ids[ii], "int64"),
-                         "doc_b": pd.array(ids[jj], "int64")})
+N_PAIR_PARTS = 64
 
 
-def _distinct_pairs(pairs_ds):
-    from ray.data.aggregate import Count
+def _pairs_by_key(ds, key: str, n_parts: int = N_PAIR_PARTS):
+    """Candidate pairs within each `key` bucket, executed as ONE
+    map_groups call per HASH PARTITION rather than per bucket. Ray's
+    per-group pandas dispatch costs milliseconds per group, which
+    dominates when buckets are tiny (the common case after the Bloom
+    prefilter: most buckets hold 2-25 docs); grouping by a hash
+    partition of the key keeps the same co-location guarantee (every
+    bucket lands whole in exactly one partition) while amortizing the
+    dispatch over thousands of buckets. Inside, a sorted boundary scan
+    emits each bucket's triangle with numpy only. n_parts bounds
+    per-task memory to ~rows/n_parts; scale it with the cluster."""
 
-    return (pairs_ds.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["doc_a", "doc_b"]))
+    def part(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch.append_column(
+            "_part", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.ones(len(k), bool)
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
+        out_a, out_b = [], []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            if t - s < 2:
+                continue
+            ii, jj = np.triu_indices(t - s, k=1)
+            out_a.append(d[s:t][ii])
+            out_b.append(d[s:t][jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
+                             "doc_b": pd.array(b, "int64")})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(pairs, batch_format="pandas"))
+
+
+def _pair_dedup(a: np.ndarray, b: np.ndarray):
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(len(a), bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+def _distinct_pairs(pairs_ds, n_parts: int = 64):
+    """DISTINCT (doc_a, doc_b) as combiner + hash-partitioned dedup.
+    A groupby([doc_a, doc_b]).aggregate here creates one group PER
+    PAIR — millions of tiny groups whose per-group dispatch dominates;
+    instead dedup locally (vectorized lexsort scan), shuffle by a hash
+    of the pair, and dedup each partition in one call."""
+
+    def local(t: pa.Table) -> pa.Table:
+        a, b = _pair_dedup(t["doc_a"].to_numpy(), t["doc_b"].to_numpy())
+        h = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "_part": pa.array(((h >> np.uint64(17))
+                               % np.uint64(n_parts)).astype(np.int64))})
+
+    def part_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = _pair_dedup(g["doc_a"].to_numpy(), g["doc_b"].to_numpy())
+        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
+                             "doc_b": pd.array(b, "int64")})
+
+    return (pairs_ds.map_batches(local, batch_format="pyarrow")
+            .groupby("_part").map_groups(part_dedup, batch_format="pandas"))
 
 
 def _verify_jaccard(pairs_ds, shingled_ds, tau: float,
@@ -312,8 +376,7 @@ def lsh_candidate_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
     distinct -> join shingle sets back -> exact-Jaccard verify."""
     bands = shingled_ds.map_batches(_band_rows, batch_format="pyarrow")
     bands = _keep_multi_keys(bands, "band_key")
-    cands = _distinct_pairs(bands.groupby("band_key")
-                            .map_groups(_cand_pairs, batch_format="pandas"))
+    cands = _distinct_pairs(_pairs_by_key(bands, "band_key"))
     return _verify_jaccard(cands, shingled_ds, JACCARD_TAU,
                            docs_ds=docs_ds, shingle_fn=shingle_fn)
 
@@ -378,24 +441,83 @@ def simhash_pairs(sig_ds):
         return ((v * np.uint64(0x0101010101010101))
                 >> np.uint64(56)).astype(np.int64)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sig = g["simhash"].to_numpy()
-        ham = _popcount64(sig[:, None] ^ sig[None, :])
-        ii, jj = np.where((ham <= SIMHASH_MAX_HAMMING)
-                          & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"doc_a": pd.array(ids[ii], "int64"),
-                             "doc_b": pd.array(ids[jj], "int64"),
-                             "hamming": pd.array(ham[ii, jj], "int64")})
+    def part(batch: pa.Table) -> pa.Table:
+        k = batch["band_key"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return batch.append_column(
+            "_part",
+            pa.array((h % np.uint64(N_PAIR_PARTS)).astype(np.int64)))
 
-    from ray.data.aggregate import Min
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash partition (see _pairs_by_key): a sorted
+        # boundary scan walks every band bucket in the partition
+        k = g["band_key"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        s = g["simhash"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d, s = k[order], d[order], s[order]
+        keep = np.ones(len(k), bool)
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d, s = k[keep], d[keep], s[keep]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
+        out_a, out_b, out_h = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi - lo < 2:
+                continue
+            ids, sig = d[lo:hi], s[lo:hi]
+            ham = _popcount64(sig[:, None] ^ sig[None, :])
+            ii, jj = np.where((ham <= SIMHASH_MAX_HAMMING)
+                              & (ids[:, None] < ids[None, :]))
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_h.append(ham[ii, jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
+                             "doc_b": pd.array(b, "int64"),
+                             "hamming": pd.array(h, "int64")})
+
+    def local_min(t: pa.Table) -> pa.Table:
+        # per-pair min(hamming), vectorized, as combiner + partition
+        # passes (a per-pair groupby.aggregate would make one group per
+        # pair — see _distinct_pairs)
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        h = t["hamming"].to_numpy()
+        order = np.lexsort((h, b, a))
+        a, b, h = a[order], b[order], h[order]
+        first = np.ones(len(a), bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b, h = a[first], b[first], h[first]
+        pk = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "hamming": pa.array(h, pa.int64()),
+            "_ppart": pa.array(((pk >> np.uint64(17))
+                                % np.uint64(N_PAIR_PARTS))
+                               .astype(np.int64))})
+
+    def part_min(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        h = g["hamming"].to_numpy()
+        order = np.lexsort((h, b, a))
+        a, b, h = a[order], b[order], h[order]
+        first = np.ones(len(a), bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pd.DataFrame({"doc_a": pd.array(a[first], "int64"),
+                             "doc_b": pd.array(b[first], "int64"),
+                             "hamming": pd.array(h[first], "int64")})
 
     b = sig_ds.map_batches(bands, batch_format="pyarrow")
     b = _keep_multi_keys(b, "band_key")
-    p = b.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    return (p.groupby(["doc_a", "doc_b"])
-             .aggregate(Min("hamming", alias_name="hamming")))
+    p = (b.map_batches(part, batch_format="pyarrow")
+         .groupby("_part").map_groups(pairs, batch_format="pandas"))
+    return (p.map_batches(local_min, batch_format="pyarrow")
+            .groupby("_ppart").map_groups(part_min, batch_format="pandas"))
 
 
 def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
@@ -418,8 +540,7 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
 
     ex = shingled_ds.map_batches(explode, batch_format="pyarrow")
     ex = _keep_multi_keys(ex, "shingle")
-    cands = _distinct_pairs(ex.groupby("shingle")
-                            .map_groups(_cand_pairs, batch_format="pandas"))
+    cands = _distinct_pairs(_pairs_by_key(ex, "shingle"))
     return _verify_jaccard(cands, shingled_ds, NGRAM_JACCARD_TAU,
                            docs_ds=docs_ds, shingle_fn=shingle_fn)
 
