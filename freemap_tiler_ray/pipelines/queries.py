@@ -409,20 +409,49 @@ def events_asof(sf_dir: str):
     both = (orders.map_batches(o_prep, batch_format="pyarrow")
             .union(events.map_batches(e_prep, batch_format="pyarrow")))
 
+    def part(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
+
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        od = np.sort(g.loc[g["side"] == "o", "us"].to_numpy())
-        ev = g[g["side"] == "e"]
-        if len(od) == 0 or len(ev) == 0:
+        # one call per hash partition: both sides sorted by (key, us),
+        # then each key's contiguous run is merged with searchsorted —
+        # the per-key work is numpy-only, the dispatch is amortized
+        is_o = (g["side"] == "o").to_numpy()
+        k = g["key"].to_numpy()
+        us = g["us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ok_, ous = k[is_o], us[is_o]
+        oo = np.lexsort((ous, ok_))
+        ok_, ous = ok_[oo], ous[oo]
+        ek, eus, eids = k[~is_o], us[~is_o], eid[~is_o]
+        if len(ek) == 0:
             return pd.DataFrame({"event_id": pd.array([], "int64"),
                                  "last_order_us": pd.array([], "int64")})
-        pos = np.searchsorted(od, ev["us"].to_numpy(), side="right") - 1
-        ok = pos >= 0
-        return pd.DataFrame({
-            "event_id": ev["event_id"].to_numpy()[ok],
-            "last_order_us": od[pos[ok]],
-        })
+        lo = np.searchsorted(ok_, ek, side="left")
+        hi = np.searchsorted(ok_, ek, side="right")
+        out_id, out_us = [], []
+        order = np.argsort(ek, kind="stable")
+        ek, eus, eids = ek[order], eus[order], eids[order]
+        lo, hi = lo[order], hi[order]
+        bounds = np.flatnonzero(np.r_[True, ek[1:] != ek[:-1], True])
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            a, b = lo[s], hi[s]
+            if a == b:
+                continue
+            pos = np.searchsorted(ous[a:b], eus[s:t_], side="right") - 1
+            okm = pos >= 0
+            out_id.append(eids[s:t_][okm])
+            out_us.append(ous[a:b][pos[okm]])
+        i = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        v = np.concatenate(out_us) if out_us else np.empty(0, np.int64)
+        return pd.DataFrame({"event_id": pd.array(i, "int64"),
+                             "last_order_us": pd.array(v, "int64")})
 
-    return both.groupby("key").map_groups(asof, batch_format="pandas")
+    return (both.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(asof, batch_format="pandas"))
 
 
 def knn_ring(sf_dir: str):
@@ -698,11 +727,29 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
                          columns=["user_id", "ts"])
     gap_us = gap_minutes * 60_000_000
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        n_sessions = int(1 + (np.diff(ts) > gap_us).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(ts)]})
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
 
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash partition; a sorted scan sessionizes every
+        # user in it at once (per-user map_groups dispatch costs ms per
+        # group, which dominates when there are millions of users)
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        new_sess = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
+        starts = np.flatnonzero(new_user)
+        bounds = np.r_[starts, len(u)]
+        return pd.DataFrame({
+            "user_id": pd.array(u[starts], "int64"),
+            "n_sessions": pd.array(
+                np.add.reduceat(new_sess.astype(np.int64), starts), "int64"),
+            "n_events": pd.array(bounds[1:] - bounds[:-1], "int64")})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(sess, batch_format="pandas"))
