@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "text_stats": q.text_stats,
         "lang_id": q.lang_id,
+        "winnow_fp": q.winnow_fp,
         "dedup_exact": q.dedup_exact,
         "dedup_clusters": q.dedup_clusters,
         "minhash_sigs": q.minhash_sigs,
@@ -575,6 +576,26 @@ SELECT doc_id, en_score, de_score, fr_score,
        WHEN fr_score > 0 THEN 'fr' ELSE 'und' END AS lang_pred
 FROM s
 """
+    from freemap_tiler_ray.stages.text import FP_B, FP_K, FP_P, FP_W
+    horner = "CAST(unicode(substr(text, i, 1)) AS BIGINT)"
+    for _j in range(1, FP_K):
+        horner = (f"(({horner}) * {FP_B} + "
+                  f"unicode(substr(text, i+{_j}, 1))) % {FP_P}")
+    sqls["winnow_fp"] = f"""
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         unnest(generate_series(1, length(text) - {FP_K - 1})) AS i
+  FROM documents
+), h AS (
+  SELECT doc_id, i, {horner} AS hv, n FROM p
+), w AS (
+  SELECT doc_id, i, n,
+    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN CURRENT ROW AND {FP_W - 1} FOLLOWING) AS fp
+  FROM h)
+SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - {FP_K + FP_W - 2}
+"""
+
     sqls["dedup_exact"] = """
 SELECT md5(lower(trim(text))) AS fingerprint,
        min(doc_id) AS keep_doc_id, count(*) AS n_docs

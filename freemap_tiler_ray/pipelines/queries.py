@@ -500,6 +500,14 @@ def lang_id(sf_dir: str):
         _lang, batch_format="pyarrow")
 
 
+def winnow_fp(sf_dir: str):
+    """Document fingerprinting: rolling-hash winnowing (distinct
+    (doc_id, fp) local fingerprints)."""
+    from ..stages.text import winnow_fingerprints
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        winnow_fingerprints, batch_format="pyarrow")
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: content fingerprint -> groupby keep-first."""
     from ray.data.aggregate import Count, Min

@@ -119,6 +119,60 @@ def fingerprint(batch: pa.Table) -> pa.Table:
                      "fingerprint": pa.array(fps, pa.string())})
 
 
+FP_K = 8                 # rolling-hash character window
+FP_W = 4                 # winnowing window (min of FP_W window hashes)
+FP_B = 131               # polynomial base
+FP_P = (1 << 31) - 1     # Mersenne modulus: h*131+255 < 2^39, BIGINT-safe
+
+
+def winnow_fingerprints(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> DISTINCT winnowed rolling-hash fingerprints
+    (the classic local document-fingerprinting scheme: a polynomial
+    rolling hash over FP_K-char windows, then winnowing — the minimum
+    hash of each run of FP_W consecutive windows, deduplicated per
+    doc). The whole batch runs on ONE flat byte array: Horner in
+    FP_K vectorized passes, sliding min in FP_W passes, per-doc
+    validity from offsets — no per-row Python. The SQL mirror unrolls
+    the same Horner over unicode(substr(...)) and a window MIN; byte
+    codes equal codepoints because the corpus is ASCII."""
+    df = batch.select(["doc_id", "text"]).to_pandas()
+    lens = df["text"].str.len().to_numpy().astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    codes = np.frombuffer("".join(df["text"]).encode("ascii"),
+                          np.uint8).astype(np.int64)
+    span = FP_K + FP_W - 1
+    nwin = len(codes) - FP_K + 1
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "fp": pa.array([], pa.int64())})
+    if nwin <= 0:
+        return empty
+    h = np.zeros(nwin, np.int64)
+    for j in range(FP_K):
+        h = (h * FP_B + codes[j:j + nwin]) % FP_P
+    nmin = nwin - FP_W + 1
+    if nmin <= 0:
+        return empty
+    m = h[:nmin].copy()
+    for j in range(1, FP_W):
+        np.minimum(m, h[j:j + nmin], out=m)
+    # valid winnow starts per doc: local 0 .. len - span (span chars
+    # must fit inside the doc, so no fingerprint crosses a boundary)
+    vd = np.maximum(lens - span + 1, 0)
+    cum = np.zeros(len(vd) + 1, np.int64)
+    np.cumsum(vd, out=cum[1:])
+    pos = (np.repeat(offsets[:-1], vd)
+           + np.arange(int(cum[-1])) - np.repeat(cum[:-1], vd))
+    fps = m[pos]
+    ids = np.repeat(df["doc_id"].to_numpy(), vd)
+    order = np.lexsort((fps, ids))
+    ids, fps = ids[order], fps[order]
+    keep = np.ones(len(ids), bool)
+    keep[1:] = (ids[1:] != ids[:-1]) | (fps[1:] != fps[:-1])
+    return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                     "fp": pa.array(fps[keep], pa.int64())})
+
+
 def shingle_hashes(texts: pd.Series, k: int = 3):
     """Per doc: sorted unique 60-bit hashes of the k-word shingles
     (hash = first 60 bits of md5(shingle), mirroring DuckDB's
