@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q.text_stats,
         "lang_id": q.lang_id,
         "winnow_fp": q.winnow_fp,
+        "winnow_pairs": q.winnow_pairs,
         "dedup_exact": q.dedup_exact,
         "dedup_clusters": q.dedup_clusters,
         "minhash_sigs": q.minhash_sigs,
@@ -594,6 +595,18 @@ WITH p AS (
                   ROWS BETWEEN CURRENT ROW AND {FP_W - 1} FOLLOWING) AS fp
   FROM h)
 SELECT DISTINCT doc_id, fp FROM w WHERE i <= n - {FP_K + FP_W - 2}
+"""
+
+    from freemap_tiler_ray.stages.dedup import (WINNOW_MAXDF,
+                                                WINNOW_MIN_SHARED)
+    sqls["winnow_pairs"] = f"""
+WITH w AS ({sqls['winnow_fp']}),
+rare AS (SELECT fp FROM w GROUP BY fp HAVING count(*) <= {WINNOW_MAXDF}),
+wr AS (SELECT w.doc_id, w.fp FROM w JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM wr a JOIN wr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
     sqls["dedup_exact"] = """

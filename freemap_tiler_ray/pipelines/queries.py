@@ -508,6 +508,16 @@ def winnow_fp(sf_dir: str):
         winnow_fingerprints, batch_format="pyarrow")
 
 
+def winnow_pairs(sf_dir: str):
+    """Copy-detection: doc pairs sharing >= 3 rare winnow fingerprints
+    (doc-frequency cutoff bounds bucket sizes by a constant)."""
+    from ..stages.dedup import winnow_pairs as _wp
+    from ..stages.text import winnow_fingerprints
+    fps = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        winnow_fingerprints, batch_format="pyarrow")
+    return _wp(fps)
+
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: content fingerprint -> groupby keep-first."""
     from ray.data.aggregate import Count, Min

@@ -545,6 +545,93 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
                            docs_ds=docs_ds, shingle_fn=shingle_fn)
 
 
+WINNOW_MAXDF = 16        # IDF cutoff: fps in more docs are not evidence
+WINNOW_MIN_SHARED = 3    # pairs must share >= this many fingerprints
+
+
+def winnow_pairs(fp_ds, maxdf: int = WINNOW_MAXDF,
+                 min_shared: int = WINNOW_MIN_SHARED):
+    """Copy-detection pairs over winnowed rolling-hash fingerprints
+    (doc pairs sharing >= min_shared fingerprints, counting only
+    fingerprints whose doc frequency is <= maxdf — the IDF cutoff that
+    bounds bucket size by a CONSTANT: a common-phrase fingerprint is
+    not evidence of copying and would otherwise create an O(N^2)
+    bucket). Input rows are the distinct (doc_id, fp) output of
+    winnow_fingerprints. Exactly two shuffles, both by integer hash
+    partition with vectorized partition bodies: hash(fp) applies the
+    df filter and emits each bucket's pair triangle in one pass;
+    hash(pair) sums per-block partial counts and applies the
+    threshold."""
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t["fp"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_part",
+            pa.array((h % np.uint64(N_PAIR_PARTS)).astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["fp"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
+        sizes = bounds[1:] - bounds[:-1]
+        out_a, out_b = [], []
+        for s, n in zip(bounds[:-1], sizes):
+            if n < 2 or n > maxdf:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.append(d[s:s + n][ii])
+            out_b.append(d[s:s + n][jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
+                             "doc_b": pd.array(b, "int64")})
+
+    def local_count(t: pa.Table) -> pa.Table:
+        # combiner: per-block partial count per pair
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(first)
+        n = np.diff(np.r_[starts, len(a)])
+        a, b = a[starts], b[starts]
+        pk = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "_ppart": pa.array(((pk >> np.uint64(17))
+                                % np.uint64(N_PAIR_PARTS))
+                               .astype(np.int64))})
+
+    def part_count(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, n = a[order], b[order], n[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(n, starts)
+        keep = tot >= min_shared
+        return pd.DataFrame({
+            "doc_a": pd.array(a[starts][keep], "int64"),
+            "doc_b": pd.array(b[starts][keep], "int64"),
+            "n_shared": pd.array(tot[keep], "int64")})
+
+    return (fp_ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(bucket_pairs,
+                                         batch_format="pandas")
+            .map_batches(local_count, batch_format="pyarrow")
+            .groupby("_ppart").map_groups(part_count,
+                                          batch_format="pandas"))
+
+
 def connected_components(pairs_ds, docs_ds, max_iters: int = 16):
     """Near-dup cluster assignment: connected components over the dup
     pair graph by distributed min-label propagation — the step that
