@@ -645,7 +645,7 @@ def connected_components(pairs_ds, docs_ds, max_iters: int = 16):
 
     Returns (doc_id, cluster) with cluster = min doc_id of the
     component; docs in no pair cluster to themselves."""
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     def sym(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy()
@@ -654,13 +654,36 @@ def connected_components(pairs_ds, docs_ds, max_iters: int = 16):
             "e_src": pa.array(np.concatenate([a, b]), pa.int64()),
             "e_dst": pa.array(np.concatenate([b, a]), pa.int64())})
 
+    def _doc_part(d: np.ndarray) -> np.ndarray:
+        h = (d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return (h % np.uint64(N_PAIR_PARTS)).astype(np.int64)
+
     def relab(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["e_dst"].cast(pa.int64()),
-                         "cluster": t["cluster"].cast(pa.int64())})
+        d = t["e_dst"].to_numpy()
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "cluster": t["cluster"].cast(pa.int64()),
+                         "_part": pa.array(_doc_part(d))})
 
     def init(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
-                         "cluster": t["doc_id"].cast(pa.int64())})
+        d = t["doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "cluster": pa.array(d, pa.int64()),
+                         "_part": pa.array(_doc_part(d))})
+
+    def part_min(g: pa.Table) -> pa.Table:
+        # per-doc min label, one vectorized call per hash partition (a
+        # per-doc groupby.aggregate pays per-group dispatch every
+        # round); _part rides through so no re-hash pass per round;
+        # arrow-in/arrow-out keeps union block types uniform
+        d = g["doc_id"].to_numpy()
+        c = g["cluster"].to_numpy()
+        order = np.lexsort((c, d))
+        d, c = d[order], c[order]
+        first = np.r_[True, d[1:] != d[:-1]]
+        return pa.table({"doc_id": pa.array(d[first], pa.int64()),
+                         "cluster": pa.array(c[first], pa.int64()),
+                         "_part": pa.array(_doc_part(d[first]))})
 
     edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
     labels = docs_ds.map_batches(init, batch_format="pyarrow").materialize()
@@ -669,14 +692,15 @@ def connected_components(pairs_ds, docs_ds, max_iters: int = 16):
         j = edges.join(labels, join_type="inner", num_partitions=8,
                        on=("e_src",), right_on=("doc_id",))
         prop = j.map_batches(relab, batch_format="pyarrow")
-        labels = (labels.union(prop).groupby("doc_id")
-                  .aggregate(Min("cluster", alias_name="cluster"))
+        labels = (labels.union(prop)
+                  .groupby("_part").map_groups(part_min,
+                                               batch_format="pyarrow")
                   .materialize())
         cur = list(labels.aggregate(Sum("cluster")).values())[0]
         if cur == prev:
             break
         prev = cur
-    return labels
+    return labels.select_columns(["doc_id", "cluster"])
 
 
 def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU,
