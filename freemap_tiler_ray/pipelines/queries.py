@@ -551,10 +551,7 @@ def lsh_pairs(sf_dir: str):
 
 def ngram_pairs(sf_dir: str):
     from ..stages import dedup
-    from ..stages.dedup import doc_shingles
-    return dedup.ngram_pairs(_shingled(sf_dir),
-                             docs_ds=_docs(sf_dir, ("doc_id", "text")),
-                             shingle_fn=doc_shingles)
+    return dedup.ngram_pairs(_shingled(sf_dir))
 
 
 def simhash_sigs(sf_dir: str):

@@ -263,6 +263,10 @@ def _verify_jaccard(pairs_ds, shingled_ds, tau: float,
                on=("doc_b",), right_on=("rid_b",)))
 
     def verify(t: pa.Table) -> pa.Table:
+        # per-pair sorted-set intersection; candidates here are the
+        # LSH band survivors — a tiny fraction of all pairs — so the
+        # per-pair numpy call is off the hot path (measured faster
+        # than one batch-wide lexsort at these set sizes)
         sh_a, sh_b = t["sh_a"].to_pylist(), t["sh_b"].to_pylist()
         da = t["doc_a"].to_numpy()
         db = t["doc_b"].to_numpy()
@@ -521,28 +525,112 @@ def simhash_pairs(sig_ds):
 
 
 def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
-    """n-gram Jaccard pairs, two-phase like LSH: explode bare
-    (shingle, doc_id) rows -> Bloom singleton prefilter ->
-    groupby(shingle) candidate pairs -> distinct -> join shingle sets
-    back -> verify Jaccard >= NGRAM_JACCARD_TAU. The shuffle carries 16
-    bytes per (shingle, doc) row, never the whole set per shingle."""
+    """n-gram Jaccard pairs, COUNT-based exact semantics: shingle sets
+    are unique per doc, so the number of shingle buckets in which a
+    pair co-occurs IS |A intersect B|; the union follows from per-doc
+    set sizes carried on the exploded rows. No candidate set, no
+    hash join shipping shingle sets (at tau this low most pairs are
+    candidates, so the old join moved ~|pairs| * |set| bytes), no
+    verify pass: explode (shingle, doc_id, sz) -> Bloom singleton
+    prefilter -> per-bucket pair emission -> per-pair count sum ->
+    jaccard = n / (sz_a + sz_b - n) >= NGRAM_JACCARD_TAU. (docs_ds /
+    shingle_fn accepted for API compatibility; the count path never
+    needs to reshingle.)"""
+    tau = NGRAM_JACCARD_TAU
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch["shingles"]
         if isinstance(sh, pa.ChunkedArray):
             sh = sh.combine_chunks()
         offsets = sh.offsets.to_numpy()
+        sizes = (offsets[1:] - offsets[:-1]).astype(np.int64)
         flat = sh.flatten().to_numpy()
-        ids = np.repeat(batch["doc_id"].to_numpy(),
-                        offsets[1:] - offsets[:-1])
+        ids = np.repeat(batch["doc_id"].to_numpy(), sizes)
         return pa.table({"shingle": pa.array(flat, pa.int64()),
-                         "doc_id": pa.array(ids, pa.int64())})
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "sz": pa.array(np.repeat(sizes, sizes))})
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t["shingle"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_part",
+            pa.array((h % np.uint64(N_PAIR_PARTS)).astype(np.int64)))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["shingle"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        sz = g["sz"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d, sz = k[order], d[order], sz[order]
+        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            if t_ - s < 2:
+                continue
+            ii, jj = np.triu_indices(t_ - s, k=1)
+            out_a.append(d[s:t_][ii])
+            out_b.append(d[s:t_][jj])
+            out_sa.append(sz[s:t_][ii])
+            out_sb.append(sz[s:t_][jj])
+        c = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
+        return pd.DataFrame({"doc_a": pd.array(c(out_a), "int64"),
+                             "doc_b": pd.array(c(out_b), "int64"),
+                             "sz_a": pd.array(c(out_sa), "int64"),
+                             "sz_b": pd.array(c(out_sb), "int64")})
+
+    def local_count(t: pa.Table) -> pa.Table:
+        # combiner: per-block partial co-occurrence count per pair
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        sa = t["sz_a"].to_numpy()
+        sb = t["sz_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(first)
+        n = np.diff(np.r_[starts, len(a)])
+        a, b, sa, sb = a[starts], b[starts], sa[starts], sb[starts]
+        pk = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ (b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "sz_a": pa.array(sa, pa.int64()),
+            "sz_b": pa.array(sb, pa.int64()),
+            "n": pa.array(n.astype(np.int64)),
+            "_ppart": pa.array(((pk >> np.uint64(17))
+                                % np.uint64(N_PAIR_PARTS))
+                               .astype(np.int64))})
+
+    def part_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        sa = g["sz_a"].to_numpy()
+        sb = g["sz_b"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b, sa, sb, n = (a[order], b[order], sa[order], sb[order],
+                           n[order])
+        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(first)
+        inter = np.add.reduceat(n, starts)
+        a, b, sa, sb = a[starts], b[starts], sa[starts], sb[starts]
+        jac = inter.astype(np.float64) / (sa + sb - inter).astype(
+            np.float64)
+        keep = jac >= tau
+        return pd.DataFrame({"doc_a": pd.array(a[keep], "int64"),
+                             "doc_b": pd.array(b[keep], "int64"),
+                             "jaccard": pd.array(jac[keep], "float64")})
 
     ex = shingled_ds.map_batches(explode, batch_format="pyarrow")
     ex = _keep_multi_keys(ex, "shingle")
-    cands = _distinct_pairs(_pairs_by_key(ex, "shingle"))
-    return _verify_jaccard(cands, shingled_ds, NGRAM_JACCARD_TAU,
-                           docs_ds=docs_ds, shingle_fn=shingle_fn)
+    return (ex.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(bucket_pairs,
+                                         batch_format="pandas")
+            .map_batches(local_count, batch_format="pyarrow")
+            .groupby("_ppart").map_groups(part_jaccard,
+                                          batch_format="pandas"))
 
 
 WINNOW_MAXDF = 16        # IDF cutoff: fps in more docs are not evidence
