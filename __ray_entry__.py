@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         "pip_join_spans": q.pip_join_spans,
         "events_asof": q.events_asof,
+        "events_range_join": q.events_range_join,
         "q1_lineitem": q.q1_lineitem,
         "revenue_by_segment": q.revenue_by_segment,
         "part_revenue_broadcast": q.part_revenue_broadcast,
@@ -436,6 +437,16 @@ WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
 o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders)
 SELECT e.event_id, max(o.us) AS last_order_us
 FROM e JOIN o ON o.o_custkey = e.user_id AND o.us <= e.us
+GROUP BY e.event_id
+"""
+
+    from freemap_tiler_ray.pipelines.queries import RANGE_JOIN_WINDOW_US
+    sqls["events_range_join"] = f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders)
+SELECT e.event_id, CAST(count(o.us) AS BIGINT) AS n_orders
+FROM e LEFT JOIN o ON o.o_custkey = e.user_id
+   AND o.us BETWEEN e.us - {RANGE_JOIN_WINDOW_US} AND e.us
 GROUP BY e.event_id
 """
 

@@ -382,6 +382,80 @@ def pip_join_spans(sf_dir: str):
     return checked.map_batches(project, batch_format="pyarrow")
 
 
+RANGE_JOIN_WINDOW_US = 365 * 24 * 3600 * 1_000_000
+
+
+def events_range_join(sf_dir: str):
+    """Range (interval) join: for each event, the COUNT of same-user
+    orders with o_orderdate in [ts - 365d, ts] (zero included). Same
+    physical plan as the as-of join — union both sides, one hash
+    partition shuffle on the user key, per-key sorted searchsorted
+    interval counts — because a range join is an as-of with two
+    bounds; Ray Data has no native interval join, so this composition
+    is the custom operator (partitioning assumption: all rows of a
+    user share a partition)."""
+    import ray.data as rd
+
+    W = RANGE_JOIN_WINDOW_US
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"].cast(pa.int64()),
+                         "event_id": pa.array([0] * t.num_rows, pa.int64()),
+                         "us": t["o_orderdate"].cast(pa.int64()),
+                         "side": pa.array(["o"] * t.num_rows)})
+
+    def e_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["user_id"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "side": pa.array(["e"] * t.num_rows)})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow")
+            .union(events.map_batches(e_prep, batch_format="pyarrow")))
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def rjoin(g: pd.DataFrame) -> pd.DataFrame:
+        is_o = (g["side"] == "o").to_numpy()
+        k = g["key"].to_numpy()
+        us = g["us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ok_, ous = k[is_o], us[is_o]
+        oo = np.lexsort((ous, ok_))
+        ok_, ous = ok_[oo], ous[oo]
+        ek, eus, eids = k[~is_o], us[~is_o], eid[~is_o]
+        if len(ek) == 0:
+            return pd.DataFrame({"event_id": pd.array([], "int64"),
+                                 "n_orders": pd.array([], "int64")})
+        lo = np.searchsorted(ok_, ek, side="left")
+        hi = np.searchsorted(ok_, ek, side="right")
+        n = np.zeros(len(ek), np.int64)
+        order = np.argsort(ek, kind="stable")
+        ek, eus, eids = ek[order], eus[order], eids[order]
+        lo, hi = lo[order], hi[order]
+        bounds = np.flatnonzero(np.r_[True, ek[1:] != ek[:-1], True])
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            a, b = lo[s], hi[s]
+            if a == b:
+                continue
+            up = np.searchsorted(ous[a:b], eus[s:t_], side="right")
+            dn = np.searchsorted(ous[a:b], eus[s:t_] - W, side="left")
+            n[s:t_] = up - dn
+        return pd.DataFrame({"event_id": pd.array(eids, "int64"),
+                             "n_orders": pd.array(n, "int64")})
+
+    return (both.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(rjoin, batch_format="pandas"))
+
+
 def events_asof(sf_dir: str):
     """As-of join: for each event, the latest order of the same user
     (events.user_id = orders.o_custkey) with o_orderdate <= ts. Bucketed
