@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_zorder": q.tile_zorder,
         "docs_per_tile": q.docs_per_tile,
         "sample_docs": q.sample_docs,
+        "stratified_sample": q.stratified_sample,
+        "lang_quantiles": q.lang_quantiles,
         "q6_filtered_revenue": q.q6_filtered_revenue,
         "nation_region_join": q.nation_region_join,
         "events_props_json": q.events_props_json,
@@ -544,6 +546,30 @@ s2 AS (SELECT doc_id, lang,
               (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM s1)
 SELECT doc_id, lang FROM s2 WHERE xor(v2 >> 16, v2) % 100 < 10
 """
+    from freemap_tiler_ray.pipelines.queries import STRATA_K
+    sqls["stratified_sample"] = f"""
+WITH b AS (SELECT doc_id, lang,
+                  (doc_id % 4294967296 + 777) % 4294967296 AS v0
+           FROM documents),
+s1 AS (SELECT doc_id, lang,
+              (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM b),
+s2 AS (SELECT doc_id, lang,
+              (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM s1),
+h AS (SELECT doc_id, lang, xor(v2 >> 16, v2) AS hv FROM s2),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS rn
+      FROM h)
+SELECT doc_id, lang FROM r WHERE rn <= {STRATA_K}
+"""
+
+    sqls["lang_quantiles"] = """
+SELECT lang,
+       quantile_cont(length(string_split(text, ' ')), 0.5) AS p50_tokens,
+       quantile_cont(length(string_split(text, ' ')), 0.9) AS p90_tokens
+FROM documents GROUP BY lang
+"""
+
     sqls["distinct_lang_source"] = \
         "SELECT DISTINCT lang, source FROM documents"
     sqls["shuffle_docs"] = "SELECT doc_id, lang FROM documents"

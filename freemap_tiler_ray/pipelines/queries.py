@@ -136,6 +136,72 @@ def sample_docs(sf_dir: str):
         flt, batch_format="pyarrow")
 
 
+STRATA_K = 5
+
+
+def stratified_sample(sf_dir: str, k: int = STRATA_K):
+    """Stratified sampling: the k docs per lang with the smallest
+    deterministic hash (tie-broken by doc_id) — reproducible on any
+    cluster size. Two-phase: per-batch partial top-k per lang
+    (combiner), then one tiny groupby over the low-cardinality strata."""
+    from ..geo import _mix32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "lang"]).to_pandas()
+        ids = df["doc_id"].to_numpy()
+        df["h"] = _mix32((ids + np.uint64(777))
+                         & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        top = (df.sort_values(["lang", "h", "doc_id"])
+               .groupby("lang", as_index=False).head(k))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(k)
+        return g[["doc_id", "lang"]]
+
+    return (_docs(sf_dir, ("doc_id", "lang"))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+def lang_quantiles(sf_dir: str):
+    """Exact grouped quantiles: per lang, the p50/p90 of the per-doc
+    token count (linear interpolation — matches SQL quantile_cont).
+    One hash-partition shuffle co-locates each lang; the partition body
+    computes every lang's quantiles from one sorted pass."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        df = batch.select(["doc_id", "lang", "text"]).to_pandas()
+        n_tok = df["text"].str.split(" ").str.len().to_numpy()
+        langs = df["lang"].to_numpy()
+        # deterministic cross-process string hash (Python's hash() is
+        # per-process salted and would scatter a lang over partitions)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        hu = np.array([int.from_bytes(hashlib.md5(s.encode())
+                                      .digest()[:4], "big")
+                       for s in uniq], dtype=np.int64)
+        return pa.table({"lang": pa.array(langs),
+                         "n_tokens": pa.array(n_tok.astype(np.int64)),
+                         "_part": pa.array(hu[inv] % 16)})
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        out_l, out_50, out_90 = [], [], []
+        for lang, grp in g.groupby("lang"):
+            v = np.sort(grp["n_tokens"].to_numpy())
+            out_l.append(lang)
+            out_50.append(float(np.quantile(v, 0.5)))
+            out_90.append(float(np.quantile(v, 0.9)))
+        return pd.DataFrame({"lang": out_l,
+                             "p50_tokens": pd.array(out_50, "float64"),
+                             "p90_tokens": pd.array(out_90, "float64")})
+
+    return (_docs(sf_dir, ("doc_id", "lang", "text"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part").map_groups(quant, batch_format="pandas"))
+
+
 def shuffle_docs(sf_dir: str):
     """random_shuffle + repartition: content-preserving layout ops (the
     driver compare is order-insensitive, so the oracle is the identity
