@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fp": q.winnow_fp,
         "winnow_pairs": q.winnow_pairs,
         "dedup_exact": q.dedup_exact,
+        "decontaminate": q.decontaminate,
+        "top_terms": q.top_terms,
+        "bigram_repetition": q.bigram_repetition,
         "dedup_clusters": q.dedup_clusters,
         "minhash_sigs": q.minhash_sigs,
         "lsh_pairs": q.lsh_pairs,
@@ -650,6 +653,64 @@ GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 SELECT md5(lower(trim(text))) AS fingerprint,
        min(doc_id) AS keep_doc_id, count(*) AS n_docs
 FROM documents GROUP BY fingerprint
+"""
+
+    from freemap_tiler_ray.pipelines.queries import (BIGRAM_REP_DEN,
+                                                     BIGRAM_REP_NUM,
+                                                     DECON_TEST_MOD,
+                                                     TOP_TERMS_DF_DEN,
+                                                     TOP_TERMS_DF_NUM,
+                                                     TOP_TERMS_K)
+    _SH_ONLY = """
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT d.doc_id,
+           CASE WHEN length(string_split(d.text,' ')) < 3 THEN d.text
+                ELSE array_to_string(
+                       list_slice(string_split(d.text,' '), i, i + 2), ' ')
+           END AS s
+    FROM documents d,
+         UNNEST(generate_series(
+           1, GREATEST(length(string_split(d.text,' ')) - 2, 1))) AS g(i))
+)"""
+    sqls["decontaminate"] = f"""
+WITH {_SH_ONLY},
+test AS (SELECT DISTINCT h FROM sh WHERE doc_id % {DECON_TEST_MOD} = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM sh s JOIN test USING (h)
+WHERE s.doc_id % {DECON_TEST_MOD} <> 0
+GROUP BY s.doc_id
+"""
+
+    sqls["top_terms"] = f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+agg AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY lang, tok),
+ld AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+r AS (SELECT a.lang, a.tok, a.tf, a.df,
+             row_number() OVER (PARTITION BY a.lang
+                                ORDER BY a.tf DESC, a.tok) AS rn
+      FROM agg a JOIN ld USING (lang)
+      WHERE a.df * {TOP_TERMS_DF_DEN} <= ld.n_docs * {TOP_TERMS_DF_NUM})
+SELECT lang, tok, tf, df FROM r WHERE rn <= {TOP_TERMS_K}
+"""
+
+    sqls["bigram_repetition"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE length(string_split(text, ' ')) >= 2),
+bg AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS s
+       FROM t, UNNEST(generate_series(1, length(toks) - 1)) AS g(i)),
+cnt AS (SELECT doc_id, s, count(*) AS c FROM bg GROUP BY doc_id, s),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS top_count
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_bigrams, top_count,
+       CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rep_frac
+FROM tot
+WHERE top_count * {BIGRAM_REP_DEN} >= n_bigrams * {BIGRAM_REP_NUM}
 """
 
     # ---- shingle/minhash dedup family ----

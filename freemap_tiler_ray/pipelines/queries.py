@@ -718,6 +718,149 @@ def dedup_clusters(sf_dir: str):
     return connected_components(pairs, _docs(sf_dir))
 
 
+DECON_TEST_MOD = 20          # doc_id % 20 == 0 marks the held-out set
+
+
+def decontaminate(sf_dir: str):
+    """Train/test decontamination: per training doc, the number of its
+    distinct 3-word shingles that also occur anywhere in the held-out
+    ("benchmark") subset — docs with any overlap are contamination
+    candidates. The held-out side is tiny by construction (benchmarks
+    are KBs against a 100 TB corpus), so its distinct shingle-hash set
+    is collected once, ray.put once, and each train batch does a
+    vectorized sorted-membership probe — no shuffle of the big side."""
+    import ray
+
+    from ..stages.text import shingle_hashes
+
+    def test_side(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["doc_id"] % DECON_TEST_MOD == 0]
+        hs = shingle_hashes(df["text"]) or [np.empty(0, np.int64)]
+        return pa.table({"h": pa.array(np.unique(np.concatenate(hs)),
+                                       pa.int64())})
+
+    test_hs = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        test_side, batch_format="pyarrow")
+    test_set = np.unique(test_hs.to_pandas()["h"].to_numpy())
+    test_ref = ray.put(test_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _r
+        test = _r.get(test_ref)
+        df = batch.to_pandas()
+        df = df[df["doc_id"] % DECON_TEST_MOD != 0]
+        hs = shingle_hashes(df["text"])
+        counts = np.fromiter(
+            (int(np.isin(h, test, assume_unique=True).sum()) for h in hs),
+            np.int64, count=len(hs))
+        keep = counts > 0
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy()[keep], pa.int64()),
+            "n_overlap": pa.array(counts[keep], pa.int64())})
+
+    return (_docs(sf_dir, ("doc_id", "text"))
+            .map_batches(probe, batch_format="pyarrow"))
+
+
+TOP_TERMS_K = 10
+TOP_TERMS_DF_NUM = 3         # keep terms with df <= 3/4 of the lang's docs
+TOP_TERMS_DF_DEN = 4
+
+
+def top_terms(sf_dir: str, k: int = TOP_TERMS_K):
+    """Per-language top-k terms by term frequency among non-stopword
+    terms (document frequency <= 3/4 of the language's docs). One
+    pre-aggregated partial per batch (tf = occurrences, df = per-doc
+    indicator — exact because a doc never splits across rows), one
+    (lang, tok) groupby, then a grouped top-k with deterministic ties
+    (tf desc, tok asc). Language doc totals are a 5-row side lookup."""
+    from ray.data.aggregate import Sum
+
+    lang_docs = (_docs(sf_dir, ("lang",)).groupby("lang").count()
+                 .to_pandas().set_index("lang")["count()"].to_dict())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "lang", "text"]).to_pandas()
+        if not len(df):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy()
+        flat = pd.DataFrame({
+            "lang": np.repeat(df["lang"].to_numpy(), n),
+            "doc": np.repeat(df["doc_id"].to_numpy(), n),
+            "tok": np.concatenate(toks.to_numpy())})
+        g = (flat.groupby(["lang", "tok"], sort=False)
+             .agg(tf=("doc", "size"), df=("doc", "nunique"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (_docs(sf_dir, ("doc_id", "lang", "text"))
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "tok"])
+           .aggregate(Sum("tf", alias_name="tf"),
+                      Sum("df", alias_name="df")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        cap = lang_docs[g["lang"].iloc[0]]
+        g = g[g["df"] * TOP_TERMS_DF_DEN <= cap * TOP_TERMS_DF_NUM]
+        g = g.sort_values(["tf", "tok"], ascending=[False, True]).head(k)
+        return g[["lang", "tok", "tf", "df"]]
+
+    return agg.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+BIGRAM_REP_NUM = 1           # flag docs with top-bigram share >= 1/10
+BIGRAM_REP_DEN = 10
+
+
+def bigram_repetition(sf_dir: str):
+    """Gopher-style repetition filter: per doc, the count of its most
+    frequent word bigram over the total bigram count; docs at or above
+    the threshold are flagged. Entirely per-doc — a single map_batches
+    with no shuffle; the integer threshold compare avoids float
+    boundary ambiguity (rep_frac is reported, not compared)."""
+
+    _empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_bigrams": pa.array([], pa.int64()),
+                       "top_count": pa.array([], pa.int64()),
+                       "rep_frac": pa.array([], pa.float64())})
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy()
+        ok = n >= 2
+        toks, ids = toks[ok], df["doc_id"].to_numpy()[ok]
+        if not len(toks):
+            return _empty
+        nb = (n[ok] - 1)
+        flat_tok = np.concatenate(toks.to_numpy()) if len(toks) else \
+            np.empty(0, object)
+        offs = np.zeros(len(nb) + 1, np.int64)
+        np.cumsum(nb + 1, out=offs[1:])
+        first = np.delete(flat_tok, offs[1:] - 1)        # drop last tok/doc
+        second = np.delete(flat_tok, offs[:-1])          # drop first tok/doc
+        g = (pd.DataFrame({"doc": np.repeat(ids, nb),
+                           "a": first, "b": second})
+             .groupby(["doc", "a", "b"], sort=False).size()
+             .groupby("doc").agg(["max", "sum"]))
+        top = g["max"].to_numpy()
+        tot = g["sum"].to_numpy()
+        keep = top * BIGRAM_REP_DEN >= tot * BIGRAM_REP_NUM
+        return pa.table({
+            "doc_id": pa.array(g.index.to_numpy()[keep], pa.int64()),
+            "n_bigrams": pa.array(tot[keep].astype(np.int64)),
+            "top_count": pa.array(top[keep].astype(np.int64)),
+            "rep_frac": pa.array(top[keep] / tot[keep], pa.float64())})
+
+    return (_docs(sf_dir, ("doc_id", "text"))
+            .map_batches(per_doc, batch_format="pyarrow"))
+
+
 def embedding_pairs(sf_dir: str):
     from ..stages.dedup import embedding_pairs as _ep
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
