@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fp": q.winnow_fp,
         "winnow_pairs": q.winnow_pairs,
         "dedup_exact": q.dedup_exact,
+        "anti_join_customers": q.anti_join_customers,
+        "q3_shipping": q.q3_shipping,
         "decontaminate": q.decontaminate,
         "top_terms": q.top_terms,
         "bigram_repetition": q.bigram_repetition,
@@ -393,6 +395,29 @@ SELECT p_brand,
                 AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
+"""
+    sqls["anti_join_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+    sqls["q3_shipping"] = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount))
+                             * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1997-06-01'
+    AND l_shipdate > TIMESTAMP '1997-06-01'
+  GROUP BY l_orderkey)
+SELECT r.l_orderkey, r.revenue_e4,
+       epoch_us(o.o_orderdate) AS o_odate_us, o.o_orderpriority
+FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+ORDER BY r.revenue_e4 DESC, r.l_orderkey LIMIT 10
 """
     sqls["topk_orders"] = """
 SELECT o_orderkey, o_totalprice FROM orders

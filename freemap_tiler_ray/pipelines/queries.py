@@ -957,6 +957,107 @@ def revenue_by_segment(sf_dir: str):
                        Count(alias_name="n_orders")))
 
 
+def anti_join_customers(sf_dir: str):
+    """Distributed anti-join: customers with no URGENT-priority order.
+    The right side is reduced to distinct keys first (per-batch unique
+    partial -> groupby), then a hash-partitioned left-outer join and a
+    null-marker filter — no driver-side key set, both sides shuffle at
+    most once."""
+    from ray.data.aggregate import Count
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"u_custkey": pc.unique(
+            t.filter(m)["o_custkey"].combine_chunks())})
+
+    urgent = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderpriority"])
+              .map_batches(urgent_keys, batch_format="pyarrow")
+              .groupby("u_custkey").aggregate(Count(alias_name="n_urgent")))
+    joined = cust.join(urgent, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("u_custkey",))
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["n_urgent"])).select(
+            ["c_custkey", "c_name", "c_mktsegment"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+Q3_CUTOFF = np.datetime64("1997-06-01T00:00:00", "us")
+
+
+def q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape: BUILDING customers |X| date-filtered orders
+    (hash join) |X| ship-filtered lineitem (second hash join, keys
+    only), grouped revenue, global top-10. Order date/priority are NOT
+    carried through the wide join — the top-10 keys (tiny) are enriched
+    from orders at the end, so the big shuffle moves (key, int) rows."""
+    from ray.data.aggregate import Sum
+
+    def seg(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]
+                           ).map_batches(seg, batch_format="pyarrow")
+
+    def odate(t: pa.Table) -> pa.Table:
+        m = pc.less(t["o_orderdate"], pa.scalar(Q3_CUTOFF))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(odate, batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",)
+                     ).select_columns(["o_orderkey"])
+
+    def ldate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(Q3_CUTOFF)))
+        e4 = np.floor((t["l_extendedprice"].to_numpy()
+                       * (1.0 - t["l_discount"].to_numpy()))
+                      * 10000.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_e4": pa.array(e4, pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(ldate, batch_format="pyarrow")
+    rev = (li.join(oc, join_type="inner", num_partitions=8,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+           .groupby("l_orderkey")
+           .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+    top = (rev.sort([("revenue_e4"), ("l_orderkey")],
+                    descending=[True, False]).limit(10).to_pandas())
+
+    keys = set(top["l_orderkey"].tolist())
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["o_orderkey"],
+                     value_set=pa.array(sorted(keys), pa.int64()))
+        t = t.filter(m)
+        us = t["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .view("int64")
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_odate_us": pa.array(us, pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    meta = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderdate",
+                                     "o_orderpriority"])
+            .map_batches(pick, batch_format="pyarrow").to_pandas())
+    out = top.merge(meta, left_on="l_orderkey", right_on="o_orderkey")
+    return out[["l_orderkey", "revenue_e4", "o_odate_us",
+                "o_orderpriority"]]
+
+
 def part_revenue_broadcast(sf_dir: str):
     """Broadcast join: part (small side, driver-collected once) into a
     lineitem map_batches lookup — no shuffle of the big side."""
