@@ -751,9 +751,14 @@ def decontaminate(sf_dir: str):
         df = batch.to_pandas()
         df = df[df["doc_id"] % DECON_TEST_MOD != 0]
         hs = shingle_hashes(df["text"])
-        counts = np.fromiter(
-            (int(np.isin(h, test, assume_unique=True).sum()) for h in hs),
-            np.int64, count=len(hs))
+        lens = np.fromiter((len(h) for h in hs), np.int64, count=len(hs))
+        flat = np.concatenate(hs) if len(hs) else np.empty(0, np.int64)
+        hit = np.isin(flat, test).astype(np.int64)  # bool reduceat would OR
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        counts = np.add.reduceat(hit, offs[:-1]) if len(flat) else \
+            np.zeros(len(lens), np.int64)
+        counts = np.where(lens > 0, counts, 0).astype(np.int64)
         keep = counts > 0
         return pa.table({
             "doc_id": pa.array(df["doc_id"].to_numpy()[keep], pa.int64()),
