@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.ann_ivf,
         "ann_lsh": q.ann_lsh,
         "kmeans_clusters": q.kmeans_clusters,
+        "quality_scores": q.quality_scores,
         "tile_pyramid_status": tile_pyramid_status,
         "tile_limits": tile_limits,
     }
@@ -925,6 +926,18 @@ SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {TOP_K}
 """
 
     sqls["kmeans_clusters"] = _kmeans_sql()
+
+    from freemap_tiler_ray.stages.ann import QUALITY_DIMS, quality_weights
+    _qw = quality_weights()
+    _score = " + ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) * ({_qw[d]!r})"
+        for d in range(QUALITY_DIMS))
+    sqls["quality_scores"] = f"""
+WITH s AS (SELECT vec_id,
+                  CAST(floor(({_score}) * 1000000.0) AS BIGINT) AS score_e6
+           FROM embeddings)
+SELECT vec_id, score_e6, CAST(score_e6 >= 0 AS BIGINT) AS kept FROM s
+"""
 
     sqls["tile_pyramid_status"] = (
         _tile_status_sql()

@@ -888,6 +888,11 @@ def ann_lsh(sf_dir: str):
     return _lsh(sf_dir)
 
 
+def quality_scores(sf_dir: str):
+    from ..stages.ann import quality_scores as _qs
+    return _qs(sf_dir)
+
+
 def kmeans_clusters(sf_dir: str):
     """Iterative distributed k-means (no SQL oracle — rows-only check)."""
     from ray.data.aggregate import Count

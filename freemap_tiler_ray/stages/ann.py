@@ -311,3 +311,50 @@ def ann_lsh(sf_dir: str, k: int = TOP_K):
                                  batch_size=4096)
             .groupby("query_vec_id")
             .map_groups(_merge_topk(k), batch_format="pandas"))
+
+
+QUALITY_DIMS = 64
+
+
+def quality_weights(dims: int = QUALITY_DIMS) -> np.ndarray:
+    """Deterministic linear "model" weights in [-1, 1] — a stand-in for
+    a trained quality classifier; the real model would be loaded from
+    a checkpoint in QualityScoreStage.__init__ the same way."""
+    from ..geo import _mix32
+
+    d = np.arange(dims, dtype=np.int64)
+    return ((_mix32(d).astype(np.int64) % 2001) - 1000) / 1000.0
+
+
+class QualityScoreStage:
+    """Actor-pool model-inference shape: the model (here a linear probe
+    over the embedding) is built ONCE per actor in __init__; __call__
+    scores whole batches vectorized. The dot product accumulates
+    dim-by-dim in index order (left-fold) so the DuckDB oracle's
+    w0*e0 + w1*e1 + ... expression mirrors it bit-for-bit; the score is
+    reported as floor(score * 1e6) in int64 so the compare is
+    dtype-stable."""
+
+    def __init__(self, dims: int = QUALITY_DIMS):
+        self.w = quality_weights(dims)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _matrix(batch["embedding"])
+        acc = self.w[0] * m[:, 0]
+        for d in range(1, m.shape[1]):
+            acc = acc + self.w[d] * m[:, d]
+        e6 = np.floor(acc * 1000000.0).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "score_e6": pa.array(e6, pa.int64()),
+            "kept": pa.array((e6 >= 0).astype(np.int64), pa.int64()),
+        })
+
+
+def quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).repartition(8)
+    return ds.map_batches(QualityScoreStage, concurrency=2,
+                          batch_format="pyarrow", batch_size=4096)
