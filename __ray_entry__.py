@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_tile": q.docs_per_tile,
         "sample_docs": q.sample_docs,
         "stratified_sample": q.stratified_sample,
+        "weighted_sample": q.weighted_sample,
         "lang_quantiles": q.lang_quantiles,
         "q6_filtered_revenue": q.q6_filtered_revenue,
         "nation_region_join": q.nation_region_join,
@@ -590,6 +591,19 @@ r AS (SELECT doc_id, lang,
                                 ORDER BY hv, doc_id) AS rn
       FROM h)
 SELECT doc_id, lang FROM r WHERE rn <= {STRATA_K}
+"""
+
+    from freemap_tiler_ray.pipelines.queries import WEIGHTED_SAMPLE_W
+    sqls["weighted_sample"] = f"""
+WITH b AS (SELECT doc_id, lang, n_chars,
+                  (doc_id % 4294967296 + 777) % 4294967296 AS v0
+           FROM documents),
+s1 AS (SELECT doc_id, lang, n_chars,
+              (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM b),
+s2 AS (SELECT doc_id, lang, n_chars,
+              (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM s1)
+SELECT doc_id, lang, n_chars FROM s2
+WHERE xor(v2 >> 16, v2) % 1000000 < n_chars * {WEIGHTED_SAMPLE_W}
 """
 
     sqls["lang_quantiles"] = """

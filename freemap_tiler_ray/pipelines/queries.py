@@ -136,6 +136,28 @@ def sample_docs(sf_dir: str):
         flt, batch_format="pyarrow")
 
 
+WEIGHTED_SAMPLE_W = 1000     # keep prob = n_chars * W / 1e6 (capped at 1)
+
+
+def weighted_sample(sf_dir: str):
+    """Length-weighted importance sampling: each doc kept with
+    probability proportional to n_chars (deterministic hash threshold —
+    reproducible on any cluster size / partitioning, single streaming
+    filter, no shuffle)."""
+    from ..geo import _mix32
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hv = _mix32((ids + np.uint64(777)) & np.uint64(0xFFFFFFFF))
+        thresh = (batch["n_chars"].to_numpy().astype(np.uint64)
+                  * np.uint64(WEIGHTED_SAMPLE_W))
+        keep = (hv % np.uint64(1000000)) < thresh
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ("doc_id", "lang", "n_chars")).map_batches(
+        flt, batch_format="pyarrow")
+
+
 STRATA_K = 5
 
 
