@@ -133,14 +133,15 @@ def winnow_fingerprints(batch: pa.Table) -> pa.Table:
     doc). The whole batch runs on ONE flat byte array: Horner in
     FP_K vectorized passes, sliding min in FP_W passes, per-doc
     validity from offsets — no per-row Python. The SQL mirror unrolls
-    the same Horner over unicode(substr(...)) and a window MIN; byte
-    codes equal codepoints because the corpus is ASCII."""
+    the same Horner over unicode(substr(...)); utf-32-le gives one
+    uint32 per codepoint, so the arrays match unicode() on ANY text
+    (not just ASCII) and lengths line up with str.len()."""
     df = batch.select(["doc_id", "text"]).to_pandas()
     lens = df["text"].str.len().to_numpy().astype(np.int64)
     offsets = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=offsets[1:])
-    codes = np.frombuffer("".join(df["text"]).encode("ascii"),
-                          np.uint8).astype(np.int64)
+    codes = np.frombuffer("".join(df["text"]).encode("utf-32-le"),
+                          np.uint32).astype(np.int64)
     span = FP_K + FP_W - 1
     nwin = len(codes) - FP_K + 1
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
