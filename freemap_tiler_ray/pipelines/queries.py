@@ -25,6 +25,11 @@ from ..stages.spatial import (PIPJoinStage, add_doc_points, knn_join,
 CELL_RES = 6
 
 
+# read_parquet with the file-level pandas metadata stripped — see
+# sources/pq.py for why (schema-hash dedup in hash-shuffle stages).
+from ..sources.pq import read_parquet as _rp  # noqa: E402
+
+
 def _split(ds, blocks: int = 16):
     """The sf tables are single-row-group parquet files -> ONE block ->
     serial map stages. Split after read (no shuffle) so per-doc work
@@ -33,7 +38,7 @@ def _split(ds, blocks: int = 16):
 
 
 def _docs(sf_dir: str, columns=("doc_id",)):
-    return _split(rd.read_parquet(f"{sf_dir}/documents.parquet",
+    return _split(_rp(f"{sf_dir}/documents.parquet",
                                   columns=list(columns)))
 
 
@@ -64,8 +69,9 @@ def cell_counts(sf_dir: str):
         tbl = make_add_cell(CELL_RES)(add_doc_points(batch))
         df = tbl.select(["cell_x", "cell_y"]).to_pandas()
         g = df.groupby(["cell_x", "cell_y"], as_index=False).size()
-        return pa.Table.from_pandas(g.rename(columns={"size": "partial"}),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}),
+            preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
     parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow")
@@ -93,8 +99,9 @@ def span_kind_stats(sf_dir: str):
         kinds = spans.flatten().field("kind")
         df = pd.DataFrame({"kind": kinds.to_pandas()})
         g = df.groupby("kind", as_index=False).size()
-        return pa.Table.from_pandas(g.rename(columns={"size": "partial"}),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}),
+            preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
     return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
@@ -175,7 +182,8 @@ def stratified_sample(sf_dir: str, k: int = STRATA_K):
                          & np.uint64(0xFFFFFFFF)).astype(np.int64)
         top = (df.sort_values(["lang", "h", "doc_id"])
                .groupby("lang", as_index=False).head(k))
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return pa.Table.from_pandas(
+            top, preserve_index=False).replace_schema_metadata(None)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["h", "doc_id"]).head(k)
@@ -235,7 +243,7 @@ def lang_quantiles(sf_dir: str):
                                            side="right")])
             v = b - (b - a) * (1.0 - t) if t >= 0.5 else a + (b - a) * t
             out[col] = [float(v)]
-        return pd.DataFrame(out)
+        return pa.table(out)
 
     return hist.groupby("lang").map_groups(quant, batch_format="pandas")
 
@@ -261,7 +269,7 @@ def q6_filtered_revenue(sf_dir: str):
     import pyarrow.dataset as pads
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_quantity"],
         filter=(pads.field("l_quantity") < 24))
@@ -303,7 +311,7 @@ def nation_region_join(sf_dir: str):
         rname = np.where(nk[idx] == keys, rn[idx], "")
         return pa.table({"r_name": pa.array(rname, pa.string())})
 
-    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+    ds = _rp(f"{sf_dir}/supplier.parquet",
                          columns=["s_nationkey"])
     from ray.data.aggregate import Count
     return (ds.map_batches(joined, batch_format="pyarrow")
@@ -315,7 +323,7 @@ def events_props_json(sf_dir: str):
     field) and aggregate: count + min/max per k-bucket."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+    ds = _rp(f"{sf_dir}/events.parquet", columns=["props"])
 
     def parse(t: pa.Table) -> pa.Table:
         s = t["props"].to_pandas().str.extract(r'"k": (\d+)')[0]
@@ -336,7 +344,7 @@ def label_centroids(sf_dir: str):
     associative) + count; exploded to (label, dim, sum_e6, n_vecs)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
                          columns=["label", "embedding"]).repartition(8)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -406,7 +414,7 @@ def events_sliding(sf_dir: str):
     import ray.data as rd
 
     W = SLIDING_WINDOW_US
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rp(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "ts"])
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -433,7 +441,7 @@ def events_sliding(sf_dir: str):
         q = us[home]
         hi = np.searchsorted(s, q, side="right")
         lo = np.searchsorted(s, q - W, side="left")
-        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[home],
+        return pa.table({"event_id": g["event_id"].to_numpy()[home],
                              "n_window": (hi - lo).astype(np.int64)})
 
     return (ds.map_batches(prep, batch_format="pyarrow")
@@ -536,9 +544,9 @@ def events_range_join(sf_dir: str):
     import ray.data as rd
 
     W = RANGE_JOIN_WINDOW_US
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rp(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderdate"])
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = _rp(f"{sf_dir}/events.parquet",
                              columns=["event_id", "user_id", "ts"])
 
     def o_prep(t: pa.Table) -> pa.Table:
@@ -572,8 +580,8 @@ def events_range_join(sf_dir: str):
         ok_, ous = ok_[oo], ous[oo]
         ek, eus, eids = k[~is_o], us[~is_o], eid[~is_o]
         if len(ek) == 0:
-            return pd.DataFrame({"event_id": pd.array([], "int64"),
-                                 "n_orders": pd.array([], "int64")})
+            return pa.table({"event_id": pa.array(np.asarray([], np.int64)),
+                                 "n_orders": pa.array(np.asarray([], np.int64))})
         lo = np.searchsorted(ok_, ek, side="left")
         hi = np.searchsorted(ok_, ek, side="right")
         n = np.zeros(len(ek), np.int64)
@@ -588,8 +596,8 @@ def events_range_join(sf_dir: str):
             up = np.searchsorted(ous[a:b], eus[s:t_], side="right")
             dn = np.searchsorted(ous[a:b], eus[s:t_] - W, side="left")
             n[s:t_] = up - dn
-        return pd.DataFrame({"event_id": pd.array(eids, "int64"),
-                             "n_orders": pd.array(n, "int64")})
+        return pa.table({"event_id": pa.array(np.asarray(eids, np.int64)),
+                             "n_orders": pa.array(np.asarray(n, np.int64))})
 
     return (both.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(rjoin, batch_format="pandas"))
@@ -602,9 +610,9 @@ def events_asof(sf_dir: str):
     assumption: all events/orders of a user share a group."""
     import ray.data as rd
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rp(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderdate"])
-    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+    events = _rp(f"{sf_dir}/events.parquet",
                              columns=["event_id", "user_id", "ts"])
 
     def o_prep(t: pa.Table) -> pa.Table:
@@ -641,8 +649,8 @@ def events_asof(sf_dir: str):
         ok_, ous = ok_[oo], ous[oo]
         ek, eus, eids = k[~is_o], us[~is_o], eid[~is_o]
         if len(ek) == 0:
-            return pd.DataFrame({"event_id": pd.array([], "int64"),
-                                 "last_order_us": pd.array([], "int64")})
+            return pa.table({"event_id": pa.array(np.asarray([], np.int64)),
+                                 "last_order_us": pa.array(np.asarray([], np.int64))})
         lo = np.searchsorted(ok_, ek, side="left")
         hi = np.searchsorted(ok_, ek, side="right")
         out_id, out_us = [], []
@@ -660,8 +668,8 @@ def events_asof(sf_dir: str):
             out_us.append(ous[a:b][pos[okm]])
         i = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
         v = np.concatenate(out_us) if out_us else np.empty(0, np.int64)
-        return pd.DataFrame({"event_id": pd.array(i, "int64"),
-                             "last_order_us": pd.array(v, "int64")})
+        return pa.table({"event_id": pa.array(np.asarray(i, np.int64)),
+                             "last_order_us": pa.array(np.asarray(v, np.int64))})
 
     return (both.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(asof, batch_format="pandas"))
@@ -885,7 +893,8 @@ def top_terms(sf_dir: str, k: int = TOP_TERMS_K):
         g = (flat.groupby(["lang", "tok"], sort=False)
              .agg(tf=("doc", "size"), df=("doc", "nunique"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
 
     agg = (_docs(sf_dir, ("doc_id", "lang", "text"))
            .map_batches(partial, batch_format="pyarrow")
@@ -952,7 +961,7 @@ def bigram_repetition(sf_dir: str):
 
 def embedding_pairs(sf_dir: str):
     from ..stages.dedup import embedding_pairs as _ep
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    emb = _rp(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"]).repartition(8)
     return _ep(emb)
 
@@ -1008,7 +1017,7 @@ def q1_lineitem(sf_dir: str):
     therefore computed on floor-scaled integers (exact + associative).
     Quantities are integer-valued doubles, so they are summed as int64
     (exact, and the dtype matches the BIGINT oracle)."""
-    ds = rd.read_parquet(
+    ds = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
@@ -1032,7 +1041,7 @@ def q1_lineitem(sf_dir: str):
 def revenue_by_segment(sf_dir: str):
     """Hash join orders |X| customer (Dataset.join, hash-partitioned)
     then grouped sum — the both-sides-large join path."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _rp(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
 
     def cents(t: pa.Table) -> pa.Table:
@@ -1040,7 +1049,7 @@ def revenue_by_segment(sf_dir: str):
         return pa.table({"o_custkey": t["o_custkey"],
                          "price_e2": pa.array(e2, pa.int64())})
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _rp(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
     joined = orders.map_batches(cents, batch_format="pyarrow").join(
         cust, join_type="inner", num_partitions=8,
@@ -1059,7 +1068,7 @@ def anti_join_customers(sf_dir: str):
     most once."""
     from ray.data.aggregate import Count
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _rp(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name", "c_mktsegment"])
 
     def urgent_keys(t: pa.Table) -> pa.Table:
@@ -1067,7 +1076,7 @@ def anti_join_customers(sf_dir: str):
         return pa.table({"u_custkey": pc.unique(
             t.filter(m)["o_custkey"].combine_chunks())})
 
-    urgent = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+    urgent = (_rp(f"{sf_dir}/orders.parquet",
                               columns=["o_custkey", "o_orderpriority"])
               .map_batches(urgent_keys, batch_format="pyarrow")
               .groupby("u_custkey").aggregate(Count(alias_name="n_urgent")))
@@ -1096,7 +1105,7 @@ def q3_shipping(sf_dir: str):
         return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
             ["c_custkey"])
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _rp(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"]
                            ).map_batches(seg, batch_format="pyarrow")
 
@@ -1104,7 +1113,7 @@ def q3_shipping(sf_dir: str):
         m = pc.less(t["o_orderdate"], pa.scalar(Q3_CUTOFF))
         return t.filter(m).select(["o_orderkey", "o_custkey"])
 
-    orders = rd.read_parquet(
+    orders = _rp(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(odate, batch_format="pyarrow")
@@ -1120,7 +1129,7 @@ def q3_shipping(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"],
                          "revenue_e4": pa.array(e4, pa.int64())})
 
-    li = rd.read_parquet(
+    li = _rp(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(ldate, batch_format="pyarrow")
@@ -1143,7 +1152,7 @@ def q3_shipping(sf_dir: str):
                          "o_odate_us": pa.array(us, pa.int64()),
                          "o_orderpriority": t["o_orderpriority"]})
 
-    meta = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+    meta = (_rp(f"{sf_dir}/orders.parquet",
                             columns=["o_orderkey", "o_orderdate",
                                      "o_orderpriority"])
             .map_batches(pick, batch_format="pyarrow").to_pandas())
@@ -1157,7 +1166,7 @@ def part_revenue_broadcast(sf_dir: str):
     lineitem map_batches lookup — no shuffle of the big side."""
     import ray
 
-    part_tbl = (rd.read_parquet(f"{sf_dir}/part.parquet",
+    part_tbl = (_rp(f"{sf_dir}/part.parquet",
                                 columns=["p_partkey", "p_brand"])
                 .to_pandas().sort_values("p_partkey"))
     lookup_ref = ray.put((part_tbl["p_partkey"].to_numpy(),
@@ -1175,7 +1184,7 @@ def part_revenue_broadcast(sf_dir: str):
         return pa.table({"p_brand": brand,
                          "revenue_e4": pa.array(e4, pa.int64())})
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _rp(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_extendedprice", "l_discount"])
     from ray.data.aggregate import Sum
     return (ds.map_batches(join_batch, batch_format="pyarrow")
@@ -1185,7 +1194,7 @@ def part_revenue_broadcast(sf_dir: str):
 
 def topk_orders(sf_dir: str):
     """Top-10 orders by totalprice (sort + limit, deterministic ties)."""
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _rp(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_totalprice"])
     out = ds.sort([("o_totalprice"), ("o_orderkey")],
                   descending=[True, False]).limit(10)
@@ -1195,7 +1204,7 @@ def topk_orders(sf_dir: str):
 def events_window(sf_dir: str):
     """Tumbling 1-hour window per event_type: count + sum(value).
     Window id = epoch_us // 3600e6 (integer math, timezone-naive)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rp(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
     def win(t: pa.Table) -> pa.Table:
@@ -1216,7 +1225,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Sessionization: per user, a new session starts when the gap to the
     previous event exceeds gap_minutes (groupby user + ordered scan —
     the ordering assumption is ts within each user group)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _rp(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     gap_us = gap_minutes * 60_000_000
 
@@ -1238,11 +1247,11 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
         new_sess = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
         starts = np.flatnonzero(new_user)
         bounds = np.r_[starts, len(u)]
-        return pd.DataFrame({
-            "user_id": pd.array(u[starts], "int64"),
+        return pa.table({
+            "user_id": pa.array(np.asarray(u[starts], np.int64)),
             "n_sessions": pd.array(
                 np.add.reduceat(new_sess.astype(np.int64), starts), "int64"),
-            "n_events": pd.array(bounds[1:] - bounds[:-1], "int64")})
+            "n_events": pa.array(np.asarray(bounds[1:] - bounds[:-1], np.int64))})
 
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(sess, batch_format="pandas"))

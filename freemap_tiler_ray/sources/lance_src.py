@@ -24,4 +24,5 @@ def read_documents(path: str, columns=None):
 
     if HAVE_LANCE and path.endswith(".lance"):
         return rd.read_lance(path, columns=list(columns) if columns else None)
-    return rd.read_parquet(path, columns=list(columns) if columns else None)
+    from .pq import read_parquet
+    return read_parquet(path, columns=list(columns) if columns else None)

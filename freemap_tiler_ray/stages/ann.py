@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..sources.pq import read_parquet as _rp
+
 N_QUERIES = 10       # queries = embeddings with vec_id < N_QUERIES
 TOP_K = 5
 N_CENTROIDS = 8      # IVF coarse quantizer = embeddings with vec_id < 8
@@ -110,7 +112,7 @@ def ann_topk(sf_dir: str, k: int = TOP_K):
     import ray.data as rd
 
     qids, qmat = _load_head(sf_dir, N_QUERIES)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).repartition(8)
     partial = ds.map_batches(AnnPartialStage(qids, qmat, k),
                              batch_format="pyarrow", batch_size=4096)
@@ -134,7 +136,7 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     import ray.data as rd
 
     _, cent = _load_head(sf_dir, k)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).repartition(8).materialize()
 
     for _ in range(iters):
@@ -209,7 +211,7 @@ def ann_ivf(sf_dir: str, k: int = TOP_K):
     cn = _normalize(cmat)
     qprobe = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :NPROBE]
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).repartition(8)
     assigned = ds.map_batches(IvfAssignStage(cmat), batch_format="pyarrow",
                               batch_size=4096)
@@ -283,7 +285,7 @@ def ann_lsh(sf_dir: str, k: int = TOP_K):
             probe_mask[qi, qbucket[qi] ^ (1 << b)] = True
     qn_all = _normalize(qmat)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).repartition(8)
     bucketed = ds.map_batches(LshBucketStage(planes),
                               batch_format="pyarrow", batch_size=4096)
@@ -354,7 +356,7 @@ class QualityScoreStage:
 def quality_scores(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).repartition(8)
     return ds.map_batches(QualityScoreStage, concurrency=2,
                           batch_format="pyarrow", batch_size=4096)

@@ -126,7 +126,7 @@ def _pairs_by_key(ds, key: str, n_parts: int = N_PAIR_PARTS):
         return batch.append_column(
             "_part", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
         k = g[key].to_numpy()
         d = g["doc_id"].to_numpy()
         order = np.lexsort((d, k))
@@ -144,8 +144,8 @@ def _pairs_by_key(ds, key: str, n_parts: int = N_PAIR_PARTS):
             out_b.append(d[s:t][jj])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
-                             "doc_b": pd.array(b, "int64")})
+        return pa.table({"doc_a": pa.array(np.asarray(a, np.int64)),
+                             "doc_b": pa.array(np.asarray(b, np.int64))})
 
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(pairs, batch_format="pandas"))
@@ -176,10 +176,10 @@ def _distinct_pairs(pairs_ds, n_parts: int = 64):
             "_part": pa.array(((h >> np.uint64(17))
                                % np.uint64(n_parts)).astype(np.int64))})
 
-    def part_dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def part_dedup(g: pd.DataFrame) -> pa.Table:
         a, b = _pair_dedup(g["doc_a"].to_numpy(), g["doc_b"].to_numpy())
-        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
-                             "doc_b": pd.array(b, "int64")})
+        return pa.table({"doc_a": pa.array(np.asarray(a, np.int64)),
+                             "doc_b": pa.array(np.asarray(b, np.int64))})
 
     return (pairs_ds.map_batches(local, batch_format="pyarrow")
             .groupby("_part").map_groups(part_dedup, batch_format="pandas"))
@@ -452,7 +452,7 @@ def simhash_pairs(sig_ds):
             "_part",
             pa.array((h % np.uint64(N_PAIR_PARTS)).astype(np.int64)))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
         # one call per hash partition (see _pairs_by_key): a sorted
         # boundary scan walks every band bucket in the partition
         k = g["band_key"].to_numpy()
@@ -478,9 +478,9 @@ def simhash_pairs(sig_ds):
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
-        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
-                             "doc_b": pd.array(b, "int64"),
-                             "hamming": pd.array(h, "int64")})
+        return pa.table({"doc_a": pa.array(np.asarray(a, np.int64)),
+                             "doc_b": pa.array(np.asarray(b, np.int64)),
+                             "hamming": pa.array(np.asarray(h, np.int64))})
 
     def local_min(t: pa.Table) -> pa.Table:
         # per-pair min(hamming), vectorized, as combiner + partition
@@ -504,7 +504,7 @@ def simhash_pairs(sig_ds):
                                 % np.uint64(N_PAIR_PARTS))
                                .astype(np.int64))})
 
-    def part_min(g: pd.DataFrame) -> pd.DataFrame:
+    def part_min(g: pd.DataFrame) -> pa.Table:
         a = g["doc_a"].to_numpy()
         b = g["doc_b"].to_numpy()
         h = g["hamming"].to_numpy()
@@ -512,9 +512,9 @@ def simhash_pairs(sig_ds):
         a, b, h = a[order], b[order], h[order]
         first = np.ones(len(a), bool)
         first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pd.DataFrame({"doc_a": pd.array(a[first], "int64"),
-                             "doc_b": pd.array(b[first], "int64"),
-                             "hamming": pd.array(h[first], "int64")})
+        return pa.table({"doc_a": pa.array(np.asarray(a[first], np.int64)),
+                             "doc_b": pa.array(np.asarray(b[first], np.int64)),
+                             "hamming": pa.array(np.asarray(h[first], np.int64))})
 
     b = sig_ds.map_batches(bands, batch_format="pyarrow")
     b = _keep_multi_keys(b, "band_key")
@@ -557,7 +557,7 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
             "_part",
             pa.array((h % np.uint64(N_PAIR_PARTS)).astype(np.int64)))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         k = g["shingle"].to_numpy()
         d = g["doc_id"].to_numpy()
         sz = g["sz"].to_numpy()
@@ -574,10 +574,10 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
             out_sa.append(sz[s:t_][ii])
             out_sb.append(sz[s:t_][jj])
         c = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
-        return pd.DataFrame({"doc_a": pd.array(c(out_a), "int64"),
-                             "doc_b": pd.array(c(out_b), "int64"),
-                             "sz_a": pd.array(c(out_sa), "int64"),
-                             "sz_b": pd.array(c(out_sb), "int64")})
+        return pa.table({"doc_a": pa.array(np.asarray(c(out_a), np.int64)),
+                             "doc_b": pa.array(np.asarray(c(out_b), np.int64)),
+                             "sz_a": pa.array(np.asarray(c(out_sa), np.int64)),
+                             "sz_b": pa.array(np.asarray(c(out_sb), np.int64))})
 
     def local_count(t: pa.Table) -> pa.Table:
         # combiner: per-block partial co-occurrence count per pair
@@ -603,7 +603,7 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
                                 % np.uint64(N_PAIR_PARTS))
                                .astype(np.int64))})
 
-    def part_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+    def part_jaccard(g: pd.DataFrame) -> pa.Table:
         a = g["doc_a"].to_numpy()
         b = g["doc_b"].to_numpy()
         sa = g["sz_a"].to_numpy()
@@ -619,9 +619,9 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
         jac = inter.astype(np.float64) / (sa + sb - inter).astype(
             np.float64)
         keep = jac >= tau
-        return pd.DataFrame({"doc_a": pd.array(a[keep], "int64"),
-                             "doc_b": pd.array(b[keep], "int64"),
-                             "jaccard": pd.array(jac[keep], "float64")})
+        return pa.table({"doc_a": pa.array(np.asarray(a[keep], np.int64)),
+                             "doc_b": pa.array(np.asarray(b[keep], np.int64)),
+                             "jaccard": pa.array(np.asarray(jac[keep], np.float64))})
 
     ex = shingled_ds.map_batches(explode, batch_format="pyarrow")
     ex = _keep_multi_keys(ex, "shingle")
@@ -658,7 +658,7 @@ def winnow_pairs(fp_ds, maxdf: int = WINNOW_MAXDF,
             "_part",
             pa.array((h % np.uint64(N_PAIR_PARTS)).astype(np.int64)))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         k = g["fp"].to_numpy()
         d = g["doc_id"].to_numpy()
         order = np.lexsort((d, k))
@@ -674,8 +674,8 @@ def winnow_pairs(fp_ds, maxdf: int = WINNOW_MAXDF,
             out_b.append(d[s:s + n][jj])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        return pd.DataFrame({"doc_a": pd.array(a, "int64"),
-                             "doc_b": pd.array(b, "int64")})
+        return pa.table({"doc_a": pa.array(np.asarray(a, np.int64)),
+                             "doc_b": pa.array(np.asarray(b, np.int64))})
 
     def local_count(t: pa.Table) -> pa.Table:
         # combiner: per-block partial count per pair
@@ -697,7 +697,7 @@ def winnow_pairs(fp_ds, maxdf: int = WINNOW_MAXDF,
                                 % np.uint64(N_PAIR_PARTS))
                                .astype(np.int64))})
 
-    def part_count(g: pd.DataFrame) -> pd.DataFrame:
+    def part_count(g: pd.DataFrame) -> pa.Table:
         a = g["doc_a"].to_numpy()
         b = g["doc_b"].to_numpy()
         n = g["n"].to_numpy()
@@ -707,10 +707,10 @@ def winnow_pairs(fp_ds, maxdf: int = WINNOW_MAXDF,
         starts = np.flatnonzero(first)
         tot = np.add.reduceat(n, starts)
         keep = tot >= min_shared
-        return pd.DataFrame({
-            "doc_a": pd.array(a[starts][keep], "int64"),
-            "doc_b": pd.array(b[starts][keep], "int64"),
-            "n_shared": pd.array(tot[keep], "int64")})
+        return pa.table({
+            "doc_a": pa.array(np.asarray(a[starts][keep], np.int64)),
+            "doc_b": pa.array(np.asarray(b[starts][keep], np.int64)),
+            "n_shared": pa.array(np.asarray(tot[keep], np.int64))})
 
     return (fp_ds.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(bucket_pairs,
@@ -821,7 +821,7 @@ def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU,
         out = out.append_column("pair_key", pa.array(key, pa.int64()))
         return out.append_column("bucket", pa.array(b[idx], pa.int64()))
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def group_pairs(g: pd.DataFrame) -> pa.Table:
         key = int(g["pair_key"].iloc[0])
         lo, hi = divmod(key, B)
         ids = g["vec_id"].to_numpy()
@@ -838,8 +838,8 @@ def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU,
             ia, ib = ids[ma][ii], ids[~ma][jj]
             a, bb = np.minimum(ia, ib), np.maximum(ia, ib)
         order = np.lexsort((bb, a))
-        return pd.DataFrame({"vec_a": pd.array(a[order], "int64"),
-                             "vec_b": pd.array(bb[order], "int64")})
+        return pa.table({"vec_a": pa.array(np.asarray(a[order], np.int64)),
+                             "vec_b": pa.array(np.asarray(bb[order], np.int64))})
 
     return (emb_ds.map_batches(replicate, batch_format="pyarrow")
             .groupby("pair_key")
