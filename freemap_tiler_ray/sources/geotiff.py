@@ -6,7 +6,8 @@ rasterio/GDAL, so this parses the TIFF container directly:
   - classic (II/MM, magic 42) single- or multi-IFD files; first IFD
   - 8-bit samples, 1-4 bands, chunky planar config
   - strip AND tile layouts
-  - compression: none (1), deflate (8 / 32946), PackBits (32773)
+  - compression: none (1), LZW (5, TIFF early-change), deflate
+    (8 / 32946), PackBits (32773)
   - predictor 2 (horizontal differencing)
   - georef from ModelPixelScaleTag + ModelTiepointTag (33550/33922) and
     the EPSG code from GeoKeyDirectoryTag (34735) keys 1024/3072
@@ -14,7 +15,7 @@ rasterio/GDAL, so this parses the TIFF container directly:
 
 `geotiff_to_scene` converts to the engine's mmap-able .npy + sidecar
 SceneSpec once (an import step, like building a VRT); `read_geotiff`
-returns the decoded array + georef for direct use. LZW/JPEG-in-TIFF and
+returns the decoded array + georef for direct use. JPEG-in-TIFF and
 16-bit samples are rejected with a clear message rather than silently
 misread.
 """
@@ -87,16 +88,116 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (Compression=5): MSB-first bit packing, 9->12 bit
+    codes with the TIFF6 'early change' (width bumps when the next free
+    table slot reaches 2^width - 1), Clear=256, EOI=257. Per-code Python
+    loop — acceptable because this runs once per file at import time
+    (geotiff_to_scene), not in the per-tile hot path."""
+    out = bytearray()
+    table: list[bytes] = []
+    prev = b""
+    bitbuf = nbits = pos = 0
+    width = 9
+    n = len(data)
+    started = False
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            started = True
+            continue
+        if code == _LZW_EOI:
+            break
+        if not started:
+            raise ValueError("LZW stream did not start with a Clear code")
+        if not prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond "
+                             f"table size {len(table)}")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry, so it widens at 510/1022/2046 where
+        # the encoder widens at 511/1023/2047 (TIFF6 spec, libtiff)
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """LZW writer matching _lzw_decode's early-change convention (used
+    by write_geotiff(compression='lzw') for tests/fixtures)."""
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, w: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    codes = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        ch = data[i:i + 1]
+        wc = w + ch
+        if wc in codes:
+            w = wc
+            continue
+        emit(codes[w], width)
+        codes[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = ch
+        if next_code == 4094:          # table nearly full: reset
+            emit(_LZW_CLEAR, width)
+            codes = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+    if w:
+        emit(codes[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_chunk(raw: bytes, comp: int, nbytes: int) -> bytes:
     if comp == 1:
         return raw
+    if comp == 5:
+        return _lzw_decode(raw)
     if comp in (8, 32946):
         return zlib.decompress(raw)
     if comp == 32773:
         return _unpackbits(raw, nbytes)
     raise NotImplementedError(
         f"TIFF compression {comp} not supported (supported: none=1, "
-        "deflate=8/32946, PackBits=32773); re-export with deflate")
+        "LZW=5, deflate=8/32946, PackBits=32773); re-export with deflate")
 
 
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
@@ -231,7 +332,7 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
-    comp = {"none": 1, "deflate": 8}[compression]
+    comp = {"none": 1, "lzw": 5, "deflate": 8}[compression]
 
     chunks: list[bytes] = []
     if tiled:
@@ -246,7 +347,8 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
                     data = np.diff(data.astype(np.int16), axis=1,
                                    prepend=0).astype(np.uint8)
                 raw = data.tobytes()
-                chunks.append(zlib.compress(raw) if comp == 8 else raw)
+                chunks.append(zlib.compress(raw) if comp == 8
+                              else _lzw_encode(raw) if comp == 5 else raw)
     else:
         for y0 in range(0, h, rows_per_strip):
             data = img[y0:y0 + rows_per_strip]
@@ -254,7 +356,8 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
                 data = np.diff(data.astype(np.int16), axis=1,
                                prepend=0).astype(np.uint8)
             raw = data.tobytes()
-            chunks.append(zlib.compress(raw) if comp == 8 else raw)
+            chunks.append(zlib.compress(raw) if comp == 8
+                          else _lzw_encode(raw) if comp == 5 else raw)
 
     # layout: header | tag data area | chunk data | IFD
     geo_keys = (1, 1, 0, 3,

@@ -40,17 +40,45 @@ def test_unsupported_compression_message(tmp_path):
     p = str(tmp_path / "t.tif")
     write_geotiff(p, img, 0, 0, 1, 1)
     raw = bytearray(open(p, "rb").read())
-    # flip the compression tag value to LZW (5)
+    # flip the compression tag value to JPEG-in-TIFF (7)
     import struct
     ifd_off = struct.unpack_from("<I", raw, 4)[0]
     (n,) = struct.unpack_from("<H", raw, ifd_off)
     for i in range(n):
         base = ifd_off + 2 + 12 * i
         if struct.unpack_from("<H", raw, base)[0] == 259:
-            struct.pack_into("<H", raw, base + 8, 5)
+            struct.pack_into("<H", raw, base + 8, 7)
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    with pytest.raises(NotImplementedError, match="compression 7"):
         read_geotiff(p)
+
+
+def test_lzw_fixture_matches_uncompressed_twin(tmp_path):
+    """VERDICT r2 #5: an LZW (+predictor-2) file decodes bit-identically
+    to its uncompressed twin, strip and tile layouts."""
+    img = _img(210, 340, 3, seed=42)
+    for tiled in (False, True):
+        pu = str(tmp_path / f"u{tiled}.tif")
+        pl = str(tmp_path / f"l{tiled}.tif")
+        write_geotiff(pu, img, 10.0, 20.0, 1.0, 1.0, epsg=3857,
+                      compression="none", tiled=tiled, tile_size=128)
+        write_geotiff(pl, img, 10.0, 20.0, 1.0, 1.0, epsg=3857,
+                      compression="lzw", predictor=True, tiled=tiled,
+                      tile_size=128)
+        a, ga = read_geotiff(pu)
+        b, gb = read_geotiff(pl)
+        assert np.array_equal(a, b)
+        assert ga == gb
+
+
+def test_lzw_stream_conventions():
+    """Pin the TIFF LZW bit-level conventions (MSB-first, Clear-first,
+    early change) with a hand-computed stream for b'AAAA':
+    Clear(256) 'A'(65) 'AA'(258) 'A'(65) EOI(257) at 9 bits each."""
+    from freemap_tiler_ray.sources.geotiff import _lzw_decode, _lzw_encode
+    expected = bytes([0x80, 0x10, 0x60, 0x44, 0x18, 0x08])
+    assert _lzw_encode(b"AAAA") == expected
+    assert _lzw_decode(expected) == b"AAAA"
 
 
 def test_geotiff_scene_warp_matches_npy(ray_session, tmp_path):
