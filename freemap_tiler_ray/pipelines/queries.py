@@ -1255,3 +1255,213 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
 
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(sess, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# round 3: multi-way join, regex scan, lag window, chunking
+# ---------------------------------------------------------------------------
+
+Q5_YEAR_LO = np.datetime64("1996-01-01T00:00:00", "us")
+Q5_YEAR_HI = np.datetime64("1997-01-01T00:00:00", "us")
+Q5_REGION = "ASIA"
+
+
+def q5_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation for customers AND suppliers in
+    one region, with the local-supplier constraint
+    (c_nationkey = s_nationkey).
+
+    Scale plan: region->nation and supplier are broadcast-size dims
+    (read once on the driver, rider dicts into map_batches); the two
+    big tables meet in hash joins that carry KEYS + one int column
+    only — orders(date-filtered) |X| customer(region-filtered) on
+    custkey, then lineitem |X| that on orderkey. The per-nation
+    aggregate is a bounded groupby (#nations)."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = reg["r_regionkey"].to_numpy().astype(np.int64)
+    rk = rkeys[reg["r_name"].to_numpy(zero_copy_only=False) == Q5_REGION]
+    in_region = np.isin(nat["n_regionkey"].to_numpy().astype(np.int64), rk)
+    nk_all = nat["n_nationkey"].to_numpy().astype(np.int64)[in_region]
+    nm_all = nat["n_name"].to_numpy(zero_copy_only=False)[in_region]
+    so = np.argsort(nk_all)
+    nat_keys = nk_all[so]
+    nat_names = {int(k): str(v) for k, v in zip(nat_keys, nm_all[so])}
+
+    def cust_flt(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy().astype(np.int64)
+        m = np.isin(nk, nat_keys)
+        return pa.table({"c_custkey": t["c_custkey"].filter(pa.array(m)),
+                         "c_nationkey": pa.array(nk[m], pa.int64())})
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"]
+               ).map_batches(cust_flt, batch_format="pyarrow")
+
+    def odate(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy().astype("datetime64[us]")
+        m = (d >= Q5_YEAR_LO) & (d < Q5_YEAR_HI)
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(pa.array(m)),
+                         "o_custkey": t["o_custkey"].filter(pa.array(m))})
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                 ).map_batches(odate, batch_format="pyarrow")
+    oc = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",)
+                     ).select_columns(["o_orderkey", "c_nationkey"])
+
+    # supplier: broadcast-size dim -> suppkey-indexed nationkey lookup
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sup_keys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    sup_nk = sup["s_nationkey"].to_numpy().astype(np.int64)
+    so = np.argsort(sup_keys)
+    sup_keys, sup_nk = sup_keys[so], sup_nk[so]
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        s_nat = sup_nk[np.searchsorted(sup_keys, sk)]
+        m = np.isin(s_nat, nat_keys)
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * (1.0 - t["l_discount"].to_numpy()[m]))
+                      * 10000.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(m)),
+            "s_nationkey": pa.array(s_nat[m], pa.int64()),
+            "revenue_e4": pa.array(e4, pa.int64())})
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount"]
+             ).map_batches(li_prep, batch_format="pyarrow")
+    j = li.join(oc, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_sup(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["s_nationkey"],
+                     t["c_nationkey"].cast(pa.int64()))
+        t = t.filter(m)
+        nk = t["s_nationkey"].to_numpy()
+        names = np.asarray([nat_names[int(k)] for k in nat_keys],
+                           dtype=object)
+        pos = np.searchsorted(nat_keys, nk)
+        return pa.table({"n_name": pa.array(names[pos], pa.string()),
+                         "revenue_e4": t["revenue_e4"]})
+
+    return (j.map_batches(local_sup, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+
+# PII-shaped regex scan: two corpus-real patterns + one true PII regex
+# (email) that is zero on the synthetic corpus but exercises the path.
+PII_PATTERNS = (
+    ("n_key_hash", r"\b(?:key|hash)\b"),
+    ("n_join_pair", r"join [a-z]+"),
+    ("n_email", r"[a-z0-9]+@[a-z0-9]+\.[a-z]{2,}"),
+)
+
+
+class PiiScanStage:
+    """Per-doc regex match counts (the PII-detection shape: compiled
+    patterns once per actor, vectorized pandas str.count per batch).
+    Matches DuckDB len(regexp_extract_all(...)) non-overlapping
+    semantics."""
+
+    def __init__(self):
+        import re
+        self.pats = [(name, re.compile(p)) for name, p in PII_PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        cols = {"doc_id": batch["doc_id"]}
+        for name, pat in self.pats:
+            cols[name] = pa.array(
+                s.str.count(pat).to_numpy().astype(np.int64))
+        return pa.table(cols)
+
+
+def pii_scan(sf_dir: str):
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        PiiScanStage, batch_format="pyarrow", concurrency=2)
+
+
+def events_lag(sf_dir: str):
+    """Per-user inter-event-gap stats (the LAG window shape): for each
+    user with >= 2 events, the number of gaps, max gap and total gap in
+    microseconds. Hash-partitioned by user (same bounded-group contract
+    as events_sessions: one user's events fit a partition), one
+    vectorized sorted-diff pass per partition."""
+    ds = _rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pa.array(t["ts"].to_numpy().astype("datetime64[us]")
+                           .view("int64"), pa.int64()),
+            "_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    def lag(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["us"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        same = np.r_[False, u[1:] == u[:-1]]
+        gaps = np.diff(ts, prepend=0)
+        gaps[~same] = 0
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n_gaps = np.diff(np.r_[starts, len(u)]) - 1
+        keep = n_gaps > 0
+        sum_gap = np.add.reduceat(gaps, starts)
+        max_gap = np.maximum.reduceat(
+            np.where(same, gaps, np.int64(-1)), starts)
+        return pa.table({
+            "user_id": pa.array(u[starts][keep], pa.int64()),
+            "n_gaps": pa.array(n_gaps[keep], pa.int64()),
+            "max_gap_us": pa.array(max_gap[keep], pa.int64()),
+            "sum_gap_us": pa.array(sum_gap[keep], pa.int64())})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(lag, batch_format="pandas"))
+
+
+CHUNK_W = 64          # tokens per chunk
+CHUNK_STRIDE = 48     # stride (overlap = W - stride)
+
+
+def doc_chunks(sf_dir: str):
+    """Fixed-window token chunking with overlap (the training-sequence
+    chunking shape): per doc, windows of CHUNK_W tokens at stride
+    CHUNK_STRIDE; the final window is the remainder. Emits boundaries
+    (doc_id, chunk_id, start_tok, n_tok) — pure arithmetic on the
+    per-doc token count, one vectorized map_batches, no shuffle."""
+
+    def chunks(t: pa.Table) -> pa.Table:
+        splits = pc.split_pattern(t["text"], " ")
+        n_tok = pc.list_value_length(splits).to_numpy().astype(np.int64)
+        d = t["doc_id"].to_numpy()
+        # number of chunks: 1 + ceil(max(0, n - W) / stride)
+        extra = np.maximum(n_tok - CHUNK_W, 0)
+        n_ch = 1 + (extra + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        total = int(n_ch.sum())
+        cum = np.zeros(len(d) + 1, np.int64)
+        np.cumsum(n_ch, out=cum[1:])
+        idx = np.arange(total) - np.repeat(cum[:-1], n_ch)
+        doc = np.repeat(d, n_ch)
+        nt = np.repeat(n_tok, n_ch)
+        start = idx * CHUNK_STRIDE
+        n = np.minimum(CHUNK_W, nt - start)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "chunk_id": pa.array(idx, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "n_tok": pa.array(n, pa.int64())})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        chunks, batch_format="pyarrow")
