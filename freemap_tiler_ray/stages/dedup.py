@@ -378,7 +378,14 @@ def lsh_candidate_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
     """MinHash-LSH near-dup pairs, two-phase: integer band rows ->
     Bloom singleton prefilter -> groupby(band_key) candidate pairs ->
     distinct -> join shingle sets back -> exact-Jaccard verify."""
-    bands = shingled_ds.map_batches(_band_rows, batch_format="pyarrow")
+    # materialize the band rows: the Bloom prefilter's driver fold and
+    # the pair pass both consume them, and without a checkpoint each
+    # execution would re-run shingle+minhash over the full corpus.
+    # Band rows are 16 bytes x n_bands per doc — far smaller than the
+    # text they summarize — so the object-store footprint is bounded
+    # and spillable at any corpus size.
+    bands = (shingled_ds.map_batches(_band_rows, batch_format="pyarrow")
+             .materialize())
     bands = _keep_multi_keys(bands, "band_key")
     cands = _distinct_pairs(_pairs_by_key(bands, "band_key"))
     return _verify_jaccard(cands, shingled_ds, JACCARD_TAU,
@@ -516,7 +523,10 @@ def simhash_pairs(sig_ds):
                              "doc_b": pa.array(np.asarray(b[first], np.int64)),
                              "hamming": pa.array(np.asarray(h[first], np.int64))})
 
-    b = sig_ds.map_batches(bands, batch_format="pyarrow")
+    # materialize once: the Bloom prefilter fold and the pair pass both
+    # consume the band rows (24 bytes x 4 bands per doc — bounded), and
+    # a lazy lineage would re-run simhash_signature per consumer
+    b = sig_ds.map_batches(bands, batch_format="pyarrow").materialize()
     b = _keep_multi_keys(b, "band_key")
     p = (b.map_batches(part, batch_format="pyarrow")
          .groupby("_part").map_groups(pairs, batch_format="pandas"))
