@@ -203,12 +203,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     CORRECTNESS_r{1,2}.json each hold exactly the first 50 keys).  Order
     therefore matters: the 50-entry head holds the most informative
     distinct-oracle pipeline of each family; the round-3 additions
-    (q5_region_revenue, pii_scan, events_lag, doc_chunks) displace four
-    r2-driver-green entries whose code path is subsumed by a retained
-    head entry: doc_points (prefix of doc_cells), media_frames (shares
-    the decode stub with media_features), nation_region_join (broadcast
-    join covered by part_revenue_broadcast + q5), text_stats (consumed
-    by quality_scores). The tail also keeps the r2-green redundant
+    (q5_region_revenue, pii_scan, events_lag, doc_chunks, pack_bins,
+    tfidf_topk) displace six r2-driver-green entries whose code path is
+    subsumed by a retained head entry: doc_points (prefix of
+    doc_cells), media_frames (shares the decode stub with
+    media_features), nation_region_join (broadcast join covered by
+    part_revenue_broadcast + q5), text_stats (consumed by
+    quality_scores), span_kind_stats (same build_spans path as
+    spans_fp), docs_per_tile (same point+morton path as tile_zorder +
+    cell_counts). The tail also keeps the r2-green redundant
     companions: knn_ring shares knn's oracle, pip_join is subsumed by
     pip_join_spans, the *_sigs / winnow_fp entries are the upstream
     halves of their *_pairs queries, and sample_docs / shuffle_docs are
@@ -222,12 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cells": q.doc_cells,
         "cell_counts": q.cell_counts,
         "spans_fp": q.spans_fp,
-        "span_kind_stats": q.span_kind_stats,
         "pip_join_spans": q.pip_join_spans,
         "knn": q.knn,
         "media_features": q.media_features,
         "tile_zorder": q.tile_zorder,
-        "docs_per_tile": q.docs_per_tile,
         "stratified_sample": q.stratified_sample,
         "weighted_sample": q.weighted_sample,
         "lang_quantiles": q.lang_quantiles,
@@ -235,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": q.pii_scan,
         "events_lag": q.events_lag,
         "doc_chunks": q.doc_chunks,
+        "pack_bins": q.pack_bins,
+        "tfidf_topk": q.tfidf_topk,
         "q6_filtered_revenue": q.q6_filtered_revenue,
         "events_props_json": q.events_props_json,
         "label_centroids": q.label_centroids,
@@ -278,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sigs": q.minhash_sigs,
         "simhash_sigs": q.simhash_sigs,
         "doc_points": q.doc_points,
+        "span_kind_stats": q.span_kind_stats,
+        "docs_per_tile": q.docs_per_tile,
         "media_frames": q.media_frames,
         "nation_region_join": q.nation_region_join,
         "text_stats": q.text_stats,
@@ -1032,5 +1037,36 @@ u AS (
 SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
        least(64, n_tok - chunk_id * 48) AS n_tok
 FROM u
+"""
+    sqls["pack_bins"] = """
+WITH n AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+s AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS tok_before
+  FROM n)
+SELECT doc_id, n_tok, CAST(tok_before // 256 AS BIGINT) AS bin_id FROM s
+"""
+    sqls["tfidf_topk"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * ((nn.n * 1000) // df.df) AS BIGINT) AS score_milli
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn),
+r AS (
+  SELECT doc_id, term, score_milli,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, term) AS rank
+  FROM sc)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_milli
+FROM r WHERE rank <= 3
 """
     return sqls

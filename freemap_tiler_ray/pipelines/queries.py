@@ -1465,3 +1465,140 @@ def doc_chunks(sf_dir: str):
 
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
         chunks, batch_format="pyarrow")
+
+
+PACK_BUDGET = 256     # tokens per packed training bin
+PACK_BUCKETS = 64     # order-preserving range buckets for the scan
+
+
+def pack_bins(sf_dir: str):
+    """Sequence packing by distributed prefix scan: each doc is assigned
+    to training bin floor(tokens_before / PACK_BUDGET), where
+    tokens_before is the total token count of all docs with a smaller
+    doc_id — the contiguous-fill packing a sequence-packing data loader
+    uses, expressed as a global window scan.
+
+    Scale shape (the classic two-level scan): docs are range-bucketed
+    by doc_id (order-preserving), pass 1 computes per-bucket token sums
+    (bounded groupby, PACK_BUCKETS groups), the driver prefix-folds the
+    PACK_BUCKETS partial sums into bucket base offsets (tiny), and pass
+    2 adds a local sorted cumsum inside each bucket group. No stage
+    holds more than one bucket; on a real cluster the range partitioner
+    would come from a doc_id sample exactly like Dataset.sort's."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def count_toks(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tok": pa.array(n_tok, pa.int64())})
+
+    counted = ds.map_batches(count_toks,
+                             batch_format="pyarrow").materialize()
+
+    max_id = int(list(counted.aggregate(Max("doc_id")).values())[0])
+    span = max_id + 1
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        b = d * np.int64(PACK_BUCKETS) // np.int64(span)
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    bsum = (counted.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("_bucket").aggregate(Sum("n_tok", alias_name="s"))
+            .to_pandas().sort_values("_bucket"))
+    base = np.zeros(PACK_BUCKETS, np.int64)
+    np.add.at(base, bsum["_bucket"].to_numpy(), bsum["s"].to_numpy())
+    base = np.r_[0, np.cumsum(base)[:-1]]          # exclusive prefix
+
+    def scan(g: pd.DataFrame) -> pa.Table:
+        d = g["doc_id"].to_numpy()
+        n = g["n_tok"].to_numpy()
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        before = base[int(g["_bucket"].iloc[0])] \
+            + np.r_[0, np.cumsum(n)[:-1]]
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "n_tok": pa.array(n, pa.int64()),
+            "bin_id": pa.array(before // PACK_BUDGET, pa.int64())})
+
+    return (counted.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(scan, batch_format="pandas"))
+
+
+TFIDF_TOPK = 3
+TFIDF_SCALE = 1000    # integer idf: (N * SCALE) // df — exact both sides
+
+
+def tfidf_topk(sf_dir: str, k: int = TFIDF_TOPK):
+    """Per-doc top-k terms by integer-scaled tf-idf
+    (score = tf * ((N * 1000) // df)): the document-vector /
+    keyword-extraction shape. df comes from one bounded pre-aggregated
+    pass (per-batch per-doc indicators are exact because a doc never
+    splits across rows), is collected once (vocabulary-sized — the
+    corpus-wide term table, broadcastable at realistic vocabulary
+    sizes) and broadcast; the scoring pass is then per-doc local with
+    NO shuffle. Integer idf avoids cross-engine libm log differences.
+    Ties: score desc, term asc."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import _flat_tokens
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    n_docs = docs.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        offsets, uniq, inv = _flat_tokens(t["text"].to_pandas())
+        row = np.repeat(np.arange(len(t), dtype=np.int64),
+                        offsets[1:] - offsets[:-1])
+        pair = row * np.int64(len(uniq)) + inv
+        u = np.unique(pair)
+        code = (u % np.int64(len(uniq))).astype(np.int64)
+        cnt = np.bincount(code, minlength=len(uniq)).astype(np.int64)
+        keep = cnt > 0
+        return pa.table({
+            "term": pa.array(uniq[keep], pa.string()),
+            "df": pa.array(cnt[keep], pa.int64())})
+
+    df_tbl = (docs.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("df", alias_name="df"))
+              .to_pandas())
+    import ray
+    idf_ref = ray.put({t: int(n_docs) * TFIDF_SCALE // int(d)
+                       for t, d in zip(df_tbl["term"], df_tbl["df"])})
+
+    def score(t: pa.Table) -> pa.Table:
+        import ray as _r
+        idf = _r.get(idf_ref)
+        offsets, uniq, inv = _flat_tokens(t["text"].to_pandas())
+        idf_c = np.asarray([idf[u] for u in uniq], np.int64)
+        d_ids = t["doc_id"].to_numpy()
+        n = len(d_ids)
+        row = np.repeat(np.arange(n, dtype=np.int64),
+                        offsets[1:] - offsets[:-1])
+        pair = row * np.int64(len(uniq)) + inv
+        u, tf = np.unique(pair, return_counts=True)
+        prow = (u // np.int64(len(uniq))).astype(np.int64)
+        pcode = (u % np.int64(len(uniq))).astype(np.int64)
+        sc = tf.astype(np.int64) * idf_c[pcode]
+        # per-doc top-k: sort by (row, -score, term) and take first k
+        term_order = np.argsort(uniq)          # rank of code by term asc
+        term_rank = np.empty(len(uniq), np.int64)
+        term_rank[term_order] = np.arange(len(uniq))
+        order = np.lexsort((term_rank[pcode], -sc, prow))
+        prow, pcode, sc = prow[order], pcode[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, prow[1:] != prow[:-1]])
+        rank = np.arange(len(prow)) - np.repeat(starts,
+                                                np.diff(np.r_[starts,
+                                                              len(prow)]))
+        keep = rank < k
+        return pa.table({
+            "doc_id": pa.array(d_ids[prow[keep]], pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+            "term": pa.array(uniq[pcode[keep]], pa.string()),
+            "score_milli": pa.array(sc[keep], pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
