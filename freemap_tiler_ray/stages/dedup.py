@@ -404,14 +404,19 @@ def simhash_signature(batch: pa.Table) -> pa.Table:
     token stream), mirrored by DuckDB ('0x'||substr(md5(tk),1,15))."""
     import hashlib
 
+    import pyarrow.compute as pc
+
     df = batch.select(["doc_id", "text"]).to_pandas()
-    tok_lists = df["text"].str.split(" ")
-    counts = tok_lists.str.len().to_numpy()
+    # Arrow split/flatten + hash-based dictionary factorization (~10x
+    # sort-based np.unique on object strings; order-independent here —
+    # uh[inv] maps code -> hash regardless of dictionary order)
+    splits = pc.split_pattern(pa.array(df["text"], pa.string()), " ")
+    counts = pc.list_value_length(splits).to_numpy().astype(np.int64)
     offsets = np.zeros(len(counts) + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
-    flat_tokens = np.asarray([t for lst in tok_lists for t in lst],
-                             dtype=object)
-    uniq, inv = np.unique(flat_tokens, return_inverse=True)
+    dd = pc.dictionary_encode(pc.list_flatten(splits))
+    inv = dd.indices.to_numpy().astype(np.int64)
+    uniq = dd.dictionary.to_pylist()
     uh = np.fromiter(
         (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") >> 4
          for t in uniq), np.int64, count=len(uniq))

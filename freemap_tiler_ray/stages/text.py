@@ -1,9 +1,10 @@
 """Text-analysis stages: tokenization, quality scoring, language-ID
 heuristic, document fingerprinting (training-data-pipeline layer).
 
-All per-batch bodies are vectorized: token streams are flattened across
-the batch, factorized once with np.unique, and per-row statistics come
-from reduceat/bincount over the flat codes. md5 (which the oracles pin
+All per-batch bodies are vectorized: token streams are split/flattened
+with Arrow kernels, factorized once with a hash-based dictionary
+encode, and per-row statistics come from reduceat/bincount over the
+flat codes. md5 (which the oracles pin
 — DuckDB's only mirrorable string hash here) runs once per UNIQUE
 token/shingle in the batch, not per occurrence. Every derivation is
 mirrored term-for-term by a DuckDB oracle in __ray_entry__ (same split
