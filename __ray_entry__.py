@@ -242,7 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_json": q.events_props_json,
         "label_centroids": q.label_centroids,
         "tile_polygon_coverage": q.tile_polygon_coverage,
-        "distinct_lang_source": q.distinct_lang_source,
+        "user_sequences": q.user_sequences,
         "events_sliding": q.events_sliding,
         "events_asof": q.events_asof,
         "events_range_join": q.events_range_join,
@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sigs": q.minhash_sigs,
         "simhash_sigs": q.simhash_sigs,
         "doc_points": q.doc_points,
+        "distinct_lang_source": q.distinct_lang_source,
         "span_kind_stats": q.span_kind_stats,
         "docs_per_tile": q.docs_per_tile,
         "media_frames": q.media_frames,
@@ -1068,5 +1069,10 @@ r AS (
   FROM sc)
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score_milli
 FROM r WHERE rank <= 3
+"""
+    sqls["user_sequences"] = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_fp
+FROM events GROUP BY user_id
 """
     return sqls

@@ -1602,3 +1602,50 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_TOPK):
             "score_milli": pa.array(sc[keep], pa.int64())})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def user_sequences(sf_dir: str):
+    """Per-user ordered event-type sequence fingerprint (the trajectory
+    / behavioral-sequence building shape): events hash-partitioned by
+    user, each user's types concatenated in (ts, event_id) order and
+    md5-fingerprinted — the bounded-group ordered-concat pattern
+    (one user's events fit a partition, same contract as
+    events_sessions). Emits (user_id, n_events, seq_fp)."""
+    import hashlib
+
+    ds = _rp(f"{sf_dir}/events.parquet",
+             columns=["user_id", "ts", "event_id", "event_type"])
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pa.array(t["ts"].to_numpy().astype("datetime64[us]")
+                           .view("int64"), pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+
+    def seq(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, len(u)]
+        users, counts, fps = [], [], []
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            users.append(int(u[s]))
+            counts.append(int(t_ - s))
+            fps.append(hashlib.md5(
+                ",".join(et[s:t_]).encode()).hexdigest())
+        return pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "n_events": pa.array(counts, pa.int64()),
+            "seq_fp": pa.array(fps, pa.string())})
+
+    return (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(seq, batch_format="pandas"))

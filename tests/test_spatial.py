@@ -154,3 +154,37 @@ def test_pip_property_convex(seed, k):
     far = c[None, :] + (ring.max(0) - ring.min(0) + 5.0) * np.array([[3.0, 3.0]])
     assert points_in_polygon(pts[:, 0], pts[:, 1], ring).all()
     assert not points_in_polygon(far[:, 0], far[:, 1], ring).any()
+
+
+def test_pack_bins_skewed_ids(ray_session):
+    """pack_bins' order-preserving range buckets must stay exact when
+    doc_ids are sparse and skewed (empty buckets, giant gaps)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from freemap_tiler_ray.pipelines import queries as q
+
+    rng = np.random.default_rng(11)
+    ids = np.unique(np.concatenate([
+        rng.integers(0, 50, 40),             # dense head
+        rng.integers(10_000, 10_050, 30),    # far cluster
+        [0, 1, 99_999]]))                    # extremes
+    texts = [" ".join(["tok"] * int(n))
+             for n in rng.integers(1, 40, len(ids))]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        out = q.pack_bins(d).to_pandas().sort_values("doc_id")
+    # reference: plain prefix scan in numpy
+    order = np.argsort(ids)
+    n_tok = np.asarray([t.count(" ") + 1 for t in texts])[order]
+    before = np.r_[0, np.cumsum(n_tok)[:-1]]
+    want_bins = before // q.PACK_BUDGET
+    got = out.set_index("doc_id")
+    assert np.array_equal(got.loc[ids[order], "bin_id"].to_numpy(),
+                          want_bins)
+    assert np.array_equal(got.loc[ids[order], "n_tok"].to_numpy(), n_tok)
