@@ -712,7 +712,7 @@ def text_stats(sf_dir: str):
     from ..stages.text import TextStatsStage
     return (_docs(sf_dir, ("doc_id", "text"))
             .map_batches(TextStatsStage, batch_format="pyarrow",
-                         concurrency=2))
+                         concurrency=(2, 16)))
 
 
 def lang_id(sf_dir: str):
@@ -753,8 +753,10 @@ def dedup_exact(sf_dir: str):
 
 def _shingled(sf_dir: str):
     from ..stages.dedup import doc_shingles
+    # function stage: tuple (actor-pool) concurrency not applicable;
+    # the repartition upstream already spreads the work
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
-        doc_shingles, batch_format="pyarrow", concurrency=2)
+        doc_shingles, batch_format="pyarrow")
 
 
 def minhash_sigs(sf_dir: str):
@@ -778,7 +780,7 @@ def ngram_pairs(sf_dir: str):
 def simhash_sigs(sf_dir: str):
     from ..stages.dedup import simhash_signature
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
-        simhash_signature, batch_format="pyarrow", concurrency=2)
+        simhash_signature, batch_format="pyarrow")
 
 
 def simhash_pairs(sf_dir: str):
@@ -1002,7 +1004,7 @@ def media_frames(sf_dir: str):
 
     return (_docs(sf_dir)
             .map_batches(FrameSampleStub, batch_format="pyarrow",
-                         concurrency=2))
+                         concurrency=(2, 16)))
 
 
 # ---------------------------------------------------------------------------
@@ -1387,7 +1389,7 @@ class PiiScanStage:
 
 def pii_scan(sf_dir: str):
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
-        PiiScanStage, batch_format="pyarrow", concurrency=2)
+        PiiScanStage, batch_format="pyarrow", concurrency=(2, 16))
 
 
 def events_lag(sf_dir: str):

@@ -358,5 +358,5 @@ def quality_scores(sf_dir: str):
 
     ds = _rp(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).repartition(8)
-    return ds.map_batches(QualityScoreStage, concurrency=2,
+    return ds.map_batches(QualityScoreStage, concurrency=(2, 16),
                           batch_format="pyarrow", batch_size=4096)
