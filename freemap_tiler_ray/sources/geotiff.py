@@ -7,7 +7,9 @@ rasterio/GDAL, so this parses the TIFF container directly:
   - 8-bit samples, 1-4 bands, chunky planar config
   - strip AND tile layouts
   - compression: none (1), LZW (5, TIFF early-change), deflate
-    (8 / 32946), PackBits (32773)
+    (8 / 32946), PackBits (32773), and baseline JPEG (7, new-style
+    per TIFF Tech Note 2, incl. the shared JPEGTables tag 347 —
+    decoded with the in-repo pure-numpy baseline decoder)
   - predictor 2 (horizontal differencing)
   - georef from ModelPixelScaleTag + ModelTiepointTag (33550/33922) and
     the EPSG code from GeoKeyDirectoryTag (34735) keys 1024/3072
@@ -15,9 +17,8 @@ rasterio/GDAL, so this parses the TIFF container directly:
 
 `geotiff_to_scene` converts to the engine's mmap-able .npy + sidecar
 SceneSpec once (an import step, like building a VRT); `read_geotiff`
-returns the decoded array + georef for direct use. JPEG-in-TIFF and
-16-bit samples are rejected with a clear message rather than silently
-misread.
+returns the decoded array + georef for direct use. 16-bit samples are
+rejected with a clear message rather than silently misread.
 """
 
 from __future__ import annotations
@@ -34,11 +35,12 @@ _TAG_NAMES = {
     284: "planar_config", 317: "predictor",
     322: "tile_width", 323: "tile_length",
     324: "tile_offsets", 325: "tile_byte_counts",
+    347: "jpeg_tables",
     33550: "pixel_scale", 33922: "tiepoint", 34735: "geo_keys",
     34737: "geo_ascii",
 }
 _TYPE_FMT = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
-             5: ("II", 8), 11: ("f", 4), 12: ("d", 8),
+             5: ("II", 8), 7: ("B", 1), 11: ("f", 4), 12: ("d", 8),
              6: ("b", 1), 8: ("h", 2), 9: ("i", 4), 10: ("ii", 8),
              16: ("Q", 8), 17: ("q", 8)}
 
@@ -65,6 +67,8 @@ def _read_ifd(buf: bytes, endian: str, off: int) -> dict:
         elif typ == 2:
             vals = (buf[data_off:data_off + cnt].split(b"\0")[0]
                     .decode("ascii", "replace"),)
+        elif typ == 7:                     # UNDEFINED -> raw bytes
+            vals = (buf[data_off:data_off + cnt],)
         else:
             vals = struct.unpack_from(endian + fmt * cnt, buf, data_off)
         tags[name] = vals
@@ -197,7 +201,64 @@ def _decode_chunk(raw: bytes, comp: int, nbytes: int) -> bytes:
         return _unpackbits(raw, nbytes)
     raise NotImplementedError(
         f"TIFF compression {comp} not supported (supported: none=1, "
-        "LZW=5, deflate=8/32946, PackBits=32773); re-export with deflate")
+        "LZW=5, JPEG=7, deflate=8/32946, PackBits=32773); re-export "
+        "with deflate")
+
+
+def _jpeg_merge_tables(chunk: bytes, tables: bytes | None) -> bytes:
+    """New-style JPEG-in-TIFF (TIFF Tech Note 2): when the JPEGTables
+    tag (347) is present, it holds an abbreviated table stream
+    SOI..(DQT/DHT)..EOI shared by every tile/strip; each chunk is a
+    stream whose table segments may be omitted. Splice the shared
+    segments in right after the chunk's SOI — later in-chunk DQT/DHT
+    segments (if any) simply overwrite, matching libjpeg semantics."""
+    if not tables:
+        return chunk
+    body = tables
+    if body[:2] == b"\xff\xd8":
+        body = body[2:]
+    if body[-2:] == b"\xff\xd9":
+        body = body[:-2]
+    if chunk[:2] != b"\xff\xd8":
+        raise ValueError("JPEG-in-TIFF chunk does not start with SOI")
+    return chunk[:2] + body + chunk[2:]
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """-> (tables stream SOI+DQT/DHT+EOI, abbreviated image stream
+    without its DQT/DHT segments) — the writer-side inverse of
+    _jpeg_merge_tables, used for the JPEGTables (347) layout."""
+    pos = 2                                        # past SOI
+    tables = bytearray()
+    rest = bytearray(b"\xff\xd8")
+    n = len(stream)
+    while pos < n:
+        if stream[pos] != 0xFF:
+            raise ValueError("malformed JPEG segment stream")
+        marker = stream[pos + 1]
+        if marker == 0xDA:                         # SOS: entropy follows
+            rest += stream[pos:]
+            break
+        (ln,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos:pos + 2 + ln]
+        if marker in (0xDB, 0xC4):                 # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+    return b"\xff\xd8" + bytes(tables) + b"\xff\xd9", bytes(rest)
+
+
+def _jpeg_chunk_array(raw: bytes, tables: bytes | None,
+                      spp: int) -> np.ndarray:
+    from ..jpeg import jpeg_decode
+    a = jpeg_decode(_jpeg_merge_tables(raw, tables))
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] != spp:
+        raise ValueError(f"JPEG chunk has {a.shape[2]} components, "
+                         f"IFD says samples_per_pixel={spp}")
+    return a
 
 
 def _undo_predictor(arr: np.ndarray) -> np.ndarray:
@@ -231,6 +292,7 @@ def read_geotiff(path: str):
         raise NotImplementedError("only chunky planar configuration")
     comp = int(t.get("compression", (1,))[0])
     pred = int(t.get("predictor", (1,))[0])
+    jtables = t.get("jpeg_tables", (None,))[0]
 
     img = np.zeros((h, w, spp), np.uint8)
     if "tile_offsets" in t:
@@ -240,11 +302,15 @@ def read_geotiff(path: str):
         cnts = t["tile_byte_counts"]
         per_row = (w + tw - 1) // tw
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decode_chunk(buf[o:o + c], comp, tl * tw * spp)
-            a = np.frombuffer(raw, np.uint8)[:tl * tw * spp] \
-                .reshape(tl, tw, spp)
-            if pred == 2:
-                a = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8)
+            if comp == 7:
+                a = _jpeg_chunk_array(buf[o:o + c], jtables, spp)
+            else:
+                raw = _decode_chunk(buf[o:o + c], comp, tl * tw * spp)
+                a = np.frombuffer(raw, np.uint8)[:tl * tw * spp] \
+                    .reshape(tl, tw, spp)
+                if pred == 2:
+                    a = np.cumsum(a.astype(np.int64),
+                                  axis=1).astype(np.uint8)
             ty, tx = divmod(i, per_row)
             y0, x0 = ty * tl, tx * tw
             ys, xs = min(tl, h - y0), min(tw, w - x0)
@@ -256,11 +322,15 @@ def read_geotiff(path: str):
         for i, (o, c) in enumerate(zip(offs, cnts)):
             y0 = i * rps
             rows = min(rps, h - y0)
-            raw = _decode_chunk(buf[o:o + c], comp, rows * w * spp)
-            a = np.frombuffer(raw, np.uint8)[:rows * w * spp] \
-                .reshape(rows, w, spp)
-            if pred == 2:
-                a = np.cumsum(a.astype(np.int64), axis=1).astype(np.uint8)
+            if comp == 7:
+                a = _jpeg_chunk_array(buf[o:o + c], jtables, spp)[:rows]
+            else:
+                raw = _decode_chunk(buf[o:o + c], comp, rows * w * spp)
+                a = np.frombuffer(raw, np.uint8)[:rows * w * spp] \
+                    .reshape(rows, w, spp)
+                if pred == 2:
+                    a = np.cumsum(a.astype(np.int64),
+                                  axis=1).astype(np.uint8)
             img[y0:y0 + rows] = a
 
     georef = {}
@@ -327,12 +397,31 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
                   origin_y: float, px_w: float, px_h: float,
                   epsg: int = 3857, compression: str = "deflate",
                   predictor: bool = False, rows_per_strip: int = 64,
-                  tiled: bool = False, tile_size: int = 256) -> None:
+                  tiled: bool = False, tile_size: int = 256,
+                  quality: int = 85,
+                  jpeg_tables_split: bool = False) -> None:
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
-    comp = {"none": 1, "lzw": 5, "deflate": 8}[compression]
+    comp = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7}[compression]
+    if comp == 7:
+        if spp not in (1, 3):
+            raise ValueError("JPEG-in-TIFF supports 1 or 3 bands only")
+        if predictor:
+            raise ValueError("predictor does not apply to JPEG")
+        from ..jpeg import jpeg_encode
+
+    def _pack(block: np.ndarray) -> bytes:
+        if comp == 7:
+            return jpeg_encode(block[:, :, 0] if spp == 1 else block,
+                               quality=quality)
+        if predictor:
+            block = np.diff(block.astype(np.int16), axis=1,
+                            prepend=0).astype(np.uint8)
+        raw = block.tobytes()
+        return (zlib.compress(raw) if comp == 8
+                else _lzw_encode(raw) if comp == 5 else raw)
 
     chunks: list[bytes] = []
     if tiled:
@@ -342,22 +431,18 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
                 block = np.zeros((tl, tw, spp), np.uint8)
                 ys, xs = min(tl, h - y0), min(tw, w - x0)
                 block[:ys, :xs] = img[y0:y0 + ys, x0:x0 + xs]
-                data = block
-                if predictor:
-                    data = np.diff(data.astype(np.int16), axis=1,
-                                   prepend=0).astype(np.uint8)
-                raw = data.tobytes()
-                chunks.append(zlib.compress(raw) if comp == 8
-                              else _lzw_encode(raw) if comp == 5 else raw)
+                chunks.append(_pack(block))
     else:
         for y0 in range(0, h, rows_per_strip):
-            data = img[y0:y0 + rows_per_strip]
-            if predictor:
-                data = np.diff(data.astype(np.int16), axis=1,
-                               prepend=0).astype(np.uint8)
-            raw = data.tobytes()
-            chunks.append(zlib.compress(raw) if comp == 8
-                          else _lzw_encode(raw) if comp == 5 else raw)
+            chunks.append(_pack(img[y0:y0 + rows_per_strip]))
+
+    jpeg_tables = None
+    if comp == 7 and jpeg_tables_split:
+        split = [_split_jpeg_tables(c) for c in chunks]
+        jpeg_tables = split[0][0]
+        if any(tb != jpeg_tables for tb, _ in split):
+            raise ValueError("tiles produced differing JPEG tables")
+        chunks = [rest for _, rest in split]
 
     # layout: header | tag data area | chunk data | IFD
     geo_keys = (1, 1, 0, 3,
@@ -402,14 +487,18 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
         return struct.pack("<HHII", tid, 3, len(vals),
                            put(struct.pack("<%dH" % len(vals), *vals)))
 
+    photometric = (6 if comp == 7 and spp == 3     # YCbCr inside JPEG
+                   else 2 if spp >= 3 else 1)
     tags = [tag(256, 3, 1, w), tag(257, 3, 1, h),
             tag_shorts(258, [8] * spp),
             tag(259, 3, 1, comp),
-            tag(262, 3, 1, 2 if spp >= 3 else 1),   # photometric
+            tag(262, 3, 1, photometric),
             tag(277, 3, 1, spp),
             tag(284, 3, 1, 1)]
     if predictor:
         tags.append(tag(317, 3, 1, 2))
+    if jpeg_tables is not None:
+        tags.append(tag(347, 7, len(jpeg_tables), put(jpeg_tables)))
     if tiled:
         tags += [tag(322, 3, 1, tile_size), tag(323, 3, 1, tile_size),
                  tag(324, 4, len(chunks),

@@ -40,17 +40,95 @@ def test_unsupported_compression_message(tmp_path):
     p = str(tmp_path / "t.tif")
     write_geotiff(p, img, 0, 0, 1, 1)
     raw = bytearray(open(p, "rb").read())
-    # flip the compression tag value to JPEG-in-TIFF (7)
+    # flip the compression tag value to old-style JPEG (6, deprecated
+    # by TIFF Tech Note 2 and deliberately unsupported)
     import struct
     ifd_off = struct.unpack_from("<I", raw, 4)[0]
     (n,) = struct.unpack_from("<H", raw, ifd_off)
     for i in range(n):
         base = ifd_off + 2 + 12 * i
         if struct.unpack_from("<H", raw, base)[0] == 259:
-            struct.pack_into("<H", raw, base + 8, 7)
+            struct.pack_into("<H", raw, base + 8, 6)
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    with pytest.raises(NotImplementedError, match="compression 6"):
         read_geotiff(p)
+
+
+def _smooth_img(h, w, c, seed=0):
+    """Low-frequency content — JPEG-friendly, so decoded pixels stay
+    close to the source (exactness is still asserted vs the codec's own
+    per-tile decode, not vs the source)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    chans = [(np.sin(xx / (17 + 5 * k)) * np.cos(yy / (23 + 3 * k)) + 1)
+             * 127.5 for k in range(c)]
+    return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("bands", [1, 3])
+def test_jpeg_in_tiff_tiled(tmp_path, bands):
+    """VERDICT r2 missing #2: new-style JPEG-in-TIFF (compression 7).
+    The read-back must equal assembling each tile's own
+    jpeg_decode(jpeg_encode(tile)) — bit-exact, same codec both sides
+    (cf. reference main.rs:80 'any GDAL raster', which includes
+    JPEG-compressed orthophoto TIFFs)."""
+    from freemap_tiler_ray.jpeg import jpeg_decode, jpeg_encode
+    img = _smooth_img(300, 520, bands, seed=bands)
+    p = str(tmp_path / "j.tif")
+    write_geotiff(p, img, origin_x=-100.0, origin_y=50.0, px_w=0.5,
+                  px_h=0.25, epsg=4326, compression="jpeg", tiled=True,
+                  tile_size=128, quality=85)
+    got, geo = read_geotiff(p)
+    assert geo["crs"] == "EPSG:4326"
+    ts = 128
+    exp = np.zeros_like(got)
+    for y0 in range(0, 300, ts):
+        for x0 in range(0, 520, ts):
+            block = np.zeros((ts, ts, bands), np.uint8)
+            ys, xs = min(ts, 300 - y0), min(ts, 520 - x0)
+            block[:ys, :xs] = img[y0:y0 + ys, x0:x0 + xs]
+            dec = jpeg_decode(jpeg_encode(
+                block[:, :, 0] if bands == 1 else block, quality=85))
+            if dec.ndim == 2:
+                dec = dec[:, :, None]
+            exp[y0:y0 + ys, x0:x0 + xs] = dec[:ys, :xs]
+    assert np.array_equal(got, exp)
+    # and the lossy error vs the smooth source is small
+    assert float(np.mean(np.abs(got.astype(np.int16)
+                                - img.astype(np.int16)))) < 3.0
+
+
+def test_jpeg_in_tiff_jpegtables_split(tmp_path):
+    """The shared-JPEGTables layout (tag 347, abbreviated per-tile
+    streams) decodes identically to the same image with inline tables,
+    and actually shrinks the file."""
+    img = _smooth_img(256, 384, 3, seed=7)
+    pi = str(tmp_path / "inline.tif")
+    ps = str(tmp_path / "split.tif")
+    write_geotiff(pi, img, 0.0, 0.0, 1.0, 1.0, compression="jpeg",
+                  tiled=True, tile_size=128)
+    write_geotiff(ps, img, 0.0, 0.0, 1.0, 1.0, compression="jpeg",
+                  tiled=True, tile_size=128, jpeg_tables_split=True)
+    a, _ = read_geotiff(pi)
+    b, _ = read_geotiff(ps)
+    assert np.array_equal(a, b)
+    import os
+    assert os.path.getsize(ps) < os.path.getsize(pi)
+
+
+def test_jpeg_in_tiff_strips(tmp_path):
+    """Strip layout: each strip is its own JPEG stream (last one
+    shorter); gray path."""
+    from freemap_tiler_ray.jpeg import jpeg_decode, jpeg_encode
+    img = _smooth_img(150, 200, 1, seed=3)
+    p = str(tmp_path / "s.tif")
+    write_geotiff(p, img, 0.0, 0.0, 1.0, 1.0, compression="jpeg",
+                  rows_per_strip=64, quality=90)
+    got, _ = read_geotiff(p)
+    exp = np.concatenate(
+        [jpeg_decode(jpeg_encode(img[y0:y0 + 64, :, 0],
+                                 quality=90))[:, :, None]
+         for y0 in range(0, 150, 64)], axis=0)
+    assert np.array_equal(got, exp)
 
 
 def test_lzw_fixture_matches_uncompressed_twin(tmp_path):
