@@ -1568,6 +1568,14 @@ def tfidf_topk(sf_dir: str, k: int = TFIDF_TOPK):
     df_tbl = (docs.map_batches(df_partial, batch_format="pyarrow")
               .groupby("term").aggregate(Sum("df", alias_name="df"))
               .to_pandas())
+    # broadcast guard (same contract as decontaminate's): the idf map is
+    # vocabulary-sized, not corpus-sized — fail loudly if a pathological
+    # corpus (e.g. unique-token spam) would OOM the driver instead
+    if len(df_tbl) > 50_000_000:
+        raise ValueError(
+            f"tfidf_topk: vocabulary has {len(df_tbl):,} terms — too "
+            "large to broadcast; add a df floor (prune hapax terms) or "
+            "switch the scoring pass to a term-partitioned join")
     import ray
     idf_ref = ray.put({t: int(n_docs) * TFIDF_SCALE // int(d)
                        for t, d in zip(df_tbl["term"], df_tbl["df"])})
