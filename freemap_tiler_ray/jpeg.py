@@ -148,35 +148,46 @@ def _bitlen(v: np.ndarray) -> np.ndarray:
     return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
 
 
-def _entropy_symbols(coef_sets, dc_diffs, ncomp):
-    """Fully vectorized Huffman symbol stream: per component, build
-    (mcu, comp, seq) sort keys for every symbol (DC code/bits, ZRL runs,
-    AC code/bits, EOB), then one stable lexsort interleaves the MCUs.
-    Returns (codes uint64, lens int64) ready for _pack_bits."""
-    luts = [(_lut(_huff_codes(DC_LUM), 12), _lut(_huff_codes(AC_LUM)))]
-    if ncomp > 1:
-        luts += [(_lut(_huff_codes(DC_CHROM), 12),
-                  _lut(_huff_codes(AC_CHROM)))] * (ncomp - 1)
-    all_codes, all_lens, all_keys = [], [], []
+_LUT_CACHE: dict = {}
 
-    def add(codes, lens, block, comp, seq):
-        all_codes.append(codes.astype(np.uint64))
-        all_lens.append(lens.astype(np.int64))
-        all_keys.append(np.stack([block, np.full_like(block, comp), seq],
-                                 axis=1))
 
+def _luts(ncomp):
+    """Huffman LUT pairs per component, built once per process (they
+    are pure functions of the standard Annex-K specs)."""
+    if ncomp not in _LUT_CACHE:
+        luts = [(_lut(_huff_codes(DC_LUM), 12), _lut(_huff_codes(AC_LUM)))]
+        if ncomp > 1:
+            luts += [(_lut(_huff_codes(DC_CHROM), 12),
+                      _lut(_huff_codes(AC_CHROM)))] * (ncomp - 1)
+        _LUT_CACHE[ncomp] = luts
+    return _LUT_CACHE[ncomp]
+
+
+def _entropy_symbols(coef_sets, dc_diffs, ncomp, return_sizes=False):
+    """Fully vectorized Huffman symbol stream with NO sort: every
+    symbol's position in the interleaved (mcu, comp, seq) stream is a
+    closed-form function of the per-block nonzero structure, so symbols
+    scatter-write straight into their final slots.
+
+    Per (block, comp) group the stream is: DC category code, DC offset
+    bits, then per nonzero AC coefficient j its ZRL run symbols
+    followed by the (run, size) code and offset bits, then EOB unless
+    the last nonzero is coefficient 63. A group's size is therefore
+    2 + total_zrl + 2*nnz + need_eob, and a symbol's rank inside its
+    group is 2 + 2*j + zrls_before_j (+ own ZRLs for the code/bits).
+    This replaces an earlier sort-based interleave whose cost was
+    dominated by a multi-key sort once megatile batches pushed the
+    symbol stream out of cache.
+
+    Returns (codes uint64, lens int64) ready for _pack_bits; with
+    return_sizes also the per-(block,comp-major) group sizes, from
+    which the batch encoder derives per-image stream boundaries."""
+    luts = _luts(ncomp)
+    n = coef_sets[0].shape[0]
+    sizes = np.empty((n, ncomp), np.int64)
+    per = []                                   # analysis per component
     for ci in range(ncomp):
-        (dc_code, dc_len), (ac_code, ac_len) = luts[ci]
         blk = coef_sets[ci]
-        n = blk.shape[0]
-        ids = np.arange(n, dtype=np.int64)
-        # DC: category code (seq 0) + offset bits (seq 1)
-        d = dc_diffs[ci]
-        dsize = _bitlen(d)
-        dbits = np.where(d >= 0, d, d + (np.int64(1) << dsize) - 1)
-        add(dc_code[dsize], dc_len[dsize], ids, ci, np.zeros(n, np.int64))
-        add(dbits.astype(np.uint64), dsize, ids, ci, np.ones(n, np.int64))
-        # AC nonzeros with run lengths
         rows, cols = np.nonzero(blk[:, 1:])
         if len(rows):
             vals = blk[rows, cols + 1].astype(np.int64)
@@ -187,43 +198,73 @@ def _entropy_symbols(coef_sets, dc_diffs, ncomp):
             prevc[0] = 0
             prevc[1:] = cols[:-1]
             run = np.where(first, cols, cols - prevc - 1).astype(np.int64)
-            nz_idx = np.arange(len(rows), dtype=np.int64)
-            j = nz_idx - np.repeat(np.flatnonzero(first),
-                                   np.diff(np.flatnonzero(
-                                       np.r_[first, True])))
-            base = 2 + 3 * j
-            # ZRL symbols (runs of >= 16 zeros), in order before their AC
             nzrl = run >> 4
-            if nzrl.any():
-                zr = np.repeat(rows, nzrl)
-                zb = np.repeat(base, nzrl)
-                zc = np.full(len(zr), int(ac_code[0xF0]), np.uint64)
-                zl = np.full(len(zr), int(ac_len[0xF0]), np.int64)
-                add(zc, zl, zr, ci, zb)
-            rem = run & 15
-            asize = _bitlen(vals)
-            abits = np.where(vals >= 0, vals,
-                             vals + (np.int64(1) << asize) - 1)
-            sym = (rem << 4) | asize
-            add(ac_code[sym], ac_len[sym], rows, ci, base + 1)
-            add(abits.astype(np.uint64), asize, rows, ci, base + 2)
-        # EOB when the block's last nonzero isn't coefficient 63
-        if len(rows):
+            seg_first = np.flatnonzero(first)
+            counts = np.diff(np.r_[seg_first, len(rows)])
+            nz_idx = np.arange(len(rows), dtype=np.int64)
+            j = nz_idx - np.repeat(seg_first, counts)
+            czp = np.cumsum(nzrl) - nzrl       # exclusive global cumsum
+            czrl = czp - np.repeat(czp[seg_first], counts)  # per block
+            # last nonzero at coefficient 63 (col 62 of blk[:, 1:]) -> no EOB
             last = np.zeros(n, np.int64) - 1
-            last[rows] = cols          # rows ascending: final write = max
+            last[rows] = cols                  # rows ascending: max wins
             need = last != 62
+            nnzb = np.bincount(rows, minlength=n)
+            zrlb = np.bincount(rows, weights=nzrl,
+                               minlength=n).astype(np.int64)
+            sizes[:, ci] = 2 + zrlb + 2 * nnzb + need
+            per.append((rows, vals, run, nzrl, j, czrl, need))
         else:
-            need = np.ones(n, bool)
-        eids = ids[need]
-        add(np.full(len(eids), int(ac_code[0x00]), np.uint64),
-            np.full(len(eids), int(ac_len[0x00]), np.int64),
-            eids, ci, np.full(len(eids), 2 + 3 * 64, np.int64))
+            sizes[:, ci] = 3                   # DC code + bits + EOB
+            per.append(None)
 
-    codes = np.concatenate(all_codes)
-    lens = np.concatenate(all_lens)
-    keys = np.concatenate(all_keys)
-    order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
-    return codes[order], lens[order]
+    starts = np.zeros(n * ncomp, np.int64)
+    np.cumsum(sizes.reshape(-1)[:-1], out=starts[1:])
+    total = int(starts[-1] + sizes.reshape(-1)[-1])
+    out_codes = np.empty(total, np.uint64)
+    out_lens = np.empty(total, np.int64)
+    gstarts = starts.reshape(n, ncomp)
+
+    for ci in range(ncomp):
+        (dc_code, dc_len), (ac_code, ac_len) = luts[ci]
+        g = gstarts[:, ci]
+        d = dc_diffs[ci]
+        dsize = _bitlen(d)
+        dbits = np.where(d >= 0, d, d + (np.int64(1) << dsize) - 1)
+        out_codes[g] = dc_code[dsize]
+        out_lens[g] = dc_len[dsize]
+        out_codes[g + 1] = dbits.astype(np.uint64)
+        out_lens[g + 1] = dsize
+        if per[ci] is None:
+            out_codes[g + 2] = ac_code[0x00]
+            out_lens[g + 2] = ac_len[0x00]
+            continue
+        rows, vals, run, nzrl, j, czrl, need = per[ci]
+        gb = g[rows]
+        zrl_start = gb + 2 + 2 * j + czrl      # first ZRL slot of nonzero j
+        if nzrl.any():
+            pos = np.repeat(zrl_start, nzrl) \
+                + np.arange(int(nzrl.sum()), dtype=np.int64) \
+                - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+            out_codes[pos] = ac_code[0xF0]
+            out_lens[pos] = ac_len[0xF0]
+        asize = _bitlen(vals)
+        abits = np.where(vals >= 0, vals,
+                         vals + (np.int64(1) << asize) - 1)
+        sym = ((run & 15) << 4) | asize
+        cpos = zrl_start + nzrl
+        out_codes[cpos] = ac_code[sym]
+        out_lens[cpos] = ac_len[sym]
+        out_codes[cpos + 1] = abits.astype(np.uint64)
+        out_lens[cpos + 1] = asize
+        eb = np.flatnonzero(need)
+        pos = g[eb] + sizes[eb, ci] - 1
+        out_codes[pos] = ac_code[0x00]
+        out_lens[pos] = ac_len[0x00]
+
+    if return_sizes:
+        return out_codes, out_lens, sizes
+    return out_codes, out_lens
 
 
 def _pack_bits(codes, lens) -> bytes:
@@ -263,6 +304,33 @@ def _seg(marker, payload):
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
+def _jfif_header(h: int, w: int, gray: bool, qt_l: np.ndarray,
+                 qt_c: np.ndarray) -> bytes:
+    """SOI..SOS header — a pure function of (h, w, gray, quality), so
+    the batch encoder builds it once per batch."""
+    out = bytearray(b"\xff\xd8")                              # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, _dqt_payload(0, qt_l))
+    if not gray:
+        out += _seg(0xFFDB, _dqt_payload(1, qt_c))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])     # 4:4:4
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, _dht_payload(0x00, DC_LUM))
+    out += _seg(0xFFC4, _dht_payload(0x10, AC_LUM))
+    if not gray:
+        out += _seg(0xFFC4, _dht_payload(0x01, DC_CHROM))
+        out += _seg(0xFFC4, _dht_payload(0x11, AC_CHROM))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xFFDA, sos)
+    return bytes(out)
+
+
 def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
     """img: (H, W) grayscale or (H, W, 3) RGB uint8 -> baseline JFIF."""
     img = np.asarray(img)
@@ -293,26 +361,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 85) -> bytes:
         Q = np.rint(D / qt[None]).astype(np.int32)
         coef_sets.append(Q.reshape(-1, 64)[:, _Z])
 
-    out = bytearray(b"\xff\xd8")                              # SOI
-    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xFFDB, _dqt_payload(0, qt_l))
-    if not gray:
-        out += _seg(0xFFDB, _dqt_payload(1, qt_c))
+    out = bytearray(_jfif_header(h, w, gray, qt_l, qt_c))
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])     # 4:4:4
-    out += _seg(0xFFC0, sof)
-    out += _seg(0xFFC4, _dht_payload(0x00, DC_LUM))
-    out += _seg(0xFFC4, _dht_payload(0x10, AC_LUM))
-    if not gray:
-        out += _seg(0xFFC4, _dht_payload(0x01, DC_CHROM))
-        out += _seg(0xFFC4, _dht_payload(0x11, AC_CHROM))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xFFDA, sos)
 
     # DC differentials vectorized per component (sequential pred = diff)
     dc_diffs = []
