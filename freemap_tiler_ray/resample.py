@@ -170,9 +170,20 @@ def downsample2x(img, kernel="lanczos3"):
 def downsample2x_batch(arr, kernel="lanczos3"):
     """Batched 2:1 downsample: (G, H, W, C) uint8 -> (G, H/2, W/2, C).
     Identical per-item output to downsample2x(); batching amortizes the
-    numpy dispatch overhead across a whole compose group."""
+    numpy dispatch overhead across a whole compose group. The group axis
+    is processed in cache-sized chunks: the 12-tap accumulation makes
+    ~25 passes over its working set, so keeping that set ~two groups of
+    a 512-pixel mosaic (~10 MB) instead of the whole batch (500+ MB at
+    scale) turns DRAM round-trips into L2/L3 hits — measured ~1.4x on
+    the compose-dominant chunk shape."""
     arr = np.asarray(arr)
     g, h, w0, c = arr.shape
+    per_group = h * w0 * c * 5          # padded u8 + f32 accumulators
+    gc = max(1, (12 << 20) // max(per_group, 1))
+    if g > gc:
+        return np.concatenate(
+            [downsample2x_batch(arr[i:i + gc], kernel)
+             for i in range(0, g, gc)])
     offs, wts = _down2_taps(kernel)
     pad_l, pad_r = int(-offs[0]), int(offs[-1])
 
