@@ -1646,15 +1646,23 @@ def user_sequences(sf_dir: str):
         u, et = u[order], et[order]
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         bounds = np.r_[starts, len(u)]
-        users, counts, fps = [], [], []
-        for s, t_ in zip(bounds[:-1], bounds[1:]):
-            users.append(int(u[s]))
-            counts.append(int(t_ - s))
-            fps.append(hashlib.md5(
-                ",".join(et[s:t_]).encode()).hexdigest())
+        # one global comma-join; each user's sequence is a char-offset
+        # slice of it (the boundary comma between users is excluded), so
+        # no per-user string building — only the oracle-pinned md5 call
+        # remains per user
+        blob = ",".join(et).encode()
+        codes, uniq = pd.factorize(et)           # few distinct types
+        blens = np.asarray([len(s.encode()) for s in uniq], np.int64)
+        coff = np.zeros(len(et) + 1, np.int64)
+        np.cumsum(blens[codes] + 1, out=coff[1:])  # start of each element
+        seg_lo = coff[bounds[:-1]]
+        seg_hi = coff[bounds[1:]] - 1            # drop trailing comma
+        mv = memoryview(blob)
+        fps = [hashlib.md5(mv[s:e]).hexdigest()
+               for s, e in zip(seg_lo, seg_hi)]
         return pa.table({
-            "user_id": pa.array(users, pa.int64()),
-            "n_events": pa.array(counts, pa.int64()),
+            "user_id": pa.array(u[starts], pa.int64()),
+            "n_events": pa.array(np.diff(bounds), pa.int64()),
             "seq_fp": pa.array(fps, pa.string())})
 
     return (ds.map_batches(part, batch_format="pyarrow")
