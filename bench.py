@@ -305,9 +305,14 @@ def kernel_probe(ncpu: int) -> float:
         local = make_local_compose(WARP_OFFSET, 256, 4, "lanczos3")
         enc = EncodeStage("jpeg", 85, 256, 4, keep_pixels=True,
                           pixels_only_zoom=MAX_ZOOM - WARP_OFFSET)
-        batch = pa.table({"mz": pa.array([MAX_ZOOM - WARP_OFFSET]),
-                          "mx": pa.array([9 * 16 + 3]),
-                          "my": pa.array([5 * 16 + 3])})
+        # megatile inside the scene footprint at ANY max zoom: the scene
+        # anchors at tile (4, 9, 5), so at megatile zoom mz its children
+        # span [9*f, 10*f) x [5*f, 6*f) with f = 2^(mz-4)
+        mz = MAX_ZOOM - WARP_OFFSET
+        f = 1 << (mz - 4)
+        batch = pa.table({"mz": pa.array([mz]),
+                          "mx": pa.array([9 * f + min(3, f - 1)]),
+                          "my": pa.array([5 * f + min(3, f - 1)])})
         enc(local(sector(warp(batch))))          # warm
         t0 = time.time()
         for _ in range(n_tasks):
