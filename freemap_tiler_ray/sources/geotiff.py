@@ -3,7 +3,9 @@ the reference, which opens any GDAL-readable raster incl. GeoTIFFs
 (/root/reference/src/main.rs:80, README.md:73-77). The sandbox has no
 rasterio/GDAL, so this parses the TIFF container directly:
 
-  - classic (II/MM, magic 42) single- or multi-IFD files; first IFD
+  - classic (II/MM, magic 42) AND BigTIFF (magic 43, 8-byte offsets —
+    what GDAL writes for >4 GB orthophotos) single- or multi-IFD files;
+    first IFD
   - 8-bit samples, 1-4 bands, chunky planar config
   - strip AND tile layouts
   - compression: none (1), LZW (5, TIFF early-change), deflate
@@ -45,21 +47,32 @@ _TYPE_FMT = {1: ("B", 1), 2: ("c", 1), 3: ("H", 2), 4: ("I", 4),
              16: ("Q", 8), 17: ("q", 8)}
 
 
-def _read_ifd(buf: bytes, endian: str, off: int) -> dict:
-    (n,) = struct.unpack_from(endian + "H", buf, off)
+def _read_ifd(buf: bytes, endian: str, off: int, big: bool = False) -> dict:
+    """Parse one IFD. Classic layout: H entry count, 12-byte entries
+    (HHI + 4-byte value/offset), I next pointer. BigTIFF (magic 43,
+    TIFF Tech Note on BigTIFF): Q entry count, 20-byte entries
+    (HHQ + 8-byte value/offset), Q next pointer; values up to 8 bytes
+    are inline."""
+    cnt_fmt, ent_sz, val_sz, off_fmt = (
+        ("Q", 20, 8, "Q") if big else ("H", 12, 4, "I"))
+    head_sz = struct.calcsize(cnt_fmt)
+    (n,) = struct.unpack_from(endian + cnt_fmt, buf, off)
     tags: dict[str, tuple] = {}
     for i in range(n):
-        base = off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack_from(endian + "HHI", buf, base)
+        base = off + head_sz + ent_sz * i
+        tag, typ = struct.unpack_from(endian + "HH", buf, base)
+        (cnt,) = struct.unpack_from(endian + ("Q" if big else "I"),
+                                    buf, base + 4)
         name = _TAG_NAMES.get(tag)
         fmt, sz = _TYPE_FMT.get(typ, (None, 0))
         if name is None or fmt is None:
             continue
         total = sz * cnt
-        if total <= 4:
-            data_off = base + 8
+        val_pos = base + ent_sz - val_sz
+        if total <= val_sz:
+            data_off = val_pos
         else:
-            (data_off,) = struct.unpack_from(endian + "I", buf, base + 8)
+            (data_off,) = struct.unpack_from(endian + off_fmt, buf, val_pos)
         if typ == 5 or typ == 10:          # rationals -> floats
             vals = struct.unpack_from(endian + ("I" * 2 * cnt), buf, data_off)
             vals = tuple(vals[2 * j] / max(vals[2 * j + 1], 1)
@@ -72,7 +85,8 @@ def _read_ifd(buf: bytes, endian: str, off: int) -> dict:
         else:
             vals = struct.unpack_from(endian + fmt * cnt, buf, data_off)
         tags[name] = vals
-    (nxt,) = struct.unpack_from(endian + "I", buf, off + 2 + 12 * n)
+    (nxt,) = struct.unpack_from(endian + off_fmt, buf,
+                                off + head_sz + ent_sz * n)
     tags["_next_ifd"] = (nxt,)
     return tags
 
@@ -277,10 +291,20 @@ def read_geotiff(path: str):
         endian = ">"
     else:
         raise ValueError("not a TIFF")
-    magic, first = struct.unpack_from(endian + "HI", buf, 2)
-    if magic != 42:
-        raise NotImplementedError("BigTIFF (magic 43) not supported")
-    t = _read_ifd(buf, endian, first)
+    (magic,) = struct.unpack_from(endian + "H", buf, 2)
+    if magic == 42:
+        (first,) = struct.unpack_from(endian + "I", buf, 4)
+        big = False
+    elif magic == 43:                      # BigTIFF
+        bytesize, zero = struct.unpack_from(endian + "HH", buf, 4)
+        if bytesize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header "
+                             f"(offset size {bytesize}, pad {zero})")
+        (first,) = struct.unpack_from(endian + "Q", buf, 8)
+        big = True
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    t = _read_ifd(buf, endian, first, big=big)
 
     w = int(t["width"][0])
     h = int(t["height"][0])
@@ -399,7 +423,8 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
                   predictor: bool = False, rows_per_strip: int = 64,
                   tiled: bool = False, tile_size: int = 256,
                   quality: int = 85,
-                  jpeg_tables_split: bool = False) -> None:
+                  jpeg_tables_split: bool = False,
+                  bigtiff: bool = False) -> None:
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -452,9 +477,11 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
     scale = struct.pack("<3d", px_w, px_h, 0.0)
     tiepoint = struct.pack("<6d", 0, 0, 0, origin_x, origin_y, 0)
 
-    header = struct.pack("<2sHI", b"II", 42, 8)
+    # BigTIFF layout (magic 43): 16-byte header, Q IFD offsets, 20-byte
+    # tag entries with 8-byte inline values, LONG8 chunk offset/count
+    # arrays — what GDAL writes for >4 GB orthophotos
     body = bytearray()
-    pos = 8
+    pos = 16 if bigtiff else 8
 
     def put(data: bytes) -> int:
         nonlocal pos
@@ -470,22 +497,31 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
     tp_off = put(tiepoint)
     gk_off = put(struct.pack("<%dH" % len(geo_keys), *geo_keys))
     chunk_offs = [put(c) for c in chunks]
-    offs_off = put(struct.pack("<%dI" % len(chunks), *chunk_offs))
-    cnts_off = put(struct.pack("<%dI" % len(chunks),
+    arr_fmt, arr_typ = ("Q", 16) if bigtiff else ("I", 4)
+    offs_off = put(struct.pack("<%d%s" % (len(chunks), arr_fmt),
+                               *chunk_offs))
+    cnts_off = put(struct.pack("<%d%s" % (len(chunks), arr_fmt),
                                *[len(c) for c in chunks]))
 
     def tag(tid, typ, cnt, val):
+        if bigtiff:
+            if typ == 3 and cnt == 1:
+                return struct.pack("<HHQHHHH", tid, typ, cnt, val, 0, 0, 0)
+            return struct.pack("<HHQQ", tid, typ, cnt, val)
         if typ == 3 and cnt == 1:
             return struct.pack("<HHIHH", tid, typ, cnt, val, 0)
         return struct.pack("<HHII", tid, typ, cnt, val)
 
     def tag_shorts(tid, vals):
         """SHORT tag with small counts packed inline per the TIFF spec."""
-        if len(vals) * 2 <= 4:
-            padded = list(vals) + [0] * (2 - len(vals))
-            return struct.pack("<HHIHH", tid, 3, len(vals), *padded)
-        return struct.pack("<HHII", tid, 3, len(vals),
-                           put(struct.pack("<%dH" % len(vals), *vals)))
+        inline = 4 if bigtiff else 2
+        if len(vals) <= inline:
+            padded = list(vals) + [0] * (inline - len(vals))
+            return struct.pack("<HHQ%dH" % inline if bigtiff
+                               else "<HHI%dH" % inline,
+                               tid, 3, len(vals), *padded)
+        return tag(tid, 3, len(vals),
+                   put(struct.pack("<%dH" % len(vals), *vals)))
 
     photometric = (6 if comp == 7 and spp == 3     # YCbCr inside JPEG
                    else 2 if spp >= 3 else 1)
@@ -501,24 +537,29 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
         tags.append(tag(347, 7, len(jpeg_tables), put(jpeg_tables)))
     if tiled:
         tags += [tag(322, 3, 1, tile_size), tag(323, 3, 1, tile_size),
-                 tag(324, 4, len(chunks),
+                 tag(324, arr_typ, len(chunks),
                      offs_off if len(chunks) > 1 else chunk_offs[0]),
-                 tag(325, 4, len(chunks),
+                 tag(325, arr_typ, len(chunks),
                      cnts_off if len(chunks) > 1 else len(chunks[0]))]
     else:
-        tags += [tag(273, 4, len(chunks),
+        tags += [tag(273, arr_typ, len(chunks),
                      offs_off if len(chunks) > 1 else chunk_offs[0]),
                  tag(278, 3, 1, rows_per_strip),
-                 tag(279, 4, len(chunks),
+                 tag(279, arr_typ, len(chunks),
                      cnts_off if len(chunks) > 1 else len(chunks[0]))]
     tags += [tag(33550, 12, 3, scale_off), tag(33922, 12, 6, tp_off),
              tag(34735, 3, len(geo_keys), gk_off)]
     tags.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
 
     ifd_off = pos
-    ifd = struct.pack("<H", len(tags)) + b"".join(tags) + \
-        struct.pack("<I", 0)
-    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+    if bigtiff:
+        ifd = struct.pack("<Q", len(tags)) + b"".join(tags) + \
+            struct.pack("<Q", 0)
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+    else:
+        ifd = struct.pack("<H", len(tags)) + b"".join(tags) + \
+            struct.pack("<I", 0)
+        header = struct.pack("<2sHI", b"II", 42, ifd_off)
     with open(path, "wb") as f:
         f.write(header)
         f.write(bytes(body))

@@ -184,3 +184,48 @@ def test_geotiff_scene_warp_matches_npy(ray_session, tmp_path):
         return st._warp_one(*ANCHOR)
 
     assert np.array_equal(warp(spec_npy), warp(spec_tif))
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_bigtiff_matches_classic_twin(tmp_path, tiled, compression):
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte IFD entries) decodes
+    bit-identically to its classic twin across the layout matrix —
+    GDAL's default container for >4 GB orthophotos (main.rs:80 opens
+    either transparently)."""
+    img = _img(130, 95, 3, seed=43)
+    ca, cb = str(tmp_path / "c.tif"), str(tmp_path / "b.tif")
+    kw = dict(origin_x=1000.5, origin_y=2000.25, px_w=2.5, px_h=2.5,
+              compression=compression, tiled=tiled, tile_size=64)
+    write_geotiff(ca, img, **kw)
+    write_geotiff(cb, img, bigtiff=True, **kw)
+    with open(cb, "rb") as f:
+        assert f.read(4)[2] == 43          # really a BigTIFF header
+    ia, ga = read_geotiff(ca)
+    ib, gb = read_geotiff(cb)
+    assert np.array_equal(ia, img) and np.array_equal(ib, img)
+    assert ga == gb
+
+
+def test_bigtiff_jpeg_tables_split(tmp_path):
+    """BigTIFF + new-style JPEG (compression 7) with the shared
+    JPEGTables tag decodes to the same pixels as the classic twin."""
+    img = _img(128, 128, 3, seed=7)
+    ca, cb = str(tmp_path / "c.tif"), str(tmp_path / "b.tif")
+    kw = dict(origin_x=0.0, origin_y=0.0, px_w=1.0, px_h=1.0,
+              compression="jpeg", tiled=True, tile_size=64,
+              jpeg_tables_split=True)
+    write_geotiff(ca, img, **kw)
+    write_geotiff(cb, img, bigtiff=True, **kw)
+    ia, _ = read_geotiff(ca)
+    ib, _ = read_geotiff(cb)
+    assert np.array_equal(ia, ib)
+
+
+def test_bigtiff_malformed_header_message(tmp_path):
+    p = str(tmp_path / "x.tif")
+    import struct
+    with open(p, "wb") as f:               # offset size 4 is invalid
+        f.write(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16))
+    with pytest.raises(ValueError, match="malformed BigTIFF"):
+        read_geotiff(p)
