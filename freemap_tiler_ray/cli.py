@@ -45,9 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source-srs", default=None,
                    help="override the sidecar CRS (EPSG:3857 or EPSG:4326)")
     p.add_argument("--transform-pipeline", default=None,
-                   help="'module:function' factory returning (fwd, inv"
-                        "[, separable]) — the PROJ-pipeline analog; "
-                        "see transforms_demo.py")
+                   help="a verbatim '+proj=pipeline ...' string (subset:"
+                        " unitconvert/axisswap/webmerc/merc/affine/"
+                        "longlat/noop, each with +inv) or a "
+                        "'module:function' factory returning (fwd, inv"
+                        "[, separable]); see transforms_demo.py")
     return p
 
 
@@ -58,7 +60,11 @@ def main(argv=None) -> int:
             print("error: --transform-pipeline and --source-srs are "
                   "mutually exclusive", file=sys.stderr)
             return 2
-        args.source_srs = f"pipeline:{args.transform_pipeline}"
+        tp = args.transform_pipeline
+        # verbatim PROJ strings pass straight through (args.rs:37-43);
+        # module:function factories keep the pipeline: prefix
+        args.source_srs = (tp if tp.startswith("+proj=pipeline")
+                           else f"pipeline:{tp}")
 
     import ray
 

@@ -84,10 +84,17 @@ def resolve_crs(name: str):
         factory = getattr(importlib.import_module(mod_name), func)
         parts = tuple(factory())
         got = parts if len(parts) == 3 else parts + (True,)
+    elif name.startswith("+proj=pipeline"):
+        # verbatim PROJ pipeline string (the reference's
+        # --transform-pipeline passthrough, args.rs:37-43): fwd is
+        # source -> EPSG:3857, same convention as the built-ins
+        from .proj_pipeline import parse_proj_pipeline
+        got = parse_proj_pipeline(name)
     else:
         raise ValueError(
             f"unsupported CRS {name!r}: use EPSG:3857, EPSG:4326, a "
-            f"register_crs() name, or 'pipeline:module:function'")
+            f"register_crs() name, 'pipeline:module:function', or a "
+            f"'+proj=pipeline ...' string")
     _CRS_REGISTRY[name] = got
     return got
 

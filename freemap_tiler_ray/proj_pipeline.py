@@ -1,0 +1,183 @@
+"""Verbatim PROJ pipeline string support (subset, from scratch).
+
+The reference passes `--transform-pipeline "<proj string>"` straight to
+GDAL/PROJ (/root/reference/src/args.rs:37-43, warp.rs:22-58). This
+sandbox has no PROJ, so this module parses the common subset of
+`+proj=pipeline` strings directly into the engine's (fwd, inv,
+separable) transform triple — the same contract `geo.resolve_crs`
+returns for EPSG built-ins and `pipeline:module:function` factories.
+
+Grammar (PROJ 9 syntax):
+    +proj=pipeline [+step [+inv] +proj=NAME [+key=val ...]]...
+
+Supported step operations:
+    noop / longlat   identity (longlat is the pipeline's CRS cap — a
+                     coordinate no-op once units are handled)
+    unitconvert      +xy_in=deg|rad +xy_out=deg|rad
+    axisswap         +order=2,1 (also signed: -2,1 / 2,-1 ...)
+    webmerc / merc   spherical Web Mercator, +R= or +a= (default
+                     6378137) — merc is accepted in its spherical form
+    affine           +xoff/+yoff/+s11/+s12/+s21/+s22 (defaults: offsets
+                     0, matrix identity)
+
+Every step carries its own exact inverse; `+inv` swaps a step's
+directions, and the pipeline inverse applies inverted steps in reverse
+order. Separability (dst x depends only on src x, dst y only on src y —
+what lets the warp use the fast per-axis tap path) holds iff every step
+is separable; axisswap and affine cross terms force the grid-warp path,
+exactly like any rotated PROJ pipeline under GDAL.
+
+Unsupported operations raise ValueError naming the step, rather than
+silently warping wrong.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_R_DEFAULT = 6378137.0
+_D2R = np.pi / 180.0
+
+
+def _parse_tokens(s: str) -> list[dict]:
+    """Split a PROJ string into step dicts: [{'proj': ..., 'inv': bool,
+    params: {...}}, ...]. The leading +proj=pipeline is validated."""
+    toks = s.split()
+    if not toks or toks[0].lstrip("+") != "proj=pipeline":
+        raise ValueError("not a +proj=pipeline string")
+    steps: list[dict] = []
+    cur: dict | None = None
+    for tok in toks[1:]:
+        t = tok.lstrip("+")
+        if t == "step":
+            cur = {"proj": None, "inv": False, "params": {}}
+            steps.append(cur)
+            continue
+        if cur is None:
+            continue                       # global params (+ellps=...) ignored
+        if t == "inv":
+            cur["inv"] = True
+        elif "=" in t:
+            k, v = t.split("=", 1)
+            if k == "proj":
+                cur["proj"] = v
+            else:
+                cur["params"][k] = v
+        # bare flags other than +inv are ignored (e.g. +no_defs)
+    for st in steps:
+        if st["proj"] is None:
+            raise ValueError("pipeline +step without +proj=")
+    return steps
+
+
+def _step_transform(proj: str, p: dict):
+    """-> (fwd, inv, separable) for one step operation."""
+    if proj in ("noop", "longlat", "lonlat", "latlong"):
+        ident = lambda x, y: (np.asarray(x, np.float64),  # noqa: E731
+                              np.asarray(y, np.float64))
+        return ident, ident, True
+
+    if proj == "unitconvert":
+        xin = p.get("xy_in", "rad")
+        xout = p.get("xy_out", "rad")
+        f = {"deg": _D2R, "rad": 1.0}
+        if xin not in f or xout not in f:
+            raise ValueError(f"unitconvert units {xin}->{xout} not supported"
+                             " (deg/rad only)")
+        k = f[xin] / f[xout]
+
+        def fwd(x, y, k=k):
+            return np.asarray(x, np.float64) * k, np.asarray(y, np.float64) * k
+
+        def inv(x, y, k=k):
+            return np.asarray(x, np.float64) / k, np.asarray(y, np.float64) / k
+        return fwd, inv, True
+
+    if proj == "axisswap":
+        order = p.get("order", "2,1")
+        try:
+            o1, o2 = (int(v) for v in order.split(","))
+        except Exception:
+            raise ValueError(f"axisswap order {order!r} not supported")
+        if {abs(o1), abs(o2)} != {1, 2}:
+            raise ValueError(f"axisswap order {order!r} not supported")
+        s1, s2 = float(np.sign(o1)), float(np.sign(o2))
+
+        def fwd(x, y, o1=abs(o1), s1=s1, s2=s2):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            a, b = (x, y) if o1 == 1 else (y, x)
+            return a * s1, b * s2
+
+        def inv(x, y, o1=abs(o1), s1=s1, s2=s2):
+            x = np.asarray(x, np.float64) * (1.0 / s1)
+            y = np.asarray(y, np.float64) * (1.0 / s2)
+            return (x, y) if o1 == 1 else (y, x)
+        swap = abs(o1) != 1
+        return fwd, inv, not swap
+
+    if proj in ("webmerc", "merc"):
+        R = float(p.get("R", p.get("a", _R_DEFAULT)))
+
+        def fwd(lam, phi, R=R):            # radians in
+            lam = np.asarray(lam, np.float64)
+            phi = np.asarray(phi, np.float64)
+            return R * lam, R * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+
+        def inv(x, y, R=R):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            return x / R, 2.0 * np.arctan(np.exp(y / R)) - np.pi / 2.0
+        return fwd, inv, True
+
+    if proj == "affine":
+        xoff = float(p.get("xoff", 0.0))
+        yoff = float(p.get("yoff", 0.0))
+        s11 = float(p.get("s11", 1.0))
+        s12 = float(p.get("s12", 0.0))
+        s21 = float(p.get("s21", 0.0))
+        s22 = float(p.get("s22", 1.0))
+        det = s11 * s22 - s12 * s21
+        if det == 0.0:
+            raise ValueError("affine matrix is singular")
+
+        def fwd(x, y):
+            x = np.asarray(x, np.float64)
+            y = np.asarray(y, np.float64)
+            return xoff + s11 * x + s12 * y, yoff + s21 * x + s22 * y
+
+        def inv(x, y):
+            dx = np.asarray(x, np.float64) - xoff
+            dy = np.asarray(y, np.float64) - yoff
+            return ((s22 * dx - s12 * dy) / det,
+                    (-s21 * dx + s11 * dy) / det)
+        return fwd, inv, s12 == 0.0 and s21 == 0.0
+
+    raise ValueError(f"unsupported pipeline step +proj={proj} (supported: "
+                     "noop longlat unitconvert axisswap webmerc merc affine)")
+
+
+def parse_proj_pipeline(s: str):
+    """PROJ pipeline string -> (fwd, inv, separable), the resolve_crs
+    transform contract. fwd applies the steps left to right; inv applies
+    each step's inverse right to left."""
+    steps = _parse_tokens(s)
+    chain = []
+    separable = True
+    for st in steps:
+        f, i, sep = _step_transform(st["proj"], st["params"])
+        if st["inv"]:
+            f, i = i, f
+        chain.append((f, i))
+        separable = separable and sep
+
+    def fwd(x, y, chain=tuple(chain)):
+        for f, _ in chain:
+            x, y = f(x, y)
+        return x, y
+
+    def inv(x, y, chain=tuple(chain)):
+        for _, i in reversed(chain):
+            x, y = i(x, y)
+        return x, y
+    return fwd, inv, separable
