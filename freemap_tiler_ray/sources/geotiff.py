@@ -6,7 +6,9 @@ rasterio/GDAL, so this parses the TIFF container directly:
   - classic (II/MM, magic 42) AND BigTIFF (magic 43, 8-byte offsets —
     what GDAL writes for >4 GB orthophotos) single- or multi-IFD files;
     first IFD
-  - 8-bit samples, 1-4 bands, chunky planar config
+  - 8-bit and 16-bit samples (uint16 decodes natively; the scene
+    importer applies an explicit 16->8 scaling policy), 1-4 bands,
+    chunky planar config
   - strip AND tile layouts
   - compression: none (1), LZW (5, TIFF early-change), deflate
     (8 / 32946), PackBits (32773), and baseline JPEG (7, new-style
@@ -19,8 +21,9 @@ rasterio/GDAL, so this parses the TIFF container directly:
 
 `geotiff_to_scene` converts to the engine's mmap-able .npy + sidecar
 SceneSpec once (an import step, like building a VRT); `read_geotiff`
-returns the decoded array + georef for direct use. 16-bit samples are
-rejected with a clear message rather than silently misread.
+returns the decoded array + georef for direct use (uint8 or uint16);
+the import step requires an explicit scale16 policy for 16-bit sources
+rather than silently truncating.
 """
 
 from __future__ import annotations
@@ -310,15 +313,22 @@ def read_geotiff(path: str):
     h = int(t["height"][0])
     spp = int(t.get("samples_per_pixel", (1,))[0])
     bits = t.get("bits_per_sample", (8,))
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"only 8-bit samples (got {bits})")
+    if all(b == 8 for b in bits):
+        dt = np.dtype(endian + "u1")
+    elif all(b == 16 for b in bits):       # satellite / DEM sources
+        dt = np.dtype(endian + "u2")
+    else:
+        raise NotImplementedError(f"only 8- or 16-bit samples (got {bits})")
+    bpp = dt.itemsize
     if int(t.get("planar_config", (1,))[0]) != 1:
         raise NotImplementedError("only chunky planar configuration")
     comp = int(t.get("compression", (1,))[0])
     pred = int(t.get("predictor", (1,))[0])
     jtables = t.get("jpeg_tables", (None,))[0]
+    if comp == 7 and bpp != 1:
+        raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
 
-    img = np.zeros((h, w, spp), np.uint8)
+    img = np.zeros((h, w, spp), dt)
     if "tile_offsets" in t:
         tw = int(t["tile_width"][0])
         tl = int(t["tile_length"][0])
@@ -329,12 +339,11 @@ def read_geotiff(path: str):
             if comp == 7:
                 a = _jpeg_chunk_array(buf[o:o + c], jtables, spp)
             else:
-                raw = _decode_chunk(buf[o:o + c], comp, tl * tw * spp)
-                a = np.frombuffer(raw, np.uint8)[:tl * tw * spp] \
+                raw = _decode_chunk(buf[o:o + c], comp, tl * tw * spp * bpp)
+                a = np.frombuffer(raw, dt)[:tl * tw * spp] \
                     .reshape(tl, tw, spp)
-                if pred == 2:
-                    a = np.cumsum(a.astype(np.int64),
-                                  axis=1).astype(np.uint8)
+                if pred == 2:              # cumsum wraps mod 2^bits
+                    a = np.cumsum(a.astype(np.int64), axis=1).astype(dt)
             ty, tx = divmod(i, per_row)
             y0, x0 = ty * tl, tx * tw
             ys, xs = min(tl, h - y0), min(tw, w - x0)
@@ -349,13 +358,14 @@ def read_geotiff(path: str):
             if comp == 7:
                 a = _jpeg_chunk_array(buf[o:o + c], jtables, spp)[:rows]
             else:
-                raw = _decode_chunk(buf[o:o + c], comp, rows * w * spp)
-                a = np.frombuffer(raw, np.uint8)[:rows * w * spp] \
+                raw = _decode_chunk(buf[o:o + c], comp, rows * w * spp * bpp)
+                a = np.frombuffer(raw, dt)[:rows * w * spp] \
                     .reshape(rows, w, spp)
                 if pred == 2:
-                    a = np.cumsum(a.astype(np.int64),
-                                  axis=1).astype(np.uint8)
+                    a = np.cumsum(a.astype(np.int64), axis=1).astype(dt)
             img[y0:y0 + rows] = a
+
+    img = img.astype(np.uint8 if bpp == 1 else np.uint16, copy=False)
 
     georef = {}
     if "pixel_scale" in t and "tiepoint" in t:
@@ -386,15 +396,28 @@ def read_geotiff(path: str):
     return img, georef
 
 
-def geotiff_to_scene(tif_path: str, npy_path: str):
+def geotiff_to_scene(tif_path: str, npy_path: str, scale16: str = "error"):
     """Import a GeoTIFF as an engine SceneSpec (.npy + sidecar): decode
     once, then every warp worker mmaps the .npy — the same one-time
-    conversion role as building a VRT for the reference."""
+    conversion role as building a VRT for the reference.
+
+    The tile pipeline is 8-bit (like the reference's Byte rasters); a
+    16-bit source needs an explicit scaling policy:
+      scale16="shift"  full-range 16->8 bit (value >> 8), the
+                       `gdal_translate -ot Byte -scale` equivalent
+      scale16="error"  (default) refuse, naming the option"""
     import os
 
     from ..raster import SceneSpec
 
     img, geo = read_geotiff(tif_path)
+    if img.dtype == np.uint16:
+        if scale16 == "shift":
+            img = (img >> 8).astype(np.uint8)
+        else:
+            raise ValueError(
+                f"{tif_path} has 16-bit samples; pass scale16='shift' to "
+                "import as 8-bit (full-range value >> 8), or pre-translate")
     if not npy_path.endswith(".npy"):
         npy_path += ".npy"
     with open(npy_path, "wb") as f:
@@ -428,6 +451,9 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
+    if img.dtype not in (np.uint8, np.uint16):
+        raise ValueError(f"write_geotiff: uint8/uint16 only (got {img.dtype})")
+    wide = img.dtype == np.uint16
     h, w, spp = img.shape
     comp = {"none": 1, "lzw": 5, "deflate": 8, "jpeg": 7}[compression]
     if comp == 7:
@@ -435,6 +461,8 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
             raise ValueError("JPEG-in-TIFF supports 1 or 3 bands only")
         if predictor:
             raise ValueError("predictor does not apply to JPEG")
+        if wide:
+            raise ValueError("JPEG-in-TIFF is 8-bit only")
         from ..jpeg import jpeg_encode
 
     def _pack(block: np.ndarray) -> bytes:
@@ -442,9 +470,9 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
             return jpeg_encode(block[:, :, 0] if spp == 1 else block,
                                quality=quality)
         if predictor:
-            block = np.diff(block.astype(np.int16), axis=1,
-                            prepend=0).astype(np.uint8)
-        raw = block.tobytes()
+            block = np.diff(block.astype(np.int32), axis=1,
+                            prepend=0).astype(block.dtype)
+        raw = block.astype("<u2" if wide else "u1").tobytes()
         return (zlib.compress(raw) if comp == 8
                 else _lzw_encode(raw) if comp == 5 else raw)
 
@@ -453,7 +481,7 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
         tl = tw = tile_size
         for y0 in range(0, h, tl):
             for x0 in range(0, w, tw):
-                block = np.zeros((tl, tw, spp), np.uint8)
+                block = np.zeros((tl, tw, spp), img.dtype)
                 ys, xs = min(tl, h - y0), min(tw, w - x0)
                 block[:ys, :xs] = img[y0:y0 + ys, x0:x0 + xs]
                 chunks.append(_pack(block))
@@ -526,7 +554,7 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
     photometric = (6 if comp == 7 and spp == 3     # YCbCr inside JPEG
                    else 2 if spp >= 3 else 1)
     tags = [tag(256, 3, 1, w), tag(257, 3, 1, h),
-            tag_shorts(258, [8] * spp),
+            tag_shorts(258, [16 if wide else 8] * spp),
             tag(259, 3, 1, comp),
             tag(262, 3, 1, photometric),
             tag(277, 3, 1, spp),

@@ -229,3 +229,44 @@ def test_bigtiff_malformed_header_message(tmp_path):
         f.write(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16))
     with pytest.raises(ValueError, match="malformed BigTIFF"):
         read_geotiff(p)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("compression,predictor",
+                         [("none", False), ("deflate", True),
+                          ("lzw", True)])
+def test_uint16_roundtrip(tmp_path, tiled, compression, predictor):
+    """16-bit samples (satellite/DEM sources) decode natively as uint16,
+    including predictor-2 wrap-around differencing."""
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 65536, (90, 130, 3), np.uint16)
+    p = str(tmp_path / "u16.tif")
+    write_geotiff(p, img, origin_x=5.0, origin_y=9.0, px_w=1.0, px_h=1.0,
+                  compression=compression, predictor=predictor,
+                  tiled=tiled, tile_size=64)
+    got, geo = read_geotiff(p)
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, img)
+
+
+def test_uint16_scene_import_policy(tmp_path):
+    """geotiff_to_scene refuses 16-bit without an explicit policy and
+    shifts full-range to 8-bit with scale16='shift'."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 65536, (40, 40, 3), np.uint16)
+    p = str(tmp_path / "u16.tif")
+    write_geotiff(p, img, origin_x=0.0, origin_y=0.0, px_w=1.0, px_h=1.0)
+    with pytest.raises(ValueError, match="scale16"):
+        geotiff_to_scene(p, str(tmp_path / "s.npy"))
+    spec = geotiff_to_scene(p, str(tmp_path / "s.npy"), scale16="shift")
+    out = np.load(spec.path)
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, (img >> 8).astype(np.uint8))
+
+
+def test_uint16_jpeg_rejected(tmp_path):
+    img = np.zeros((16, 16, 3), np.uint16)
+    with pytest.raises(ValueError, match="8-bit"):
+        write_geotiff(str(tmp_path / "x.tif"), img, origin_x=0.0,
+                      origin_y=0.0, px_w=1.0, px_h=1.0,
+                      compression="jpeg", tiled=True)
