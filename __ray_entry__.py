@@ -89,7 +89,8 @@ st AS (
 """
 
 
-def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
+def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64,
+                final_select: str | None = None) -> str:
     """Exact mirror of stages.ann.kmeans: the 5 deterministic iterations
     unrolled as chained CTEs. Distances are left-folded over dims in
     both engines (numpy loop there, left-assoc '+' here) so float d2 is
@@ -126,9 +127,10 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
     parts.append(f"df AS (SELECT v.vec_id, c.cluster, {d2} AS d2 "
                  f"FROM ev v CROSS JOIN c{iters} c)")
     parts.append(f"af AS ({argmin.format(src='df')})")
-    return ("WITH " + ",\n".join(parts)
-            + "\nSELECT CAST(cluster AS BIGINT) AS cluster, "
-              "count(*) AS n_vecs FROM af GROUP BY cluster")
+    return ("WITH " + ",\n".join(parts) + "\n" + (
+        final_select or
+        "SELECT CAST(cluster AS BIGINT) AS cluster, "
+        "count(*) AS n_vecs FROM af GROUP BY cluster"))
 
 
 def entry() -> Any:
@@ -264,7 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_pairs": q.lsh_pairs,
         "ngram_pairs": q.ngram_pairs,
         "simhash_pairs": q.simhash_pairs,
-        "embedding_pairs": q.embedding_pairs,
+        "diverse_sample": q.diverse_sample,
         "ann_topk": q.ann_topk,
         "ann_ivf": q.ann_ivf,
         "ann_lsh": q.ann_lsh,
@@ -273,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid_status": tile_pyramid_status,
         "tile_limits": tile_limits,
         # --- tail: redundant-oracle companions, driver-green in round 2 ---
+        "embedding_pairs": q.embedding_pairs,
         "pip_join": q.pip_join,
         "knn_ring": q.knn_ring,
         "sample_docs": q.sample_docs,
@@ -969,6 +972,24 @@ SELECT query_vec_id, rank, vec_id FROM r WHERE rank <= {TOP_K}
 """
 
     sqls["kmeans_clusters"] = _kmeans_sql()
+
+    from freemap_tiler_ray.pipelines.queries import DIVERSE_Q
+    # per-cluster quota over the kmeans assignments: same +777 mix32
+    # hash chain as stratified_sample, over vec_id
+    sqls["diverse_sample"] = _kmeans_sql(final_select=f"""
+, b AS (SELECT vec_id, cluster,
+               (vec_id % 4294967296 + 777) % 4294967296 AS v0 FROM af),
+hs1 AS (SELECT vec_id, cluster,
+              (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM b),
+hs2 AS (SELECT vec_id, cluster,
+              (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM hs1),
+hh AS (SELECT vec_id, cluster, xor(v2 >> 16, v2) AS hv FROM hs2),
+rr AS (SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY hv, vec_id) AS rn
+      FROM hh)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM rr WHERE rn <= {DIVERSE_Q}""")
 
     from freemap_tiler_ray.stages.ann import QUALITY_DIMS, quality_weights
     _qw = quality_weights()

@@ -997,6 +997,41 @@ def kmeans_clusters(sf_dir: str):
     return assigned.groupby("cluster").aggregate(Count(alias_name="n_vecs"))
 
 
+DIVERSE_Q = 16       # per-cluster quota for diversity sampling
+
+
+def diverse_sample(sf_dir: str, q: int = DIVERSE_Q):
+    """Cluster-diversity sampling (the SemDeDup / DataComp curation
+    shape): k-means over the embeddings, then keep the q vectors per
+    cluster with the smallest deterministic hash (ties by vec_id) — a
+    per-cluster quota that flattens semantic density instead of
+    sampling uniformly. Assignments come from the exact kmeans stage;
+    the quota pass is a per-batch partial top-q combiner plus one tiny
+    groupby over the k clusters (stratified_sample's shape — skew-safe
+    because q bounds every group regardless of cluster size)."""
+    from ..geo import _mix32
+    from ..stages.ann import kmeans
+
+    assigned, _ = kmeans(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids = df["vec_id"].to_numpy()
+        df["h"] = _mix32((ids + np.uint64(777))
+                         & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        top = (df.sort_values(["cluster", "h", "vec_id"])
+               .groupby("cluster", as_index=False).head(q))
+        return pa.Table.from_pandas(
+            top, preserve_index=False).replace_schema_metadata(None)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "vec_id"]).head(q)
+        return g[["vec_id", "cluster"]]
+
+    return (assigned.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster").map_groups(final, batch_format="pandas"))
+
+
 def media_frames(sf_dir: str):
     """Frame sampling over audio spans (flat-map expansion; actor-pool
     stage in a real pipeline — the codec is stubbed, the plumbing real)."""
