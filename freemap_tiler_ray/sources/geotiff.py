@@ -8,7 +8,7 @@ rasterio/GDAL, so this parses the TIFF container directly:
     first IFD
   - 8-bit and 16-bit samples (uint16 decodes natively; the scene
     importer applies an explicit 16->8 scaling policy), 1-4 bands,
-    chunky planar config
+    chunky (planar=1) AND band-separate (planar=2) configurations
   - strip AND tile layouts
   - compression: none (1), LZW (5, TIFF early-change), deflate
     (8 / 32946), PackBits (32773), and baseline JPEG (7, new-style
@@ -320,13 +320,19 @@ def read_geotiff(path: str):
     else:
         raise NotImplementedError(f"only 8- or 16-bit samples (got {bits})")
     bpp = dt.itemsize
-    if int(t.get("planar_config", (1,))[0]) != 1:
-        raise NotImplementedError("only chunky planar configuration")
+    planar = int(t.get("planar_config", (1,))[0])
+    if planar not in (1, 2):
+        raise NotImplementedError(f"planar configuration {planar}")
     comp = int(t.get("compression", (1,))[0])
     pred = int(t.get("predictor", (1,))[0])
     jtables = t.get("jpeg_tables", (None,))[0]
-    if comp == 7 and bpp != 1:
-        raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
+    if comp == 7 and (bpp != 1 or planar != 1):
+        raise NotImplementedError("JPEG-in-TIFF is 8-bit chunky only")
+    # planar=1 (chunky): each chunk interleaves all spp samples.
+    # planar=2 (band-separate): chunk index = band * chunks_per_band + i,
+    # each chunk holds ONE band's samples; predictor differencing is then
+    # per band, which the same cumsum undoes.
+    cspp = spp if planar == 1 else 1
 
     img = np.zeros((h, w, spp), dt)
     if "tile_offsets" in t:
@@ -335,35 +341,45 @@ def read_geotiff(path: str):
         offs = t["tile_offsets"]
         cnts = t["tile_byte_counts"]
         per_row = (w + tw - 1) // tw
+        per_band = per_row * ((h + tl - 1) // tl)
         for i, (o, c) in enumerate(zip(offs, cnts)):
             if comp == 7:
                 a = _jpeg_chunk_array(buf[o:o + c], jtables, spp)
             else:
-                raw = _decode_chunk(buf[o:o + c], comp, tl * tw * spp * bpp)
-                a = np.frombuffer(raw, dt)[:tl * tw * spp] \
-                    .reshape(tl, tw, spp)
+                raw = _decode_chunk(buf[o:o + c], comp, tl * tw * cspp * bpp)
+                a = np.frombuffer(raw, dt)[:tl * tw * cspp] \
+                    .reshape(tl, tw, cspp)
                 if pred == 2:              # cumsum wraps mod 2^bits
                     a = np.cumsum(a.astype(np.int64), axis=1).astype(dt)
-            ty, tx = divmod(i, per_row)
+            band, ti = divmod(i, per_band)
+            ty, tx = divmod(ti, per_row)
             y0, x0 = ty * tl, tx * tw
             ys, xs = min(tl, h - y0), min(tw, w - x0)
-            img[y0:y0 + ys, x0:x0 + xs] = a[:ys, :xs]
+            if planar == 1:
+                img[y0:y0 + ys, x0:x0 + xs] = a[:ys, :xs]
+            else:
+                img[y0:y0 + ys, x0:x0 + xs, band] = a[:ys, :xs, 0]
     else:
         rps = int(t.get("rows_per_strip", (h,))[0])
         offs = t["strip_offsets"]
         cnts = t["strip_byte_counts"]
+        per_band = (h + rps - 1) // rps
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            y0 = i * rps
+            band, si = divmod(i, per_band)
+            y0 = si * rps
             rows = min(rps, h - y0)
             if comp == 7:
                 a = _jpeg_chunk_array(buf[o:o + c], jtables, spp)[:rows]
             else:
-                raw = _decode_chunk(buf[o:o + c], comp, rows * w * spp * bpp)
-                a = np.frombuffer(raw, dt)[:rows * w * spp] \
-                    .reshape(rows, w, spp)
+                raw = _decode_chunk(buf[o:o + c], comp, rows * w * cspp * bpp)
+                a = np.frombuffer(raw, dt)[:rows * w * cspp] \
+                    .reshape(rows, w, cspp)
                 if pred == 2:
                     a = np.cumsum(a.astype(np.int64), axis=1).astype(dt)
-            img[y0:y0 + rows] = a
+            if planar == 1:
+                img[y0:y0 + rows] = a
+            else:
+                img[y0:y0 + rows, :, band] = a[:, :, 0]
 
     img = img.astype(np.uint8 if bpp == 1 else np.uint16, copy=False)
 
@@ -447,7 +463,7 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
                   tiled: bool = False, tile_size: int = 256,
                   quality: int = 85,
                   jpeg_tables_split: bool = False,
-                  bigtiff: bool = False) -> None:
+                  bigtiff: bool = False, planar: int = 1) -> None:
     img = np.ascontiguousarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -476,18 +492,28 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
         return (zlib.compress(raw) if comp == 8
                 else _lzw_encode(raw) if comp == 5 else raw)
 
+    if planar not in (1, 2):
+        raise ValueError(f"planar configuration {planar}")
+    if planar == 2 and comp == 7:
+        raise ValueError("JPEG-in-TIFF is chunky (planar=1) only")
+    # planar=2: emit one full chunk sequence PER BAND (band-major index)
+    views = ([img] if planar == 1
+             else [np.ascontiguousarray(img[:, :, b:b + 1])
+                   for b in range(spp)])
     chunks: list[bytes] = []
-    if tiled:
-        tl = tw = tile_size
-        for y0 in range(0, h, tl):
-            for x0 in range(0, w, tw):
-                block = np.zeros((tl, tw, spp), img.dtype)
-                ys, xs = min(tl, h - y0), min(tw, w - x0)
-                block[:ys, :xs] = img[y0:y0 + ys, x0:x0 + xs]
-                chunks.append(_pack(block))
-    else:
-        for y0 in range(0, h, rows_per_strip):
-            chunks.append(_pack(img[y0:y0 + rows_per_strip]))
+    for v in views:
+        vs = v.shape[2]
+        if tiled:
+            tl = tw = tile_size
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    block = np.zeros((tl, tw, vs), img.dtype)
+                    ys, xs = min(tl, h - y0), min(tw, w - x0)
+                    block[:ys, :xs] = v[y0:y0 + ys, x0:x0 + xs]
+                    chunks.append(_pack(block))
+        else:
+            for y0 in range(0, h, rows_per_strip):
+                chunks.append(_pack(v[y0:y0 + rows_per_strip]))
 
     jpeg_tables = None
     if comp == 7 and jpeg_tables_split:
@@ -558,7 +584,7 @@ def write_geotiff(path: str, img: np.ndarray, origin_x: float,
             tag(259, 3, 1, comp),
             tag(262, 3, 1, photometric),
             tag(277, 3, 1, spp),
-            tag(284, 3, 1, 1)]
+            tag(284, 3, 1, planar)]
     if predictor:
         tags.append(tag(317, 3, 1, 2))
     if jpeg_tables is not None:

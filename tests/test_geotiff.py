@@ -270,3 +270,27 @@ def test_uint16_jpeg_rejected(tmp_path):
         write_geotiff(str(tmp_path / "x.tif"), img, origin_x=0.0,
                       origin_y=0.0, px_w=1.0, px_h=1.0,
                       compression="jpeg", tiled=True)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("compression,predictor",
+                         [("none", False), ("deflate", True),
+                          ("lzw", False)])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_planar2_matches_chunky_twin(tmp_path, tiled, compression,
+                                     predictor, dtype):
+    """Band-separate (planar=2) files decode identically to their
+    chunky twins across layouts, compressions and sample widths."""
+    rng = np.random.default_rng(2)
+    hi = 256 if dtype == np.uint8 else 65536
+    img = rng.integers(0, hi, (70, 110, 3), dtype)
+    a, b = str(tmp_path / "chunky.tif"), str(tmp_path / "planar.tif")
+    kw = dict(origin_x=1.0, origin_y=2.0, px_w=1.0, px_h=1.0,
+              compression=compression, predictor=predictor,
+              tiled=tiled, tile_size=64)
+    write_geotiff(a, img, planar=1, **kw)
+    write_geotiff(b, img, planar=2, **kw)
+    ia, ga = read_geotiff(a)
+    ib, gb = read_geotiff(b)
+    assert np.array_equal(ia, img) and np.array_equal(ib, img)
+    assert ga == gb
