@@ -39,7 +39,6 @@ from .. import tilemath as tm
 from ..config import TilerConfig
 from ..raster import load_raster_spec
 from ..sources.geojson_src import read_bounding_polygon
-from ..sources.mbtiles import write_mbtiles
 from ..stages.compose import compose_level
 from ..stages.encode import EncodeStage
 from ..stages.geom import rects_intersect_polygon
@@ -241,6 +240,22 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     universe, mzoom, leaf_range, bbox, n_mega = megatile_universe(spec, cfg, ring)
     # execution-order variant: same key set, straggler-friendly order
     universe_x, *_ = megatile_universe(spec, cfg, ring, interleave=True)
+
+    # ---- MBTiles compaction starts NOW (K1-K3, single writer): level
+    # dirs stream into a dedicated writer thread as their manifests
+    # land, so the sqlite insert overlaps the composes above instead of
+    # serializing after them (a fixed tail that a larger cluster cannot
+    # shrink). The existing-target check mirrors main.rs:58-60.
+    mbt = None
+    if cfg.target_file and not (cfg.resume
+                                and ckpt.stage_done(cfg.out_dir, "mbtiles")):
+        if os.path.exists(cfg.target_file):
+            if not cfg.resume:
+                raise FileExistsError(cfg.target_file)
+            os.unlink(cfg.target_file)
+        from ..sources.mbtiles import ProgressiveMBTilesWriter
+        mbt = ProgressiveMBTilesWriter(cfg.target_file, cfg.max_zoom,
+                                       cfg.fmt, bbox, cfg.insert_empty)
     lvl_dir = lambda z: os.path.join(cfg.out_dir, f"level_z{z}")  # noqa: E731
     from ..state.limits import LimitsActor, merge_limits
     limit_parts: list[dict] = []
@@ -344,6 +359,8 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     # execution covers `span` pyramid levels)
     from ..stages.compose import choose_span
     out_dirs = [lvl_dir(cfg.max_zoom)]
+    if mbt is not None:          # leaf level = ~3/4 of all tiles:
+        mbt.add_dir(out_dirs[0])  # its insert hides behind the composes
     z = man["leaf_min_zoom"]      # shuffled spans start below the local compose
     src = os.path.join(lvl_dir(cfg.max_zoom), "")
     import pyarrow.compute as _pc
@@ -378,6 +395,8 @@ def build_pyramid(cfg: TilerConfig) -> dict:
                 if m.get("limits_partial"):
                     limit_parts.append(m["limits_partial"])
             out_dirs.append(sdir)
+            if mbt is not None:
+                mbt.add_dir(sdir)
             z = 0
             break
         if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
@@ -407,6 +426,8 @@ def build_pyramid(cfg: TilerConfig) -> dict:
             if m.get("limits_partial"):
                 limit_parts.append(m["limits_partial"])
         out_dirs.append(sdir)
+        if mbt is not None:
+            mbt.add_dir(sdir)
         z -= L
         src = sdir
         src_filter = _pc.field("zoom") == z
@@ -417,25 +438,21 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     lim_json = limits_json(limits)
     metrics["limits"] = time.time() - t0
 
-    # ---- MBTiles compaction (single writer, K1-K3) ----
+    # ---- MBTiles compaction finish (single writer, K1-K3): most rows
+    # were streamed in while composes ran; this joins the writer thread
+    # and records its total busy seconds as the insert metric (the
+    # reference's insert timer), while the wall only pays the
+    # non-overlapped tail.
     inserted = None
-    if cfg.target_file:
+    if mbt is not None:
         t0 = time.time()
-        if os.path.exists(cfg.target_file) and not cfg.resume:
-            raise FileExistsError(cfg.target_file)  # main.rs:58-60
-        if not (cfg.resume and ckpt.stage_done(cfg.out_dir, "mbtiles")):
-            if os.path.exists(cfg.target_file):
-                os.unlink(cfg.target_file)
-            enc_full = rd.read_parquet(
-                parquet_files(out_dirs),
-                columns=["zoom", "x", "tms_y", "tile_data", "tile_alpha",
-                         "status"])
-            inserted = write_mbtiles(cfg.target_file, enc_full, cfg.max_zoom,
-                                     cfg.fmt, bbox, lim_json, cfg.insert_empty)
-            ckpt.save_manifest(cfg.out_dir, "mbtiles", {
-                "done": True, "rows": inserted,
-                "metrics_sec": time.time() - t0})
-        metrics["insert"] = time.time() - t0
+        inserted, busy = mbt.finish(lim_json)
+        metrics["insert"] = busy
+        metrics["insert_tail"] = time.time() - t0
+        ckpt.save_manifest(cfg.out_dir, "mbtiles", {
+            "done": True, "rows": inserted, "metrics_sec": busy})
+    elif cfg.target_file:
+        metrics["insert"] = 0.0
 
     result = {"max_zoom": cfg.max_zoom, "bounds_3857": list(bbox),
               "limits": limits, "limits_json": lim_json,

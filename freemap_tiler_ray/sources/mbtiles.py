@@ -76,6 +76,108 @@ def write_mbtiles(target: str, encoded_ds, max_zoom: int, fmt: str,
     return n
 
 
+class ProgressiveMBTilesWriter:
+    """Single-writer MBTiles sink that OVERLAPS the terminal compaction
+    with the pyramid build: completed level/span directories are
+    enqueued as their manifests land, and a dedicated thread — the sole
+    owner of the SQLite connection (sqlite objects are thread-bound;
+    single-writer like tile_inserter.rs:23) — drains them, reading the
+    parquet shards directly with pyarrow (column-pruned, no Ray
+    interaction, safe alongside the running pipeline). The leaf level
+    holds ~3/4 of all tiles, so its insert hides behind the span
+    composes instead of serializing after them — the fixed tail that
+    costs ~4x more at the larger cluster arm.
+
+    finish(limits_json) joins the thread, writes the limits metadata
+    row, and returns (rows_inserted, busy_seconds)."""
+
+    _DONE = object()
+
+    def __init__(self, target: str, max_zoom: int, fmt: str,
+                 bounds_3857, insert_empty: bool = True):
+        import queue
+        import threading
+        self.target = target
+        self.max_zoom = max_zoom
+        self.fmt = fmt
+        self.bounds = bounds_3857
+        self.insert_empty = insert_empty
+        self.rows = 0
+        self.busy = 0.0
+        self.err: BaseException | None = None
+        self._limits_json: str | None = None
+        self._q: "queue.Queue" = queue.Queue()
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def add_dir(self, d: str) -> None:
+        """Enqueue a directory of encoded parquet shards (recursive)."""
+        self._q.put(d)
+
+    def _insert_dir(self, conn, sql, d: str) -> None:
+        import pyarrow.parquet as pq
+        files = []
+        for root, _, names in os.walk(d):
+            files.extend(os.path.join(root, n) for n in sorted(names)
+                         if n.endswith(".parquet"))
+        cols = ["zoom", "x", "tms_y", "tile_data", "tile_alpha", "status"]
+        cur = conn.cursor()
+        for f in files:
+            t = pq.read_table(f, columns=cols)
+            zoom = t["zoom"].to_pylist()
+            x = t["x"].to_pylist()
+            tms_y = t["tms_y"].to_pylist()
+            data = t["tile_data"].to_pylist()
+            alpha = t["tile_alpha"].to_pylist()
+            status = t["status"].to_pylist()
+            rows = []
+            for i in range(len(zoom)):
+                if status[i] != "data" and not self.insert_empty:
+                    continue
+                row = (zoom[i], x[i], tms_y[i], data[i])
+                rows.append(row + (alpha[i],) if self.fmt == "jpeg"
+                            else row)
+            cur.executemany(sql, rows)
+            self.rows += len(rows)
+
+    def _run(self) -> None:
+        import sqlite3
+        import time
+        try:
+            conn = sqlite3.connect(self.target)
+            conn.execute("PRAGMA synchronous = OFF")
+            conn.execute("PRAGMA journal_mode = WAL")
+            create_schema(conn, self.max_zoom, self.fmt, self.bounds)
+            sql = ("INSERT INTO tiles (zoom_level, tile_column, tile_row,"
+                   " tile_data"
+                   + (", tile_alpha) VALUES (?, ?, ?, ?, ?)"
+                      if self.fmt == "jpeg" else ") VALUES (?, ?, ?, ?)"))
+            while True:
+                item = self._q.get()
+                if item is self._DONE:
+                    break
+                t0 = time.time()
+                self._insert_dir(conn, sql, item)
+                self.busy += time.time() - t0
+            t0 = time.time()
+            conn.execute(
+                "INSERT INTO metadata (name, value) VALUES ('limits', ?)",
+                (self._limits_json or "{}",))
+            conn.commit()
+            conn.close()
+            self.busy += time.time() - t0
+        except BaseException as e:       # surfaced by finish()
+            self.err = e
+
+    def finish(self, limits_json_str: str) -> tuple[int, float]:
+        self._limits_json = limits_json_str
+        self._q.put(self._DONE)
+        self._t.join()
+        if self.err is not None:
+            raise self.err
+        return self.rows, self.busy
+
+
 def read_mbtiles_metadata(path: str) -> dict:
     conn = sqlite3.connect(path)
     meta = dict(conn.execute("SELECT name, value FROM metadata").fetchall())
