@@ -256,6 +256,15 @@ def build_pyramid(cfg: TilerConfig) -> dict:
         from ..sources.mbtiles import ProgressiveMBTilesWriter
         mbt = ProgressiveMBTilesWriter(cfg.target_file, cfg.max_zoom,
                                        cfg.fmt, bbox, cfg.insert_empty)
+    # FTR_MBT_DEFER=1: queue level dirs only at finish (writer thread
+    # does not run concurrently with composes) — an A/B knob to measure
+    # the overlap's scheduler interference on a fully saturated box.
+    _mbt_deferred: list[str] = []
+    _mbt_defer = os.environ.get("FTR_MBT_DEFER", "") == "1"
+
+    def _mbt_add(d: str) -> None:
+        if mbt is not None:
+            (_mbt_deferred.append(d) if _mbt_defer else mbt.add_dir(d))
     lvl_dir = lambda z: os.path.join(cfg.out_dir, f"level_z{z}")  # noqa: E731
     from ..state.limits import LimitsActor, merge_limits
     limit_parts: list[dict] = []
@@ -359,8 +368,8 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     # execution covers `span` pyramid levels)
     from ..stages.compose import choose_span
     out_dirs = [lvl_dir(cfg.max_zoom)]
-    if mbt is not None:          # leaf level = ~3/4 of all tiles:
-        mbt.add_dir(out_dirs[0])  # its insert hides behind the composes
+    _mbt_add(out_dirs[0])  # leaf level = ~3/4 of all tiles: its insert
+    #                        hides behind the composes below
     z = man["leaf_min_zoom"]      # shuffled spans start below the local compose
     src = os.path.join(lvl_dir(cfg.max_zoom), "")
     import pyarrow.compute as _pc
@@ -395,8 +404,7 @@ def build_pyramid(cfg: TilerConfig) -> dict:
                 if m.get("limits_partial"):
                     limit_parts.append(m["limits_partial"])
             out_dirs.append(sdir)
-            if mbt is not None:
-                mbt.add_dir(sdir)
+            _mbt_add(sdir)
             z = 0
             break
         if not (cfg.resume and ckpt.stage_done(cfg.out_dir, cstage)):
@@ -426,8 +434,7 @@ def build_pyramid(cfg: TilerConfig) -> dict:
             if m.get("limits_partial"):
                 limit_parts.append(m["limits_partial"])
         out_dirs.append(sdir)
-        if mbt is not None:
-            mbt.add_dir(sdir)
+        _mbt_add(sdir)
         z -= L
         src = sdir
         src_filter = _pc.field("zoom") == z
@@ -446,6 +453,8 @@ def build_pyramid(cfg: TilerConfig) -> dict:
     inserted = None
     if mbt is not None:
         t0 = time.time()
+        for d in _mbt_deferred:        # FTR_MBT_DEFER=1: serial insert
+            mbt.add_dir(d)
         inserted, busy = mbt.finish(lim_json)
         metrics["insert"] = busy
         metrics["insert_tail"] = time.time() - t0
