@@ -9,6 +9,12 @@ Prints ONE JSON line:
 and 32) and reports both throughputs + scaling efficiency — the sandbox
 substitution for the north rule's N vs 4N cluster-size criterion.
 
+--stats [name ...]: runs the named `queries()` pipelines (default: a
+representative shuffle-heavy trio) over GRAFT_SF_DIR and prints each
+Ray Data `ds.stats()` report — per-operator wall time, block sizes and
+task counts — the evidence loop for "is wall-time dominated by useful
+compute".
+
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32), FTR_BENCH_POINTS / FTR_BENCH_SCENE.
 """
@@ -341,7 +347,43 @@ def run_at(ncpu: int, skip_dedup: bool = False) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def stats_report(names: list[str]) -> None:
+    """Run named queries() pipelines and print ds.stats() for each
+    Dataset result (pandas results report shape only)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    registry = entrymod.queries()
+    for name in names:
+        if name not in registry:
+            print(f"== {name}: not in queries() ==")
+            continue
+        t0 = time.time()
+        res = registry[name](SF_DIR)
+        if hasattr(res, "materialize"):          # ray.data.Dataset
+            res = res.materialize()
+            dt = time.time() - t0
+            print(f"== {name} ({dt:.2f}s, {res.count()} rows) ==")
+            print(res.stats())
+        else:
+            dt = time.time() - t0
+            print(f"== {name} ({dt:.2f}s, {len(res)} rows,"
+                  " driver-side result) ==")
+    ray.shutdown()
+
+
 def main():
+    if "--stats" in sys.argv:
+        i = sys.argv.index("--stats")
+        names = sys.argv[i + 1:] or ["lsh_pairs", "pip_join_spans",
+                                     "q1_lineitem"]
+        stats_report(names)
+        return
     if "--scaling" in sys.argv:
         # north-rule criterion: throughput scaling efficiency between two
         # "cluster sizes" (here: parallelism levels in fresh processes).
