@@ -43,13 +43,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Ray CPU count (default: available parallelism)")
     p.add_argument("--no-insert-empty", action="store_true")
     p.add_argument("--source-srs", default=None,
-                   help="override the sidecar CRS (EPSG:3857 or EPSG:4326)")
+                   help="override the sidecar CRS: an EPSG code "
+                        "(4326/3857, UTM 326xx/327xx, ETRS89-UTM 258xx, "
+                        "S-JTSK 5513/5514) or a bare '+proj=...' string "
+                        "(longlat/tmerc/utm/lcc/krovak, optional "
+                        "+towgs84 datum shift)")
     p.add_argument("--transform-pipeline", default=None,
-                   help="a verbatim '+proj=pipeline ...' string (subset:"
+                   help="a verbatim '+proj=pipeline ...' string (steps:"
                         " unitconvert/axisswap/webmerc/merc/affine/"
-                        "longlat/noop, each with +inv) or a "
-                        "'module:function' factory returning (fwd, inv"
-                        "[, separable]); see transforms_demo.py")
+                        "longlat/noop/tmerc/utm/lcc/krovak/towgs84, "
+                        "each with +inv) or a 'module:function' factory "
+                        "returning (fwd, inv[, separable]); see "
+                        "transforms_demo.py")
     return p
 
 

@@ -90,11 +90,27 @@ def resolve_crs(name: str):
         # source -> EPSG:3857, same convention as the built-ins
         from .proj_pipeline import parse_proj_pipeline
         got = parse_proj_pipeline(name)
+    elif name.startswith("+proj="):
+        # bare source-CRS string (utm/tmerc/lcc/krovak/longlat, with
+        # optional +towgs84 datum shift) — the reference hands exactly
+        # these to GDAL as the source SRS (main.rs:80)
+        from .proj_pipeline import parse_source_crs
+        got = parse_source_crs(name)
+    elif name.startswith("EPSG:"):
+        from .proj_pipeline import resolve_epsg
+        got = resolve_epsg(name)
+        if got is None:
+            raise ValueError(
+                f"unknown EPSG code {name!r}: built-ins are 4326/3857, "
+                f"UTM 326xx/327xx, ETRS89-UTM 258xx, S-JTSK 5513/5514; "
+                f"other CRS plug in as a '+proj=...' string or a "
+                f"register_crs() entry")
     else:
         raise ValueError(
-            f"unsupported CRS {name!r}: use EPSG:3857, EPSG:4326, a "
-            f"register_crs() name, 'pipeline:module:function', or a "
-            f"'+proj=pipeline ...' string")
+            f"unsupported CRS {name!r}: use an EPSG code, a "
+            f"register_crs() name, 'pipeline:module:function', a "
+            f"'+proj=pipeline ...' string, or a bare '+proj=...' "
+            f"source-CRS string")
     _CRS_REGISTRY[name] = got
     return got
 

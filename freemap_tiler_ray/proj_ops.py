@@ -1,0 +1,373 @@
+"""Ellipsoidal map projections, from scratch (pure numpy).
+
+The reference accepts any GDAL/PROJ source SRS (/root/reference/src/
+main.rs:80, warp.rs:22-58); its real-world inputs are Slovak
+orthophotos in S-JTSK / Krovak (EPSG:5514) and UTM scenes. This sandbox
+has no PROJ, so the standard projections are implemented here from the
+published formulas — Snyder, "Map Projections: A Working Manual" (USGS
+PP 1395) for tmerc/utm (ch. 8) and lcc (ch. 15), and EPSG Guidance
+Note 7-2 method 9819 for Krovak — and exposed as the engine's
+(fwd, inv) callable pairs over radians, matching PROJ's internal step
+convention (projection fwd: geodetic radians -> projected meters;
+inv: the reverse).
+
+Every op is vectorized over numpy arrays and carries an exact inverse
+(closed-form or the standard convergent iteration); round-trip accuracy
+is < 1e-9 rad (~6 µm) over each projection's domain of validity, tested
+in tests/test_proj_ops.py together with independent cross-checks
+(numerically integrated meridian arc, spherical closed forms at f -> 0,
+analytic anchor points).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# name -> (a, rf); rf = inverse flattening (0 -> sphere)
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "bessel": (6377397.155, 299.1528128),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982),
+    "sphere": (6370997.0, 0.0),
+}
+
+
+def ellipsoid_params(p: dict) -> tuple[float, float]:
+    """(a, e2) from step params: +ellps=NAME, or +a= with +rf=/+f=/+b=.
+    Default WGS84 (PROJ's default when no datum is given)."""
+    if "a" in p:
+        a = float(p["a"])
+        if "rf" in p:
+            f = 1.0 / float(p["rf"]) if float(p["rf"]) else 0.0
+        elif "f" in p:
+            f = float(p["f"])
+        elif "b" in p:
+            f = 1.0 - float(p["b"]) / a
+        else:
+            f = 0.0
+    else:
+        name = p.get("ellps", "WGS84")
+        if name not in ELLIPSOIDS:
+            raise ValueError(f"unknown ellipsoid {name!r} (known: "
+                             f"{sorted(ELLIPSOIDS)})")
+        a, rf = ELLIPSOIDS[name]
+        f = 1.0 / rf if rf else 0.0
+    return a, f * (2.0 - f)
+
+
+def _rad(p: dict, key: str, default: float) -> float:
+    """Angle param in degrees -> radians."""
+    return float(p.get(key, default)) * np.pi / 180.0
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (Snyder ch. 8, eqs. 3-21, 8-9..8-25) + UTM
+# ---------------------------------------------------------------------------
+
+def _meridian_arc(phi, a: float, e2: float):
+    """M(phi): meridian distance from the equator (Snyder 3-21)."""
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    return a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+                - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+                + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+                - (35 * e6 / 3072) * np.sin(6 * phi))
+
+
+def tmerc(p: dict):
+    """Ellipsoidal transverse Mercator -> (fwd, inv) over radians.
+    Params: +lon_0 +lat_0 +k/+k_0 +x_0 +y_0 + ellipsoid. Series form,
+    valid within ~±4° of the central meridian (the UTM regime)."""
+    a, e2 = ellipsoid_params(p)
+    lon0 = _rad(p, "lon_0", 0.0)
+    lat0 = _rad(p, "lat_0", 0.0)
+    k0 = float(p.get("k", p.get("k_0", 1.0)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    ep2 = e2 / (1.0 - e2)
+    m0 = _meridian_arc(np.float64(lat0), a, e2)
+    e4, e6 = e2 * e2, e2 * e2 * e2
+
+    def fwd(lam, phi):
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        sin_p, cos_p = np.sin(phi), np.cos(phi)
+        n = a / np.sqrt(1.0 - e2 * sin_p * sin_p)
+        t = np.tan(phi) ** 2
+        c = ep2 * cos_p * cos_p
+        aa = (lam - lon0) * cos_p
+        m = _meridian_arc(phi, a, e2)
+        x = k0 * n * (aa + (1 - t + c) * aa ** 3 / 6.0
+                      + (5 - 18 * t + t * t + 72 * c - 58 * ep2)
+                      * aa ** 5 / 120.0) + x0
+        y = k0 * (m - m0 + n * np.tan(phi)
+                  * (aa * aa / 2.0
+                     + (5 - t + 9 * c + 4 * c * c) * aa ** 4 / 24.0
+                     + (61 - 58 * t + t * t + 600 * c - 330 * ep2)
+                     * aa ** 6 / 720.0)) + y0
+        return x, y
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        m = m0 + (y - y0) / k0
+        mu = m / (a * (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+        se = np.sqrt(1.0 - e2)
+        e1 = (1.0 - se) / (1.0 + se)
+        phi1 = (mu + (3 * e1 / 2 - 27 * e1 ** 3 / 32) * np.sin(2 * mu)
+                + (21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32) * np.sin(4 * mu)
+                + (151 * e1 ** 3 / 96) * np.sin(6 * mu)
+                + (1097 * e1 ** 4 / 512) * np.sin(8 * mu))
+        sin1, cos1 = np.sin(phi1), np.cos(phi1)
+        c1 = ep2 * cos1 * cos1
+        t1 = np.tan(phi1) ** 2
+        n1 = a / np.sqrt(1.0 - e2 * sin1 * sin1)
+        r1 = a * (1.0 - e2) / (1.0 - e2 * sin1 * sin1) ** 1.5
+        d = (x - x0) / (n1 * k0)
+        phi = phi1 - (n1 * np.tan(phi1) / r1) * (
+            d * d / 2.0
+            - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * d ** 4 / 24.0
+            + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2
+               - 3 * c1 * c1) * d ** 6 / 720.0)
+        lam = lon0 + (d - (1 + 2 * t1 + c1) * d ** 3 / 6.0
+                      + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2
+                         + 24 * t1 * t1) * d ** 5 / 120.0) / cos1
+        return lam, phi
+
+    return fwd, inv
+
+
+def utm(p: dict):
+    """UTM = tmerc with derived params: +zone (1..60), +south."""
+    zone = int(p["zone"])
+    if not 1 <= zone <= 60:
+        raise ValueError(f"utm zone {zone} out of range 1..60")
+    q = dict(p)
+    q.setdefault("lon_0", zone * 6 - 183)
+    q.setdefault("lat_0", 0.0)
+    q.setdefault("k", 0.9996)
+    q.setdefault("x_0", 500000.0)
+    q.setdefault("y_0", 10000000.0 if "south" in p else 0.0)
+    return tmerc(q)
+
+
+# ---------------------------------------------------------------------------
+# Lambert conformal conic (Snyder ch. 15, 1SP and 2SP)
+# ---------------------------------------------------------------------------
+
+def lcc(p: dict):
+    """Params: +lat_1 (+lat_2) +lat_0 +lon_0 +x_0 +y_0 (+k_0, 1SP)."""
+    a, e2 = ellipsoid_params(p)
+    e = np.sqrt(e2)
+    lat1 = _rad(p, "lat_1", 0.0)
+    lat2 = _rad(p, "lat_2", float(p.get("lat_1", 0.0)))
+    lat0 = _rad(p, "lat_0", 0.0)
+    lon0 = _rad(p, "lon_0", 0.0)
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    k0 = float(p.get("k", p.get("k_0", 1.0)))
+
+    def _t(phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+    def _m(phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+    if abs(lat1 - lat2) > 1e-12:          # 2SP
+        n = ((np.log(_m(lat1)) - np.log(_m(lat2)))
+             / (np.log(_t(lat1)) - np.log(_t(lat2))))
+        f_ = _m(lat1) / (n * _t(lat1) ** n)
+    else:                                  # 1SP
+        n = np.sin(lat1)
+        f_ = _m(lat1) / (n * _t(lat1) ** n)
+    if abs(float(n)) < 1e-12:
+        raise ValueError("lcc: standard parallel at the equator (n = 0)")
+    rho0 = a * k0 * f_ * _t(lat0) ** n
+
+    def fwd(lam, phi):
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        rho = a * k0 * f_ * _t(phi) ** n
+        th = n * (lam - lon0)
+        return x0 + rho * np.sin(th), y0 + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        dx = np.asarray(x, np.float64) - x0
+        dy = rho0 - (np.asarray(y, np.float64) - y0)
+        rho = np.sign(n) * np.sqrt(dx * dx + dy * dy)
+        th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        lam = th / n + lon0
+        tp = (rho / (a * k0 * f_)) ** (1.0 / n)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(tp)
+        for _ in range(8):                 # standard convergent iteration
+            s = e * np.sin(phi)
+            phi = (np.pi / 2.0
+                   - 2.0 * np.arctan(tp * ((1.0 - s) / (1.0 + s))
+                                     ** (e / 2.0)))
+        return lam, phi
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Krovak (EPSG method 9819; S-JTSK, the reference's home CRS family)
+# ---------------------------------------------------------------------------
+
+def krovak(p: dict):
+    """Defaults = EPSG:5513/5514 (PROJ's +proj=krovak defaults): Bessel,
+    lat_0=49.5, lon_0=24°50' east of Greenwich, alpha=30°17'17.3031",
+    lat_1(pseudo standard parallel)=78.5, k=0.9999.
+
+    Output convention matches modern PROJ / EPSG:5514: x = -westing,
+    y = -southing (both negative over Czechia/Slovakia); +czech yields
+    the positive southing/westing pair (EPSG:5513 axis style)."""
+    a, e2 = ellipsoid_params({"ellps": "bessel", **p})
+    e = np.sqrt(e2)
+    phic = _rad(p, "lat_0", 49.5)
+    lon0 = _rad(p, "lon_0", 24.0 + 50.0 / 60.0)
+    alphac = _rad(p, "alpha", 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0)
+    phi1 = _rad(p, "lat_1", 78.5)
+    k = float(p.get("k", p.get("k_0", 0.9999)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    czech = "czech" in p
+
+    sinc = np.sin(phic)
+    a_big = a * np.sqrt(1.0 - e2) / (1.0 - e2 * sinc * sinc)
+    b_big = np.sqrt(1.0 + e2 * np.cos(phic) ** 4 / (1.0 - e2))
+    gamma0 = np.arcsin(sinc / b_big)
+    t0 = (np.tan(np.pi / 4.0 + gamma0 / 2.0)
+          * ((1.0 + e * sinc) / (1.0 - e * sinc)) ** (e * b_big / 2.0)
+          / np.tan(np.pi / 4.0 + phic / 2.0) ** b_big)
+    n = np.sin(phi1)
+    r0 = k * a_big / np.tan(phi1)
+    tan_p1 = np.tan(np.pi / 4.0 + phi1 / 2.0)
+
+    def fwd(lam, phi):
+        """Geodetic radians on the source (Bessel) ellipsoid, longitude
+        east of Greenwich -> projected meters."""
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        s = e * np.sin(phi)
+        u = 2.0 * (np.arctan(t0 * np.tan(phi / 2.0 + np.pi / 4.0) ** b_big
+                             / ((1.0 + s) / (1.0 - s)) ** (e * b_big / 2.0))
+                   - np.pi / 4.0)
+        v = b_big * (lon0 - lam)
+        t_ = np.arcsin(np.cos(alphac) * np.sin(u)
+                       + np.sin(alphac) * np.cos(u) * np.cos(v))
+        d = np.arcsin(np.clip(np.cos(u) * np.sin(v) / np.cos(t_),
+                              -1.0, 1.0))
+        theta = n * d
+        r = r0 * tan_p1 ** n / np.tan(t_ / 2.0 + np.pi / 4.0) ** n
+        xs = r * np.cos(theta)            # southing
+        yw = r * np.sin(theta)            # westing
+        if czech:
+            return xs + x0, yw + y0
+        return -yw + x0, -xs + y0         # EPSG:5514 easting/northing
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        if czech:
+            xs, yw = x, y
+        else:
+            xs, yw = -y, -x
+        r = np.sqrt(xs * xs + yw * yw)
+        theta = np.arctan2(yw, xs)
+        d = theta / n
+        t_ = 2.0 * (np.arctan((r0 / r) ** (1.0 / n) * tan_p1) - np.pi / 4.0)
+        u = np.arcsin(np.cos(alphac) * np.sin(t_)
+                      - np.sin(alphac) * np.cos(t_) * np.cos(d))
+        v = np.arcsin(np.clip(np.cos(t_) * np.sin(d) / np.cos(u),
+                              -1.0, 1.0))
+        lam = lon0 - v / b_big
+        # gaussian latitude u -> geodetic latitude (convergent iteration)
+        phi = u
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi = 2.0 * (np.arctan(
+                (np.tan(u / 2.0 + np.pi / 4.0)
+                 * ((1.0 + s) / (1.0 - s)) ** (e * b_big / 2.0) / t0)
+                ** (1.0 / b_big)) - np.pi / 4.0)
+        return lam, phi
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Datum shift: geodetic(src ellipsoid) -> geodetic(WGS84), h = 0
+# ---------------------------------------------------------------------------
+
+def towgs84(p: dict):
+    """2D-contract composite of PROJ's cart -> helmert -> inv cart
+    chain (position-vector convention, the +towgs84= semantics): takes
+    geodetic radians on the SOURCE ellipsoid (+ellps/+a...), applies the
+    3- or 7-parameter Helmert transform at h = 0, returns geodetic
+    radians on WGS84. Params: +x +y +z [+rx +ry +rz +s] (shifts in m,
+    rotations in arc-seconds, scale in ppm — the towgs84 parameter
+    order). The sub-meter height error of the h=0 assumption maps to
+    < 1e-9 rad of horizontal error — far below source-pixel size."""
+    src_a, src_e2 = ellipsoid_params(p)
+    dst_a, dst_e2 = ELLIPSOIDS["WGS84"][0], None
+    f = 1.0 / ELLIPSOIDS["WGS84"][1]
+    dst_e2 = f * (2.0 - f)
+    dx = float(p.get("x", 0.0))
+    dy = float(p.get("y", 0.0))
+    dz = float(p.get("z", 0.0))
+    as_ = np.pi / (180.0 * 3600.0)
+    rx = float(p.get("rx", 0.0)) * as_
+    ry = float(p.get("ry", 0.0)) * as_
+    rz = float(p.get("rz", 0.0)) * as_
+    s = 1.0 + float(p.get("s", 0.0)) * 1e-6
+
+    def _to_cart(lam, phi, a, e2):
+        sin_p, cos_p = np.sin(phi), np.cos(phi)
+        nn = a / np.sqrt(1.0 - e2 * sin_p * sin_p)
+        return (nn * cos_p * np.cos(lam), nn * cos_p * np.sin(lam),
+                nn * (1.0 - e2) * sin_p)
+
+    def _to_geod(x, y, z, a, e2):
+        lam = np.arctan2(y, x)
+        pr = np.sqrt(x * x + y * y)
+        phi = np.arctan2(z, pr * (1.0 - e2))
+        for _ in range(6):
+            sin_p = np.sin(phi)
+            nn = a / np.sqrt(1.0 - e2 * sin_p * sin_p)
+            phi = np.arctan2(z + e2 * nn * sin_p, pr)
+        return lam, phi
+
+    # position-vector small-angle matrix and its EXACT inverse (so the
+    # inv step is the true inverse, not the approximate transpose)
+    m_fwd = s * np.array([[1.0, -rz, ry],
+                          [rz, 1.0, -rx],
+                          [-ry, rx, 1.0]])
+    m_inv = np.linalg.inv(m_fwd)
+
+    def _helmert(x, y, z, sign):
+        m = m_fwd if sign > 0 else m_inv
+        if sign > 0:
+            xs, ys, zs = x, y, z
+        else:
+            xs, ys, zs = x - dx, y - dy, z - dz
+        xr = m[0, 0] * xs + m[0, 1] * ys + m[0, 2] * zs
+        yr = m[1, 0] * xs + m[1, 1] * ys + m[1, 2] * zs
+        zr = m[2, 0] * xs + m[2, 1] * ys + m[2, 2] * zs
+        if sign > 0:
+            return xr + dx, yr + dy, zr + dz
+        return xr, yr, zr
+
+    def fwd(lam, phi):
+        x, y, z = _to_cart(np.asarray(lam, np.float64),
+                           np.asarray(phi, np.float64), src_a, src_e2)
+        return _to_geod(*_helmert(x, y, z, +1), dst_a, dst_e2)
+
+    def inv(lam, phi):
+        x, y, z = _to_cart(np.asarray(lam, np.float64),
+                           np.asarray(phi, np.float64), dst_a, dst_e2)
+        return _to_geod(*_helmert(x, y, z, -1), src_a, src_e2)
+
+    return fwd, inv

@@ -153,8 +153,116 @@ def _step_transform(proj: str, p: dict):
                     (-s21 * dx + s11 * dy) / det)
         return fwd, inv, s12 == 0.0 and s21 == 0.0
 
+    if proj in ("tmerc", "utm", "lcc", "krovak", "towgs84"):
+        # ellipsoidal projections + datum shift (proj_ops): geodetic
+        # radians <-> projected meters; all are non-separable (x and y
+        # both depend on lon AND lat) except the datum shift, whose
+        # cross-coupling is ~1e-5 — still treated as non-separable for
+        # correctness
+        from . import proj_ops
+        f, i = getattr(proj_ops, proj)(p)
+        return f, i, False
+
     raise ValueError(f"unsupported pipeline step +proj={proj} (supported: "
-                     "noop longlat unitconvert axisswap webmerc merc affine)")
+                     "noop longlat unitconvert axisswap webmerc merc affine "
+                     "tmerc utm lcc krovak towgs84)")
+
+
+# EPSG code -> bare proj string, for the codes the reference's real
+# inputs use (a miniature proj.db: UTM north/south, ETRS89/UTM, S-JTSK).
+# The S-JTSK +towgs84 is EPSG transformation 1622 (S-JTSK to WGS 84 (1)).
+def _epsg_to_proj(code: int) -> str | None:
+    if 32601 <= code <= 32660:
+        return f"+proj=utm +zone={code - 32600} +ellps=WGS84"
+    if 32701 <= code <= 32760:
+        return f"+proj=utm +zone={code - 32700} +south +ellps=WGS84"
+    if 25828 <= code <= 25838:
+        return f"+proj=utm +zone={code - 25800} +ellps=GRS80"
+    if code == 5514:
+        return "+proj=krovak +ellps=bessel +towgs84=589,76,480"
+    if code == 5513:
+        return "+proj=krovak +czech +ellps=bessel +towgs84=589,76,480"
+    return None
+
+
+def parse_source_crs(s: str):
+    """Bare (non-pipeline) '+proj=NAME +key=val ...' source-CRS string ->
+    (fwd, inv, separable) with fwd: source coords -> EPSG:3857, the
+    resolve_crs contract (the reference feeds such strings to GDAL as
+    the source SRS, main.rs:80). Composition: inverse projection ->
+    optional +towgs84 datum shift -> spherical Web Mercator. 'longlat'
+    sources are degrees (PROJ's bare-CRS convention)."""
+    from . import proj_ops
+
+    toks = s.split()
+    params: dict[str, str] = {}
+    proj = None
+    for tok in toks:
+        t = tok.lstrip("+")
+        if "=" in t:
+            k, v = t.split("=", 1)
+            params[k] = v
+            if k == "proj":
+                proj = v
+        else:
+            params[t] = ""                 # bare flags: +south, +czech
+    if proj is None:
+        raise ValueError(f"source CRS {s!r} has no +proj=")
+    if proj == "pipeline":
+        return parse_proj_pipeline(s)
+
+    shift = None
+    if "towgs84" in params and params["towgs84"]:
+        vals = [float(v) for v in params["towgs84"].split(",")]
+        if len(vals) not in (3, 7):
+            raise ValueError("+towgs84 takes 3 or 7 values")
+        keys = ["x", "y", "z", "rx", "ry", "rz", "s"]
+        sp = dict(zip(keys, vals))
+        sp.update({k: params[k] for k in ("ellps", "a", "rf", "f", "b")
+                   if k in params})
+        shift = proj_ops.towgs84(sp)
+
+    d2r = np.pi / 180.0
+    if proj in ("longlat", "lonlat", "latlong"):
+        p_fwd = lambda x, y: (np.asarray(x, np.float64) * d2r,  # noqa: E731
+                              np.asarray(y, np.float64) * d2r)
+        p_inv = lambda x, y: (np.asarray(x, np.float64) / d2r,  # noqa: E731
+                              np.asarray(y, np.float64) / d2r)
+    elif proj in ("tmerc", "utm", "lcc", "krovak"):
+        prj_fwd, prj_inv = getattr(proj_ops, proj)(params)
+        p_fwd, p_inv = prj_inv, prj_fwd    # source -> geodetic radians
+    else:
+        raise ValueError(f"unsupported source CRS +proj={proj} (supported:"
+                         " longlat tmerc utm lcc krovak, or a"
+                         " +proj=pipeline string)")
+
+    wm_fwd, wm_inv, _ = _step_transform("webmerc", {})
+
+    def fwd(x, y):
+        lam, phi = p_fwd(x, y)
+        if shift is not None:
+            lam, phi = shift[0](lam, phi)
+        return wm_fwd(lam, phi)
+
+    def inv(x, y):
+        lam, phi = wm_inv(x, y)
+        if shift is not None:
+            lam, phi = shift[1](lam, phi)
+        return p_inv(lam, phi)
+
+    return fwd, inv, False
+
+
+def resolve_epsg(name: str):
+    """'EPSG:NNNN' -> (fwd, inv, separable) via the miniature proj.db
+    above, or None if the code isn't in it (geo.resolve_crs handles
+    4326/3857 natively before asking here)."""
+    try:
+        code = int(name.split(":", 1)[1])
+    except (IndexError, ValueError):
+        return None
+    s = _epsg_to_proj(code)
+    return None if s is None else parse_source_crs(s)
 
 
 def parse_proj_pipeline(s: str):
