@@ -294,3 +294,26 @@ def test_planar2_matches_chunky_twin(tmp_path, tiled, compression,
     ib, gb = read_geotiff(b)
     assert np.array_equal(ia, img) and np.array_equal(ib, img)
     assert ga == gb
+
+
+def test_utm_geotiff_imports_and_reprojects(tmp_path):
+    """A GeoTIFF whose geo-keys declare a UTM EPSG code imports into a
+    scene whose CRS resolves through the from-scratch projection layer
+    (proj_ops): mercator_bbox lands where the UTM window really is."""
+    from freemap_tiler_ray.geo import lonlat_to_mercator
+    from freemap_tiler_ray.raster import load_raster_spec
+    from freemap_tiler_ray.sources.geotiff import write_geotiff
+
+    img = np.full((64, 64, 4), 200, np.uint8)
+    tif = str(tmp_path / "utm.tif")
+    # 640 m window at UTM 33N (500000, 5350000) ~= (15 E, 48.3 N)
+    write_geotiff(tif, img, 500000.0, 5350000.0, 10.0, 10.0, epsg=32633)
+    npy = str(tmp_path / "utm.npy")
+    spec = geotiff_to_scene(tif, npy)
+    assert spec.crs == "EPSG:32633"
+    assert not spec.crs_separable
+    bx0, by0, bx1, by1 = spec.mercator_bbox()
+    cx, cy = (bx0 + bx1) / 2, (by0 + by1) / 2
+    ex, ey = lonlat_to_mercator(15.0, 48.30)
+    assert abs(cx - ex) < 2000 and abs(cy - ey) < 2000
+    assert 500 < (bx1 - bx0) < 1500      # ~640 m wide, mercator-inflated
