@@ -100,3 +100,30 @@ def test_tiny_max_zoom_clamps_offset(ray_session, tmp_path):
     rows = read_mbtiles_tiles(str(tmp_path / "o.mbtiles"),
                               columns=("zoom_level", "tile_column", "tile_row"))
     assert sorted({r[0] for r in rows}) == [0, 1]
+
+
+def test_deferred_compaction_is_byte_identical(ray_session, tmp_path,
+                                               monkeypatch):
+    """FTR_MBT_DEFER=1 (writer runs only after the pyramid — the A/B
+    control for the progressive-overlap writer) must produce an
+    MBTiles byte-identical in content to the overlapped default."""
+    spec = make_scene(str(tmp_path / "scene"), size=512, bands=4,
+                      disk_frac=0.3)
+    out = {}
+    for mode, env in (("overlap", ""), ("defer", "1")):
+        monkeypatch.setenv("FTR_MBT_DEFER", env)
+        cfg = TilerConfig(scene_spec_path=spec.path,
+                          out_dir=str(tmp_path / f"o_{mode}"),
+                          target_file=str(tmp_path / f"{mode}.mbtiles"),
+                          max_zoom=5, warp_zoom_offset=1, fmt="jpeg")
+        build_pyramid(cfg)
+        rows = read_mbtiles_tiles(
+            str(tmp_path / f"{mode}.mbtiles"),
+            columns=("zoom_level", "tile_column", "tile_row",
+                     "tile_data", "tile_alpha"))
+        out[mode] = sorted((int(r[0]), int(r[1]), int(r[2]),
+                            bytes(r[3]), bytes(r[4])) for r in rows)
+        meta = read_mbtiles_metadata(str(tmp_path / f"{mode}.mbtiles"))
+        out[mode + "_meta"] = meta
+    assert out["overlap"] == out["defer"]
+    assert out["overlap_meta"] == out["defer_meta"]
