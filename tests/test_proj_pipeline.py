@@ -74,8 +74,10 @@ def test_axisswap_and_affine():
 
 
 def test_unsupported_step_raises():
-    with pytest.raises(ValueError, match=r"\+proj=tmerc"):
-        parse_proj_pipeline("+proj=pipeline +step +proj=tmerc +lat_0=0")
+    # tmerc/utm/lcc/krovak/towgs84 became supported steps (proj_ops);
+    # stere stays an honest ValueError rather than a silent wrong warp
+    with pytest.raises(ValueError, match=r"\+proj=stere"):
+        parse_proj_pipeline("+proj=pipeline +step +proj=stere +lat_0=90")
     with pytest.raises(ValueError, match="not a .proj=pipeline"):
         parse_proj_pipeline("+proj=webmerc")
 
