@@ -335,3 +335,61 @@ def test_projected_source_scene_warps_exactly(tmp_path, crs):
     assert (mega[:, :, 0] == 120).all()
     assert (mega[:, :, 1] == 200).all()
     assert (mega[:, :, 2] == 40).all()
+
+
+# ---------------------------------------------------------------------------
+# property tests: round-trip closure over each projection's whole domain
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# UTM33 domain: zone width +-3 deg plus the 2-deg overlap GIS tools use
+_lon = st.floats(min_value=10.0, max_value=20.0)
+_lat = st.floats(min_value=-80.0, max_value=84.0)  # UTM latitude band
+
+
+@settings(max_examples=80, deadline=None)
+@given(_lon, _lat)
+def test_utm_roundtrip_property(lon, lat):
+    # 1e-8 rad ~ 6 cm: the Snyder series' truncation at the overlap edge
+    fwd, inv = proj_ops.utm({"zone": 33, "ellps": "WGS84"})
+    lam, phi = np.float64(lon * D2R), np.float64(lat * D2R)
+    lam2, phi2 = inv(*fwd(lam, phi))
+    assert abs(lam2 - lam) < 1e-8 and abs(phi2 - phi) < 1e-8
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.floats(min_value=-30.0, max_value=60.0),
+       st.floats(min_value=20.0, max_value=75.0))
+def test_lcc_roundtrip_property(lon, lat):
+    fwd, inv = proj_ops.lcc(LCC)
+    lam, phi = np.float64(lon * D2R), np.float64(lat * D2R)
+    lam2, phi2 = inv(*fwd(lam, phi))
+    assert abs(lam2 - lam) < 1e-9 and abs(phi2 - phi) < 1e-9
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.floats(min_value=10.0, max_value=24.0),
+       st.floats(min_value=46.0, max_value=53.0))
+def test_krovak_roundtrip_property(lon, lat):
+    """S-JTSK's domain of use (Czechia + Slovakia, generously padded)."""
+    fwd, inv = proj_ops.krovak({})
+    lam, phi = np.float64(lon * D2R), np.float64(lat * D2R)
+    lam2, phi2 = inv(*fwd(lam, phi))
+    assert abs(lam2 - lam) < 1e-8 and abs(phi2 - phi) < 1e-8
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(min_value=-179.0, max_value=179.0),
+       st.floats(min_value=-85.0, max_value=85.0),
+       st.floats(min_value=-1000.0, max_value=1000.0),
+       st.floats(min_value=-1000.0, max_value=1000.0),
+       st.floats(min_value=-1000.0, max_value=1000.0))
+def test_towgs84_roundtrip_property(lon, lat, dx, dy, dz):
+    # h=0 re-projection residual scales with |shift|: ~5e-8 rad (0.3 m)
+    # at 1 km shifts — far inside a 3-param Helmert's own ~1-5 m accuracy
+    sh = proj_ops.towgs84({"ellps": "bessel", "x": dx, "y": dy, "z": dz})
+    lam, phi = np.float64(lon * D2R), np.float64(lat * D2R)
+    lam2, phi2 = sh[1](*sh[0](lam, phi))
+    assert abs(lam2 - lam) < 2e-7 and abs(phi2 - phi) < 2e-7
