@@ -140,6 +140,8 @@ def tmerc(p: dict):
 
 def utm(p: dict):
     """UTM = tmerc with derived params: +zone (1..60), +south."""
+    if "zone" not in p:
+        raise ValueError("utm requires +zone=")
     zone = int(p["zone"])
     if not 1 <= zone <= 60:
         raise ValueError(f"utm zone {zone} out of range 1..60")
@@ -265,15 +267,15 @@ def krovak(p: dict):
         r = r0 * tan_p1 ** n / np.tan(t_ / 2.0 + np.pi / 4.0) ** n
         xs = r * np.cos(theta)            # southing
         yw = r * np.sin(theta)            # westing
-        if czech:
-            return xs + x0, yw + y0
-        return -yw + x0, -xs + y0         # EPSG:5514 easting/northing
+        if czech:                         # PROJ +czech: x=westing, y=southing
+            return yw + x0, xs + y0
+        return -yw + x0, -xs + y0         # PROJ default / EPSG:5514
 
     def inv(x, y):
         x = np.asarray(x, np.float64) - x0
         y = np.asarray(y, np.float64) - y0
         if czech:
-            xs, yw = x, y
+            xs, yw = y, x
         else:
             xs, yw = -y, -x
         r = np.sqrt(xs * xs + yw * yw)
@@ -312,9 +314,7 @@ def towgs84(p: dict):
     order). The sub-meter height error of the h=0 assumption maps to
     < 1e-9 rad of horizontal error — far below source-pixel size."""
     src_a, src_e2 = ellipsoid_params(p)
-    dst_a, dst_e2 = ELLIPSOIDS["WGS84"][0], None
-    f = 1.0 / ELLIPSOIDS["WGS84"][1]
-    dst_e2 = f * (2.0 - f)
+    dst_a, dst_e2 = ellipsoid_params({"ellps": "WGS84"})
     dx = float(p.get("x", 0.0))
     dy = float(p.get("y", 0.0))
     dz = float(p.get("z", 0.0))

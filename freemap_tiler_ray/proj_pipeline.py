@@ -63,7 +63,10 @@ def _parse_tokens(s: str) -> list[dict]:
                 cur["proj"] = v
             else:
                 cur["params"][k] = v
-        # bare flags other than +inv are ignored (e.g. +no_defs)
+        else:
+            # bare flags (+south, +czech, +no_defs, ...) are presence
+            # params — dropping them would silently garble utm/krovak
+            cur["params"][t] = ""
     for st in steps:
         if st["proj"] is None:
             raise ValueError("pipeline +step without +proj=")
@@ -250,7 +253,11 @@ def parse_source_crs(s: str):
             lam, phi = shift[1](lam, phi)
         return p_inv(lam, phi)
 
-    return fwd, inv, False
+    # deg->rad->webmerc without a datum shift is per-axis (identical to
+    # the EPSG:4326 builtin); projections and shifts cross-couple x/y
+    separable = (shift is None
+                 and proj in ("longlat", "lonlat", "latlong"))
+    return fwd, inv, separable
 
 
 def resolve_epsg(name: str):
@@ -262,7 +269,23 @@ def resolve_epsg(name: str):
     except (IndexError, ValueError):
         return None
     s = _epsg_to_proj(code)
-    return None if s is None else parse_source_crs(s)
+    if s is None:
+        return None
+    got = parse_source_crs(s)
+    if code == 5513:
+        # EPSG:5513's official axis order is (X=southing, Y=westing),
+        # while PROJ's +czech output is (westing, southing) — swap at
+        # the boundary so 5513-referenced coordinates read as defined
+        f0, i0, _ = got
+
+        def fwd(x, y):
+            return f0(y, x)
+
+        def inv(x, y):
+            a, b = i0(x, y)
+            return b, a
+        got = (fwd, inv, False)
+    return got
 
 
 def parse_proj_pipeline(s: str):

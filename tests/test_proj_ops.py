@@ -174,14 +174,61 @@ def test_krovak_prague_anchor_and_orientation():
     assert x2 > x and y2 > y
 
 
-def test_krovak_czech_flag_is_positive_swapped():
+def test_krovak_czech_flag_matches_proj_convention():
+    """PROJ's +czech un-negates the default output and keeps the same
+    axis assignment: x = westing, y = southing (positive)."""
     fwd, inv = proj_ops.krovak({})
     fwd_c, inv_c = proj_ops.krovak({"czech": ""})
     lam, phi = np.float64(14.42 * D2R), np.float64(50.087 * D2R)
-    x, y = fwd(lam, phi)
-    xs, yw = fwd_c(lam, phi)
-    assert abs(xs - (-y)) < 1e-9 and abs(yw - (-x)) < 1e-9
+    x, y = fwd(lam, phi)          # default: x=-westing, y=-southing
+    xw, ys = fwd_c(lam, phi)
+    assert abs(xw - (-x)) < 1e-9 and abs(ys - (-y)) < 1e-9
+    assert 725000 < xw < 760000    # Prague westing ~741 km
+    assert 1030000 < ys < 1060000  # Prague southing ~1044 km
     _roundtrip(fwd_c, inv_c, LAM, PHI, tol=1e-8)
+
+
+def test_epsg_5513_axis_order_is_southing_westing():
+    """EPSG:5513's registry axis order is (X=southing, Y=westing)."""
+    f13, i13, _ = resolve_crs("EPSG:5513")
+    f14, _, _ = resolve_crs("EPSG:5514")
+    ref_x, ref_y = lonlat_to_mercator(14.42, 50.087)
+    # derive the same point in both CRS and check the axis relation
+    gx = f14(np.float64(-741000.0), np.float64(-1044000.0))
+    g13 = f13(np.float64(1044000.0), np.float64(741000.0))
+    assert abs(gx[0] - g13[0]) < 1e-6 and abs(gx[1] - g13[1]) < 1e-6
+    a, b = i13(np.float64(ref_x), np.float64(ref_y))
+    assert 1030000 < a < 1060000 and 725000 < b < 760000
+
+
+def test_pipeline_steps_keep_bare_flags():
+    """+south / +czech are presence flags — the step tokenizer must not
+    drop them (a dropped +south is a 10,000 km northing error)."""
+    from freemap_tiler_ray.proj_pipeline import parse_proj_pipeline
+    f_pipe, _, _ = parse_proj_pipeline(
+        "+proj=pipeline +step +inv +proj=utm +zone=33 +south +ellps=WGS84"
+        " +step +proj=webmerc")
+    f_bare, _, _ = parse_source_crs("+proj=utm +zone=33 +south +ellps=WGS84")
+    pt = (np.float64(500000.0), np.float64(9000000.0))  # S hemisphere
+    a = np.stack(f_pipe(*pt))
+    b = np.stack(f_bare(*pt))
+    assert np.abs(a - b).max() < 1e-6
+    assert a[1] < 0                      # really south of the equator
+
+
+def test_longlat_source_without_shift_is_separable():
+    f, i, sep = parse_source_crs("+proj=longlat +ellps=WGS84")
+    assert sep                            # fast per-axis warp path
+    x, y = f(np.float64(15.0), np.float64(50.0))
+    rx, ry = lonlat_to_mercator(15.0, 50.0)
+    assert abs(x - rx) < 1e-9 and abs(y - ry) < 1e-9
+
+
+def test_utm_missing_zone_is_valueerror():
+    with pytest.raises(ValueError, match="zone"):
+        proj_ops.utm({"ellps": "WGS84"})
+    with pytest.raises(ValueError, match="zone"):
+        parse_source_crs("+proj=utm +ellps=WGS84")
 
 
 # ---------------------------------------------------------------------------
