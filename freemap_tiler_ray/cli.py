@@ -45,14 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source-srs", default=None,
                    help="override the sidecar CRS: an EPSG code "
                         "(4326/3857, UTM 326xx/327xx, ETRS89-UTM 258xx, "
-                        "S-JTSK 5513/5514) or a bare '+proj=...' string "
-                        "(longlat/tmerc/utm/lcc/krovak, optional "
-                        "+towgs84 datum shift)")
+                        "S-JTSK 5513/5514, 3395, 3035, 5070, "
+                        "3413/3031/3976) or a bare '+proj=...' string "
+                        "(longlat/tmerc/utm/lcc/krovak/stere/laea/aea/"
+                        "merc, optional +towgs84 datum shift)")
     p.add_argument("--transform-pipeline", default=None,
                    help="a verbatim '+proj=pipeline ...' string (steps:"
                         " unitconvert/axisswap/webmerc/merc/affine/"
-                        "longlat/noop/tmerc/utm/lcc/krovak/towgs84, "
-                        "each with +inv) or a 'module:function' factory "
+                        "longlat/noop/tmerc/utm/lcc/krovak/stere/laea/"
+                        "aea/towgs84, each with +inv) or a "
+                        "'module:function' factory "
                         "returning (fwd, inv[, separable]); see "
                         "transforms_demo.py")
     return p

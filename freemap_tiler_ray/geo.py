@@ -102,8 +102,10 @@ def resolve_crs(name: str):
         if got is None:
             raise ValueError(
                 f"unknown EPSG code {name!r}: built-ins are 4326/3857, "
-                f"UTM 326xx/327xx, ETRS89-UTM 258xx, S-JTSK 5513/5514; "
-                f"other CRS plug in as a '+proj=...' string or a "
+                f"UTM 326xx/327xx, ETRS89-UTM 258xx, S-JTSK 5513/5514, "
+                f"3395 (World Mercator), 3035 (LAEA Europe), 5070 "
+                f"(Conus Albers), 3413/3031/3976 (polar stereo); other "
+                f"CRS plug in as a '+proj=...' string or a "
                 f"register_crs() entry")
     else:
         raise ValueError(

@@ -371,3 +371,232 @@ def towgs84(p: dict):
         return _to_geod(*_helmert(x, y, z, -1), src_a, src_e2)
 
     return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoidal Mercator (Snyder ch. 7; EPSG:3395 World Mercator)
+# ---------------------------------------------------------------------------
+
+def merc_ell(p: dict):
+    """Params: +lon_0 +k/+k_0 +x_0 +y_0 + ellipsoid. (The spherical
+    web-mercator 'merc'/'webmerc' pipeline step lives in proj_pipeline;
+    this is the conformal ellipsoidal form.)"""
+    a, e2 = ellipsoid_params(p)
+    e = np.sqrt(e2)
+    lon0 = _rad(p, "lon_0", 0.0)
+    k0 = float(p.get("k", p.get("k_0", 1.0)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+
+    def fwd(lam, phi):
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        s = e * np.sin(phi)
+        y = a * k0 * np.log(np.tan(np.pi / 4.0 + phi / 2.0)
+                            * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+        return x0 + a * k0 * (lam - lon0), y0 + y
+
+    def inv(x, y):
+        lam = lon0 + (np.asarray(x, np.float64) - x0) / (a * k0)
+        t = np.exp(-(np.asarray(y, np.float64) - y0) / (a * k0))
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi = (np.pi / 2.0
+                   - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s))
+                                     ** (e / 2.0)))
+        return lam, phi
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Polar stereographic (Snyder ch. 21, eqs. 21-33..21-41; EPSG 9829)
+# ---------------------------------------------------------------------------
+
+def stere(p: dict):
+    """POLAR variants only (+lat_0=90 or -90, +lat_ts or +k): the
+    EPSG:3413/3031/3976 family. Oblique ellipsoidal stereographic
+    (EPSG 9809) is a different algorithm — raise rather than mis-warp."""
+    a, e2 = ellipsoid_params(p)
+    e = np.sqrt(e2)
+    lat0 = float(p.get("lat_0", 90.0))
+    if abs(abs(lat0) - 90.0) > 1e-9:
+        raise ValueError("stere: only polar (+lat_0=+-90) is supported; "
+                         "oblique stereographic (EPSG 9809) is not")
+    north = lat0 > 0
+    lon0 = _rad(p, "lon_0", 0.0)
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+
+    def _t(phi):
+        s = e * np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                * ((1.0 + s) / (1.0 - s)) ** (e / 2.0))
+
+    if "lat_ts" in p:
+        phi_ts = abs(_rad(p, "lat_ts", 90.0))
+        if abs(phi_ts - np.pi / 2.0) < 1e-12:
+            rho_k = (2.0 * a
+                     / np.sqrt((1.0 + e) ** (1.0 + e)
+                               * (1.0 - e) ** (1.0 - e)))
+        else:
+            m_ts = (np.cos(phi_ts)
+                    / np.sqrt(1.0 - e2 * np.sin(phi_ts) ** 2))
+            rho_k = a * m_ts / _t(phi_ts)
+    else:
+        k0 = float(p.get("k", p.get("k_0", 1.0)))
+        rho_k = (2.0 * a * k0
+                 / np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
+
+    def fwd(lam, phi):
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        if not north:
+            lam, phi = -lam, -phi            # mirror to the north form
+        rho = rho_k * _t(phi)
+        dl = (lam - (lon0 if north else -lon0))
+        x = rho * np.sin(dl)
+        y = -rho * np.cos(dl)
+        if not north:
+            x, y = -x, -y
+        return x0 + x, y0 + y
+
+    def inv(x, y):
+        x = np.asarray(x, np.float64) - x0
+        y = np.asarray(y, np.float64) - y0
+        if not north:
+            x, y = -x, -y
+        rho = np.hypot(x, y)
+        t = rho / rho_k
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi = (np.pi / 2.0
+                   - 2.0 * np.arctan(t * ((1.0 - s) / (1.0 + s))
+                                     ** (e / 2.0)))
+        lam = (lon0 if north else -lon0) + np.arctan2(x, -y)
+        if not north:
+            lam, phi = -lam, -phi
+        return lam, phi
+
+    return fwd, inv
+
+
+# ---------------------------------------------------------------------------
+# Equal-area projections (authalic-latitude based, Snyder ch. 3, 14, 24)
+# ---------------------------------------------------------------------------
+
+def _q(phi, e, e2):
+    """Snyder 3-12: q such that authalic latitude beta = asin(q / q_p)."""
+    s = np.sin(phi)
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - (1.0 / (2.0 * e))
+                         * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+def _phi_from_q(q, e, e2):
+    """Invert q -> phi (Snyder 3-16 iteration)."""
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(10):
+        s = np.sin(phi)
+        c = (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi) + 1e-300) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s)))
+        phi = phi + c
+    return phi
+
+
+def laea(p: dict):
+    """Lambert azimuthal equal-area, ellipsoidal oblique form (Snyder
+    ch. 24, eqs. 24-2..24-16; EPSG 9820 — EPSG:3035 is +lat_0=52
+    +lon_0=10 +x_0=4321000 +y_0=3210000 on GRS80)."""
+    a, e2 = ellipsoid_params(p)
+    e = np.sqrt(e2)
+    lat0 = _rad(p, "lat_0", 0.0)
+    lon0 = _rad(p, "lon_0", 0.0)
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    qp = _q(np.float64(np.pi / 2.0), e, e2)
+    q0 = _q(np.float64(lat0), e, e2)
+    beta0 = np.arcsin(np.clip(q0 / qp, -1.0, 1.0))
+    rq = a * np.sqrt(qp / 2.0)
+    # D compensates the authalic sphere's distortion at the origin
+    m0 = np.cos(lat0) / np.sqrt(1.0 - e2 * np.sin(lat0) ** 2)
+    d = a * m0 / (rq * np.cos(beta0))
+
+    def fwd(lam, phi):
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        beta = np.arcsin(np.clip(_q(phi, e, e2) / qp, -1.0, 1.0))
+        dl = lam - lon0
+        b = rq * np.sqrt(2.0 / (1.0 + np.sin(beta0) * np.sin(beta)
+                                + np.cos(beta0) * np.cos(beta)
+                                * np.cos(dl)))
+        x = b * d * np.cos(beta) * np.sin(dl)
+        y = (b / d) * (np.cos(beta0) * np.sin(beta)
+                       - np.sin(beta0) * np.cos(beta) * np.cos(dl))
+        return x0 + x, y0 + y
+
+    def inv(x, y):
+        x = (np.asarray(x, np.float64) - x0) / d
+        y = (np.asarray(y, np.float64) - y0) * d
+        rho = np.hypot(x, y)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+        beta = np.arcsin(np.clip(np.cos(ce) * np.sin(beta0)
+                                 + (y * np.sin(ce) * np.cos(beta0)
+                                    / np.where(rho == 0.0, 1.0, rho)),
+                                 -1.0, 1.0))
+        lam = lon0 + np.arctan2(
+            x * np.sin(ce),
+            rho * np.cos(beta0) * np.cos(ce)
+            - y * np.sin(beta0) * np.sin(ce))
+        phi = _phi_from_q(np.sin(beta) * qp, e, e2)
+        return lam, phi
+
+    return fwd, inv
+
+
+def aea(p: dict):
+    """Albers equal-area conic, ellipsoidal 2SP (Snyder ch. 14, eqs.
+    14-1..14-21; EPSG:5070 CONUS is +lat_1=29.5 +lat_2=45.5 +lat_0=23
+    +lon_0=-96 on GRS80/NAD83)."""
+    a, e2 = ellipsoid_params(p)
+    e = np.sqrt(e2)
+    lat1 = _rad(p, "lat_1", 29.5)
+    lat2 = _rad(p, "lat_2", 45.5)
+    lat0 = _rad(p, "lat_0", 0.0)
+    lon0 = _rad(p, "lon_0", 0.0)
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+
+    def _m(phi):
+        return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+    m1, m2 = _m(lat1), _m(lat2)
+    q1, q2 = _q(lat1, e, e2), _q(lat2, e, e2)
+    if abs(lat1 - lat2) > 1e-12:
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    else:
+        n = np.sin(lat1)
+    c = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(c - n * _q(lat0, e, e2)) / n
+
+    def fwd(lam, phi):
+        lam = np.asarray(lam, np.float64)
+        phi = np.asarray(phi, np.float64)
+        rho = a * np.sqrt(c - n * _q(phi, e, e2)) / n
+        th = n * (lam - lon0)
+        return x0 + rho * np.sin(th), y0 + rho0 - rho * np.cos(th)
+
+    def inv(x, y):
+        dx = np.asarray(x, np.float64) - x0
+        dy = rho0 - (np.asarray(y, np.float64) - y0)
+        rho = np.sign(n) * np.hypot(dx, dy)
+        th = np.arctan2(np.sign(n) * dx, np.sign(n) * dy)
+        q = (c - (rho * n / a) ** 2) / n
+        phi = _phi_from_q(q, e, e2)
+        return th / n + lon0, phi
+
+    return fwd, inv

@@ -16,9 +16,13 @@ Supported step operations:
     unitconvert      +xy_in=deg|rad +xy_out=deg|rad
     axisswap         +order=2,1 (also signed: -2,1 / 2,-1 ...)
     webmerc / merc   spherical Web Mercator, +R= or +a= (default
-                     6378137) — merc is accepted in its spherical form
+                     6378137); merc WITH an ellipsoid (+ellps/+rf/+f/+b)
+                     is the conformal ellipsoidal Mercator (EPSG:3395)
     affine           +xoff/+yoff/+s11/+s12/+s21/+s22 (defaults: offsets
                      0, matrix identity)
+    tmerc / utm / lcc / krovak / stere / laea / aea / towgs84
+                     ellipsoidal projections + Helmert datum shift
+                     (proj_ops.py — Snyder / EPSG formulas)
 
 Every step carries its own exact inverse; `+inv` swaps a step's
 directions, and the pipeline inverse applies inverted steps in reverse
@@ -119,6 +123,14 @@ def _step_transform(proj: str, p: dict):
         swap = abs(o1) != 1
         return fwd, inv, not swap
 
+    if proj == "merc" and any(k in p for k in ("ellps", "rf", "f", "b")):
+        # PROJ semantics: merc with an ellipsoid is the conformal
+        # ellipsoidal Mercator (EPSG:3395 family); webmerc / merc+R
+        # stay spherical
+        from . import proj_ops
+        f, i = proj_ops.merc_ell(p)
+        return f, i, True                 # x(lam) only, y(phi) only
+
     if proj in ("webmerc", "merc"):
         R = float(p.get("R", p.get("a", _R_DEFAULT)))
 
@@ -156,7 +168,8 @@ def _step_transform(proj: str, p: dict):
                     (-s21 * dx + s11 * dy) / det)
         return fwd, inv, s12 == 0.0 and s21 == 0.0
 
-    if proj in ("tmerc", "utm", "lcc", "krovak", "towgs84"):
+    if proj in ("tmerc", "utm", "lcc", "krovak", "towgs84",
+                "stere", "laea", "aea"):
         # ellipsoidal projections + datum shift (proj_ops): geodetic
         # radians <-> projected meters; all are non-separable (x and y
         # both depend on lon AND lat) except the datum shift, whose
@@ -168,7 +181,7 @@ def _step_transform(proj: str, p: dict):
 
     raise ValueError(f"unsupported pipeline step +proj={proj} (supported: "
                      "noop longlat unitconvert axisswap webmerc merc affine "
-                     "tmerc utm lcc krovak towgs84)")
+                     "tmerc utm lcc krovak towgs84 stere laea aea)")
 
 
 # EPSG code -> bare proj string, for the codes the reference's real
@@ -185,6 +198,21 @@ def _epsg_to_proj(code: int) -> str | None:
         return "+proj=krovak +ellps=bessel +towgs84=589,76,480"
     if code == 5513:
         return "+proj=krovak +czech +ellps=bessel +towgs84=589,76,480"
+    if code == 3395:                       # World Mercator (WGS84)
+        return "+proj=merc +ellps=WGS84"
+    if code == 3035:                       # ETRS89-extended / LAEA Europe
+        return ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 "
+                "+y_0=3210000 +ellps=GRS80")
+    if code == 5070:                       # NAD83 / Conus Albers
+        # NAD83 treated as WGS84-equivalent (~1 m), standard practice
+        return ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 "
+                "+lon_0=-96 +ellps=GRS80")
+    if code == 3413:                       # NSIDC Sea Ice Polar Stereo N
+        return "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84"
+    if code == 3031:                       # Antarctic Polar Stereographic
+        return "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +ellps=WGS84"
+    if code == 3976:                       # NSIDC Sea Ice Polar Stereo S
+        return "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +ellps=WGS84"
     return None
 
 
@@ -231,13 +259,16 @@ def parse_source_crs(s: str):
                               np.asarray(y, np.float64) * d2r)
         p_inv = lambda x, y: (np.asarray(x, np.float64) / d2r,  # noqa: E731
                               np.asarray(y, np.float64) / d2r)
-    elif proj in ("tmerc", "utm", "lcc", "krovak"):
-        prj_fwd, prj_inv = getattr(proj_ops, proj)(params)
+    elif proj in ("tmerc", "utm", "lcc", "krovak", "stere", "laea",
+                  "aea", "merc"):
+        fn = proj_ops.merc_ell if proj == "merc" else getattr(proj_ops,
+                                                              proj)
+        prj_fwd, prj_inv = fn(params)
         p_fwd, p_inv = prj_inv, prj_fwd    # source -> geodetic radians
     else:
         raise ValueError(f"unsupported source CRS +proj={proj} (supported:"
-                         " longlat tmerc utm lcc krovak, or a"
-                         " +proj=pipeline string)")
+                         " longlat tmerc utm lcc krovak stere laea aea"
+                         " merc, or a +proj=pipeline string)")
 
     wm_fwd, wm_inv, _ = _step_transform("webmerc", {})
 

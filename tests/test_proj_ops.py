@@ -326,7 +326,7 @@ def test_longlat_source_crs_with_datum_shift():
 
 def test_unsupported_source_crs_raises():
     with pytest.raises(ValueError):
-        parse_source_crs("+proj=stere +lat_0=90")
+        parse_source_crs("+proj=omerc +lat_0=4 +lonc=115")
     with pytest.raises(ValueError):
         parse_source_crs("+ellps=WGS84")
 
@@ -440,3 +440,131 @@ def test_towgs84_roundtrip_property(lon, lat, dx, dy, dz):
     lam, phi = np.float64(lon * D2R), np.float64(lat * D2R)
     lam2, phi2 = sh[1](*sh[0](lam, phi))
     assert abs(lam2 - lam) < 2e-7 and abs(phi2 - phi) < 2e-7
+
+
+# ---------------------------------------------------------------------------
+# merc (ellipsoidal), stere (polar), laea, aea
+# ---------------------------------------------------------------------------
+
+def _area_scale(fwd, lam, phi, a, e2):
+    """|det J| of an equal-area map must equal the true area element
+    M(phi) N(phi) cos(phi) (meridian x prime-vertical curvature radii)."""
+    h = 1e-7
+    x0, y0 = fwd(lam, phi)
+    xl, yl = fwd(lam + h, phi)
+    xp, yp = fwd(lam, phi + h)
+    det = ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (h * h)
+    s2 = 1.0 - e2 * np.sin(phi) ** 2
+    m_r = a * (1.0 - e2) / s2 ** 1.5
+    n_r = a / np.sqrt(s2)
+    return np.abs(det) / (m_r * n_r * np.cos(phi))
+
+
+def test_merc_ellipsoidal_roundtrip_conformal_and_limits():
+    fwd, inv = proj_ops.merc_ell({"ellps": "WGS84"})
+    _roundtrip(fwd, inv, LAM, PHI)
+    _conformal(fwd, LAM, PHI,
+               proj_ops.ellipsoid_params({"ellps": "WGS84"})[1])
+    # equator anchor + spherical limit: with f=0 it IS webmerc
+    x, y = fwd(np.float64(0.25), np.float64(0.0))
+    assert abs(x - 6378137.0 * 0.25) < 1e-6 and abs(y) < 1e-6
+    fs, _ = proj_ops.merc_ell({"a": 6378137.0, "f": 0})
+    xs, ys = fs(LAM, PHI)
+    rx, ry = lonlat_to_mercator(LAM / D2R, PHI / D2R)
+    assert np.abs(xs - rx).max() < 1e-6 and np.abs(ys - ry).max() < 1e-6
+
+
+def test_stere_polar_roundtrip_and_anchors():
+    fwd, inv = proj_ops.stere({"lat_0": 90, "lat_ts": 70, "lon_0": -45,
+                               "ellps": "WGS84"})
+    x, y = fwd(np.float64(0.0), np.float64(np.pi / 2.0))
+    assert abs(x) < 1e-6 and abs(y) < 1e-6         # pole at the origin
+    lat_n = np.linspace(55.0, 89.5, 8) * D2R
+    lon_n = np.linspace(-170.0, 170.0, 9) * D2R
+    ln, pn = (g.ravel() for g in np.meshgrid(lon_n, lat_n))
+    # compare longitudes modulo 2 pi (inv's atan2 wraps at lon_0 +- pi)
+    x, y = fwd(ln, pn)
+    l2, p2 = inv(x, y)
+    dl = np.abs((l2 - ln + np.pi) % (2 * np.pi) - np.pi)
+    assert dl.max() < 1e-9 and np.abs(p2 - pn).max() < 1e-9
+    _conformal(fwd, ln, pn,
+               proj_ops.ellipsoid_params({"ellps": "WGS84"})[1])
+    # scale = 1 at lat_ts: a parallel arc keeps its true length there
+    h = 1e-7
+    x0, y0 = fwd(np.float64(0.1), np.float64(70 * D2R))
+    x1, y1 = fwd(np.float64(0.1 + h), np.float64(70 * D2R))
+    a, e2 = proj_ops.ellipsoid_params({"ellps": "WGS84"})
+    nu = a / np.sqrt(1 - e2 * np.sin(70 * D2R) ** 2)
+    assert abs(np.hypot(x1 - x0, y1 - y0) / (nu * np.cos(70 * D2R) * h)
+               - 1.0) < 1e-6
+
+
+def test_stere_south_and_oblique_rejection():
+    fwd, inv = proj_ops.stere({"lat_0": -90, "lat_ts": -71, "lon_0": 0,
+                               "ellps": "WGS84"})
+    lat_s = np.linspace(-89.5, -55.0, 8) * D2R
+    lon_s = np.linspace(-170.0, 170.0, 9) * D2R
+    ls, ps = (g.ravel() for g in np.meshgrid(lon_s, lat_s))
+    x, y = fwd(ls, ps)
+    l2, p2 = inv(x, y)
+    dl = np.abs((l2 - ls + np.pi) % (2 * np.pi) - np.pi)
+    assert dl.max() < 1e-9 and np.abs(p2 - ps).max() < 1e-9
+    with pytest.raises(ValueError, match="polar"):
+        proj_ops.stere({"lat_0": 52})
+
+
+def test_laea_equal_area_and_epsg3035_anchor():
+    a, e2 = proj_ops.ellipsoid_params({"ellps": "GRS80"})
+    p3035 = {"lat_0": 52, "lon_0": 10, "x_0": 4321000, "y_0": 3210000,
+             "ellps": "GRS80"}
+    fwd, inv = proj_ops.laea(p3035)
+    x, y = fwd(np.float64(10 * D2R), np.float64(52 * D2R))
+    assert abs(x - 4321000.0) < 1e-6 and abs(y - 3210000.0) < 1e-6
+    lon_e = np.linspace(-10.0, 30.0, 9) * D2R
+    lat_e = np.linspace(35.0, 70.0, 8) * D2R
+    le, pe = (g.ravel() for g in np.meshgrid(lon_e, lat_e))
+    _roundtrip(fwd, inv, le, pe, tol=1e-8)
+    ratio = _area_scale(fwd, le, pe, a, e2)
+    assert np.abs(ratio - 1.0).max() < 1e-5       # EXACTLY equal-area
+
+
+def test_aea_equal_area_and_epsg5070_anchor():
+    a, e2 = proj_ops.ellipsoid_params({"ellps": "GRS80"})
+    p5070 = {"lat_1": 29.5, "lat_2": 45.5, "lat_0": 23, "lon_0": -96,
+             "ellps": "GRS80"}
+    fwd, inv = proj_ops.aea(p5070)
+    x, y = fwd(np.float64(-96 * D2R), np.float64(23 * D2R))
+    assert abs(x) < 1e-6 and abs(y) < 1e-6
+    lon_u = np.linspace(-125.0, -66.0, 9) * D2R
+    lat_u = np.linspace(24.0, 50.0, 8) * D2R
+    lu, pu = (g.ravel() for g in np.meshgrid(lon_u, lat_u))
+    _roundtrip(fwd, inv, lu, pu, tol=1e-8)
+    ratio = _area_scale(fwd, lu, pu, a, e2)
+    assert np.abs(ratio - 1.0).max() < 1e-5
+
+
+def test_new_epsg_codes_resolve_and_roundtrip():
+    for code, lon, lat in [("EPSG:3395", 15.0, 50.0),
+                           ("EPSG:3035", 10.0, 52.0),
+                           ("EPSG:5070", -96.0, 40.0),
+                           ("EPSG:3413", -45.0, 75.0),
+                           ("EPSG:3031", 0.0, -75.0),
+                           ("EPSG:3976", 0.0, -75.0)]:
+        f, i, sep = resolve_crs(code)
+        rx, ry = lonlat_to_mercator(lon, lat)
+        sx, sy = i(np.float64(rx), np.float64(ry))
+        gx, gy = f(sx, sy)
+        assert abs(gx - rx) < 0.01 and abs(gy - ry) < 0.01, code
+
+
+def test_merc_pipeline_step_ellipsoidal_vs_spherical():
+    from freemap_tiler_ray.proj_pipeline import parse_proj_pipeline
+    f_ell, _, sep = parse_proj_pipeline(
+        "+proj=pipeline +step +proj=merc +ellps=WGS84")
+    assert sep                             # x(lam), y(phi) per-axis
+    f_sph, _, _ = parse_proj_pipeline(
+        "+proj=pipeline +step +proj=merc +R=6378137")
+    lam, phi = np.float64(0.3), np.float64(0.9)
+    ye = f_ell(lam, phi)[1]
+    ys = f_sph(lam, phi)[1]
+    assert abs(ye - ys) > 10000            # ellipsoidal y differs by ~0.3%

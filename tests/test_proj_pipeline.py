@@ -74,10 +74,11 @@ def test_axisswap_and_affine():
 
 
 def test_unsupported_step_raises():
-    # tmerc/utm/lcc/krovak/towgs84 became supported steps (proj_ops);
-    # stere stays an honest ValueError rather than a silent wrong warp
-    with pytest.raises(ValueError, match=r"\+proj=stere"):
-        parse_proj_pipeline("+proj=pipeline +step +proj=stere +lat_0=90")
+    # tmerc/utm/lcc/krovak/stere/laea/aea/towgs84 became supported
+    # steps (proj_ops); omerc stays an honest ValueError rather than a
+    # silent wrong warp
+    with pytest.raises(ValueError, match=r"\+proj=omerc"):
+        parse_proj_pipeline("+proj=pipeline +step +proj=omerc +lonc=115")
     with pytest.raises(ValueError, match="not a .proj=pipeline"):
         parse_proj_pipeline("+proj=webmerc")
 
