@@ -317,3 +317,41 @@ def test_utm_geotiff_imports_and_reprojects(tmp_path):
     ex, ey = lonlat_to_mercator(15.0, 48.30)
     assert abs(cx - ex) < 2000 and abs(cy - ey) < 2000
     assert 500 < (bx1 - bx0) < 1500      # ~640 m wide, mercator-inflated
+
+
+def test_cli_e2e_krovak_geotiff_to_mbtiles(tmp_path):
+    """The reference's real-world flow: a Slovak orthophoto GeoTIFF in
+    S-JTSK (EPSG:5514, Krovak + Bessel datum) straight through the CLI
+    to an MBTiles pyramid. Runs in a subprocess because the CLI owns
+    its own Ray session. Verifies tile rows exist and the bounds
+    metadata lands on Bratislava."""
+    import json
+    import subprocess
+    import sys
+
+    from freemap_tiler_ray.sources.geotiff import write_geotiff
+    from freemap_tiler_ray.sources.mbtiles import read_mbtiles_metadata
+
+    img = np.full((64, 64, 4), 180, np.uint8)
+    tif = str(tmp_path / "sjtsk.tif")
+    # 640 m just south-east of Bratislava centre in EPSG:5514
+    write_geotiff(tif, img, -573496.0, -1280188.0, 10.0, 10.0, epsg=5514)
+    out = subprocess.run(
+        [sys.executable, "-m", "freemap_tiler_ray.cli",
+         "--source", tif, "--out-dir", str(tmp_path / "work"),
+         "--target-file", str(tmp_path / "out.mbtiles"),
+         "--max-zoom", "13", "--num-threads", "4"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["mbtiles_rows"] > 0
+    meta = read_mbtiles_metadata(str(tmp_path / "out.mbtiles"))
+    x0, y0, x1, y1 = (float(v) for v in meta["bounds"].split(","))
+    # Bratislava in EPSG:3857 is ~(1.905e6, 6.13e6): the Krovak+datum
+    # chain must land the 640 m window there, not at the raw S-JTSK
+    # coordinates (which would be ~(-5.7e5, -1.28e6))
+    from freemap_tiler_ray.geo import lonlat_to_mercator
+    bx, by = lonlat_to_mercator(17.11, 48.15)
+    assert abs(x0 - bx) < 5000 and abs(x1 - bx) < 5000
+    assert abs(y0 - by) < 5000 and abs(y1 - by) < 5000
