@@ -290,6 +290,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q.media_frames,
         "nation_region_join": q.nation_region_join,
         "text_stats": q.text_stats,
+        # --- round-3 late additions (locally oracle-validated; outside
+        # the driver window so no round-2-green entry loses its row) ---
+        "kmv_distinct": q.kmv_distinct,
+        "passage_dedup": q.passage_dedup,
+        "q4_order_priority": q.q4_order_priority,
+        "q12_priority_lines": q.q12_priority_lines,
+        "rollup_revenue": q.rollup_revenue,
+        "q18_top_customers": q.q18_top_customers,
     }
 
 
@@ -1095,5 +1103,80 @@ FROM r WHERE rank <= 3
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        md5(string_agg(event_type, ',' ORDER BY ts, event_id)) AS seq_fp
 FROM events GROUP BY user_id
+"""
+    # KMV sketch: k-th minimum md5 of distinct token bigrams per lang.
+    # (k-1)/U(k) with U(k) = top-32-bits(kth hex) / 2^32 — the same two
+    # IEEE-754 double ops as stages/sketch.kmv_estimate, bit-identical.
+    sqls["kmv_distinct"] = """
+WITH t AS (SELECT lang, string_split(text, ' ') AS s FROM documents),
+b AS (SELECT lang, s,
+             unnest(generate_series(1, len(s) - 1)) AS i FROM t),
+big AS (SELECT DISTINCT lang, s[i] || ' ' || s[i + 1] AS bg FROM b),
+h AS (SELECT DISTINCT lang, md5(bg) AS hex FROM big),
+r AS (SELECT lang, hex,
+             row_number() OVER (PARTITION BY lang ORDER BY hex) AS rk,
+             count(*) OVER (PARTITION BY lang) AS nd
+      FROM h)
+SELECT lang, CAST(LEAST(nd, 64) AS BIGINT) AS k_used,
+       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+            ELSE CAST(63 AS DOUBLE) /
+                 (CAST(CAST(concat('0x', substr(hex, 1, 8)) AS UBIGINT)
+                       AS DOUBLE) / 4294967296.0)
+       END AS est_distinct
+FROM r WHERE rk = LEAST(nd, 64)
+"""
+    sqls["passage_dedup"] = """
+WITH t AS (SELECT lang, string_split(text, ' ') AS s FROM documents),
+i AS (SELECT lang, s,
+             unnest(generate_series(
+                 1, CAST(ceil(len(s) / 8.0) AS BIGINT))) AS i FROM t),
+c AS (SELECT lang, array_to_string(
+          list_slice(s, (i - 1) * 8 + 1, LEAST(i * 8, len(s))),
+          ' ') AS passage FROM i),
+g AS (SELECT lang, passage, count(*) AS cnt FROM c GROUP BY 1, 2)
+SELECT lang, CAST(sum(cnt) AS BIGINT) AS total_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_chunks
+FROM g GROUP BY lang
+"""
+    sqls["q4_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+    sqls["q12_priority_lines"] = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+    sqls["rollup_revenue"] = """
+WITH b AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS oyear,
+                  o_orderpriority AS prio,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT COALESCE(oyear, 'ALL') AS oyear, COALESCE(prio, 'ALL') AS prio,
+       CAST(SUM(cents) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY ROLLUP (oyear, prio)
+"""
+    sqls["q18_top_customers"] = """
+WITH t AS (SELECT o_custkey,
+                  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS total_c,
+                  CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY o_custkey
+           HAVING SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  > 300000000)
+SELECT c_name, o_custkey, total_c, n_orders
+FROM t JOIN customer ON c_custkey = o_custkey
+ORDER BY total_c DESC, o_custkey LIMIT 10
 """
     return sqls

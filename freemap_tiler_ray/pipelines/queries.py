@@ -1702,3 +1702,324 @@ def user_sequences(sf_dir: str):
 
     return (ds.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(seq, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# cardinality sketch / passage dedup / relational breadth (round-3 additions)
+# ---------------------------------------------------------------------------
+
+def kmv_distinct(sf_dir: str):
+    """Per-language KMV (k-minimum-values) estimate of the distinct
+    token-bigram count. Each batch emits at most k md5 hexes per lang
+    (the mergeable partial — fixed-size regardless of batch rows), one
+    tiny groupby merges them, and the estimate is (k-1)/U(k). md5 hex
+    ordering is bit-deterministic, so the DuckDB oracle (row_number
+    over md5) matches exactly — a value-hash-checkable sketch."""
+    from ..stages.sketch import KMV_K, kmv_estimate, kmv_partial
+    from ..stages.text import md5_hex
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["lang", "text"]).to_pandas()
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "hex": pa.array([], pa.string())})
+        if not len(df):
+            return empty
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        lang = np.repeat(df["lang"].to_numpy(), n)
+        last = np.cumsum(n) - 1          # last token of each doc: no bigram
+        keep = np.ones(len(flat), bool)
+        keep[last] = False
+        li = np.flatnonzero(keep)
+        if not len(li):
+            return empty
+        bg = pd.DataFrame({
+            "lang": lang[li],
+            "bg": pd.Series(flat[li]).str.cat(
+                pd.Series(flat[li + 1]), sep=" ").to_numpy(),
+        }).drop_duplicates()
+        uniq, inv = np.unique(bg["bg"].to_numpy(), return_inverse=True)
+        hexes = np.asarray([md5_hex(s) for s in uniq], dtype=object)[inv]
+        out_lang, out_hex = [], []
+        g = pd.DataFrame({"lang": bg["lang"].to_numpy(), "hex": hexes})
+        for lg, grp in g.groupby("lang", sort=False):
+            h = kmv_partial(grp["hex"].to_numpy())
+            out_lang.extend([lg] * len(h))
+            out_hex.extend(h.tolist())
+        return pa.table({"lang": pa.array(out_lang, pa.string()),
+                         "hex": pa.array(out_hex, pa.string())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hexes = np.unique(g["hex"].to_numpy())
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "k_used": np.array([min(len(hexes), KMV_K)], np.int64),
+            "est_distinct": [kmv_estimate(hexes, KMV_K)]})
+
+    return (_docs(sf_dir, ("lang", "text"))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").map_groups(merge, batch_format="pandas"))
+
+
+PASSAGE_W = 8                 # tokens per (non-overlapping) passage
+
+
+def passage_dedup(sf_dir: str):
+    """Sub-document exact dedup: split each doc into non-overlapping
+    PASSAGE_W-token passages (final passage = remainder) and report,
+    per language, total / distinct / duplicated passage counts. The
+    passage split is pure offset arithmetic on one flat token array;
+    passages reach the shuffle pre-counted per batch, the global
+    distinct requires exactly one (lang, passage) groupby, and the
+    final per-lang stats fold partials through a second tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    W = PASSAGE_W
+
+    def chunks(t: pa.Table) -> pa.Table:
+        df = t.select(["lang", "text"]).to_pandas()
+        if not len(df):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "passage": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        tok_len = pd.Series(flat).str.len().to_numpy().astype(np.int64)
+        # global char start of each token (tokens joined by one space)
+        gstart = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(tok_len + 1, out=gstart[1:])
+        dtok = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=dtok[1:])                    # doc -> first token
+        tstart = gstart[:-1] - np.repeat(gstart[dtok[:-1]], n)  # in-doc char
+        n_ch = (n + W - 1) // W
+        cum = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n_ch, out=cum[1:])
+        ci = np.arange(int(cum[-1])) - np.repeat(cum[:-1], n_ch)
+        first = np.repeat(dtok[:-1], n_ch) + ci * W
+        last = np.minimum(first + W - 1, np.repeat(dtok[1:], n_ch) - 1)
+        s = tstart[first]
+        e = tstart[last] + tok_len[last]
+        texts = np.repeat(df["text"].to_numpy(), n_ch)
+        passages = [txt[a:b] for txt, a, b in zip(texts, s, e)]
+        g = (pd.DataFrame({"lang": np.repeat(df["lang"].to_numpy(), n_ch),
+                           "passage": passages})
+             .groupby(["lang", "passage"], sort=False)
+             .size().reset_index(name="cnt"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (_docs(sf_dir, ("lang", "text"))
+           .map_batches(chunks, batch_format="pyarrow")
+           .groupby(["lang", "passage"])
+           .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def stats(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "total_chunks": pa.array([], pa.int64()),
+                             "distinct_chunks": pa.array([], pa.int64()),
+                             "dup_chunks": pa.array([], pa.int64())})
+        df["dup"] = np.where(df["cnt"].to_numpy() > 1,
+                             df["cnt"].to_numpy(), 0)
+        g = (df.groupby("lang", sort=False)
+             .agg(total_chunks=("cnt", "sum"),
+                  distinct_chunks=("cnt", "size"),
+                  dup_chunks=("dup", "sum")).reset_index())
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return (agg.map_batches(stats, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("total_chunks", alias_name="total_chunks"),
+                       Sum("distinct_chunks", alias_name="distinct_chunks"),
+                       Sum("dup_chunks", alias_name="dup_chunks")))
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join): orders with any lineitem
+    shipped after the order date, counted per priority. The lineitem
+    side is pre-folded to (orderkey, max shipdate) inside map_batches
+    BEFORE the shuffle — the semi-join predicate only needs the max —
+    so the hash join moves one row per orderkey, not per line."""
+    from ray.data.aggregate import Max, Sum
+
+    def lpart(t: pa.Table) -> pa.Table:
+        df = t.select(["l_orderkey", "l_shipdate"]).to_pandas()
+        df["max_ship_us"] = (df["l_shipdate"].to_numpy()
+                             .astype("datetime64[us]").view("int64"))
+        g = (df.groupby("l_orderkey", sort=False)["max_ship_us"]
+             .max().reset_index())
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    li = (_rp(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_shipdate"])
+          .map_batches(lpart, batch_format="pyarrow")
+          .groupby("l_orderkey")
+          .aggregate(Max("max_ship_us", alias_name="max_ship_us")))
+
+    def opart(t: pa.Table) -> pa.Table:
+        us = (t["o_orderdate"].to_numpy()
+              .astype("datetime64[us]").view("int64"))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "odate_us": pa.array(us, pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders = _rp(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(opart, batch_format="pyarrow")
+
+    j = orders.join(li, join_type="inner", num_partitions=8,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def late(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["max_ship_us"], t["odate_us"]))
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    return (j.map_batches(late, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("one", alias_name="order_count")))
+
+
+def q12_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape (the testdata has no l_shipmode, so l_returnflag
+    plays the mode): lineitem |X| orders, counting high- vs low-priority
+    lines per flag. Lineitem folds to (orderkey, flag, n_lines) per
+    batch before the shuffle; orders ship only (orderkey, is_high)."""
+    from ray.data.aggregate import Sum
+
+    def lpart(t: pa.Table) -> pa.Table:
+        df = t.select(["l_orderkey", "l_returnflag"]).to_pandas()
+        g = (df.groupby(["l_orderkey", "l_returnflag"], sort=False)
+             .size().reset_index(name="n_lines"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    li = (_rp(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_returnflag"])
+          .map_batches(lpart, batch_format="pyarrow"))
+
+    def opart(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "is_high": pc.cast(hi, pa.int64())})
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderpriority"]
+                 ).map_batches(opart, batch_format="pyarrow")
+
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def split(t: pa.Table) -> pa.Table:
+        n = t["n_lines"].to_numpy()
+        hi = t["is_high"].to_numpy()
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "high_line_count": pa.array(n * hi, pa.int64()),
+            "low_line_count": pa.array(n * (1 - hi), pa.int64())})
+
+    return (j.map_batches(split, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                       Sum("low_line_count", alias_name="low_line_count")))
+
+
+def rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP (order year, priority): revenue (integer cents —
+    exact under any summation order) and order counts at all three
+    levels. One distributed groupby produces the base level (years x
+    priorities — a few dozen rows); the two rollup levels fold from
+    that tiny aggregate, so no second pass over orders."""
+    from ray.data.aggregate import Sum
+
+    def opart(t: pa.Table) -> pa.Table:
+        df = t.select(["o_orderdate", "o_orderpriority",
+                       "o_totalprice"]).to_pandas()
+        g = pd.DataFrame({
+            "oyear": df["o_orderdate"].dt.year.astype(np.int64).astype(str),
+            "prio": df["o_orderpriority"],
+            "revenue_c": np.floor(
+                df["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+            "n_orders": np.ones(len(df), np.int64),
+        }).groupby(["oyear", "prio"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    base = (_rp(f"{sf_dir}/orders.parquet",
+                columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+            .map_batches(opart, batch_format="pyarrow")
+            .groupby(["oyear", "prio"])
+            .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())
+
+    cols = ["oyear", "prio", "revenue_c", "n_orders"]
+    lvl1 = (base.groupby("oyear", as_index=False)
+            [["revenue_c", "n_orders"]].sum())
+    lvl1["prio"] = "ALL"
+    total = pd.DataFrame({"oyear": ["ALL"], "prio": ["ALL"],
+                          "revenue_c": [base["revenue_c"].sum()],
+                          "n_orders": [base["n_orders"].sum()]})
+    out = pd.concat([base[cols], lvl1[cols], total[cols]],
+                    ignore_index=True)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
+
+
+Q18_THRESH_C = 300_000_000    # HAVING total > $3.0M (in cents)
+
+
+def q18_top_customers(sf_dir: str):
+    """TPC-H Q18 shape: customers whose lifetime order total exceeds a
+    threshold (HAVING over a distributed sum), global top-10 by total,
+    names enriched for just those 10 keys (no wide customer join)."""
+    from ray.data.aggregate import Sum
+
+    def opart(t: pa.Table) -> pa.Table:
+        df = t.select(["o_custkey", "o_totalprice"]).to_pandas()
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"],
+            "total_c": np.floor(
+                df["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+            "n_orders": np.ones(len(df), np.int64),
+        }).groupby("o_custkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    tot = (_rp(f"{sf_dir}/orders.parquet",
+               columns=["o_custkey", "o_totalprice"])
+           .map_batches(opart, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Sum("total_c", alias_name="total_c"),
+                      Sum("n_orders", alias_name="n_orders")))
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["total_c"],
+                                   pa.scalar(Q18_THRESH_C, pa.int64())))
+
+    top = (tot.map_batches(having, batch_format="pyarrow")
+           .sort([("total_c"), ("o_custkey")], descending=[True, False])
+           .limit(10).to_pandas())
+
+    keys = pa.array(sorted(top["o_custkey"].tolist()), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+        return t.select(["c_custkey", "c_name"])
+
+    names = (_rp(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey", "c_name"])
+             .map_batches(pick, batch_format="pyarrow").to_pandas())
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["total_c", "o_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_name", "o_custkey", "total_c", "n_orders"]]

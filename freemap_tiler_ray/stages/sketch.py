@@ -1,0 +1,114 @@
+"""Mergeable cardinality sketches: KMV (k-minimum-values) and HyperLogLog.
+
+Both are monoids: a per-batch ``map_batches`` partial produces a
+fixed-size summary, one small ``groupby`` merges partials
+associatively, so the shuffle ships sketch rows — never raw values.
+
+KMV backs the oracle-checked ``kmv_distinct`` query: it orders md5 hex
+digests (lexicographic order of the hex == numeric order of the 128-bit
+value), keeps the k smallest per key, and estimates distinct counts as
+``(k-1) / U(k)`` where ``U(k)`` is the k-th minimum mapped to (0, 1].
+Every step is bit-deterministic and expressible in ANSI SQL
+(``row_number() OVER (ORDER BY md5(x))``), so the DuckDB oracle matches
+exactly — the rare sketch whose output CAN be value-hash-compared.
+
+HLL is the production-scale alternative (2^p byte registers per key,
+independent of k) with a tested error bound; it is not SQL-mirrorable
+bit-for-bit, so it ships as a library stage with property tests instead
+of an oracle query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+KMV_K = 64
+
+
+def kmv_partial(hex_hashes: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """k smallest DISTINCT md5 hex digests (ascending)."""
+    u = np.unique(np.asarray(hex_hashes, dtype=object))
+    return u[:k]
+
+
+def kmv_merge(*partials: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """Associative merge: k smallest of the union of partials."""
+    return kmv_partial(np.concatenate([np.asarray(p, dtype=object)
+                                       for p in partials]), k)
+
+
+def kmv_estimate(sorted_unique_hex, k: int = KMV_K) -> float:
+    """Distinct-count estimate from a merged KMV summary.
+
+    If fewer than k distinct hashes exist the summary IS the distinct
+    set (exact count); otherwise (k-1)/U(k) with U(k) the k-th minimum
+    hash mapped to (0, 1] via its top 32 bits. Both branches are two
+    IEEE-754 ops, mirrored verbatim by the SQL oracle."""
+    n = len(sorted_unique_hex)
+    if n < k:
+        return float(n)
+    v = int(str(sorted_unique_hex[k - 1])[:8], 16)
+    return float(k - 1) / (v / 4294967296.0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 12                      # 2^12 = 4096 registers, ~1.6% rel. error
+_HLL_M = 1 << HLL_P
+
+
+def _hash64(values) -> np.ndarray:
+    """64-bit hash per value (md5 top 8 bytes) — deterministic across
+    processes (unlike Python's salted hash()). Hashed once per unique
+    value; uniques are what a cardinality sketch consumes anyway."""
+    arr = np.asarray(values, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(s).encode("utf-8")).digest()[:8],
+                        "big") for s in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return h[inv]
+
+
+def hll_partial(values, p: int = HLL_P) -> np.ndarray:
+    """Register array (uint8[2^p]) for one batch of values."""
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel caps rho
+    # rho = 1 + number of leading zeros of the remaining 64-p bits
+    lz = np.zeros(len(w), np.uint8)
+    cur = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < np.uint64(1 << (64 - shift))
+        lz[mask] += shift
+        cur[mask] <<= np.uint64(shift)
+    np.maximum.at(regs, idx, lz + 1)
+    return regs
+
+
+def hll_merge(*partials: np.ndarray) -> np.ndarray:
+    """Associative merge = elementwise max of registers."""
+    out = partials[0].copy()
+    for p_ in partials[1:]:
+        np.maximum(out, p_, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(est)

@@ -1,0 +1,86 @@
+"""Cardinality sketches: KMV determinism/merge laws, HLL error bound."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from freemap_tiler_ray.stages.sketch import (HLL_P, KMV_K, hll_estimate,
+                                             hll_merge, hll_partial,
+                                             kmv_estimate, kmv_merge,
+                                             kmv_partial)
+
+
+def _hexes(vals):
+    return np.array([hashlib.md5(str(v).encode()).hexdigest()
+                     for v in vals], dtype=object)
+
+
+def test_kmv_exact_below_k():
+    h = _hexes(range(KMV_K - 5))
+    part = kmv_partial(h)
+    assert len(part) == KMV_K - 5
+    assert kmv_estimate(part) == float(KMV_K - 5)
+
+
+def test_kmv_merge_equals_single_pass():
+    h = _hexes(range(1000))
+    whole = kmv_partial(h)
+    merged = kmv_merge(kmv_partial(h[:300]), kmv_partial(h[300:700]),
+                       kmv_partial(h[700:]))
+    assert list(whole) == list(merged)
+
+
+def test_kmv_merge_order_independent_and_duplicate_tolerant():
+    h = _hexes(range(500))
+    a, b = kmv_partial(h[:250]), kmv_partial(h[250:])
+    assert list(kmv_merge(a, b)) == list(kmv_merge(b, a, a))
+
+
+def test_kmv_estimate_accuracy():
+    for n in (500, 5000):
+        est = kmv_estimate(kmv_partial(_hexes(range(n))))
+        # KMV relative error ~ 1/sqrt(k-1) ~ 12.6% at k=64; allow 4 sigma
+        assert abs(est - n) / n < 0.5, (n, est)
+
+
+def test_kmv_estimate_matches_duckdb_formula():
+    import duckdb
+    h = sorted(_hexes(range(200)).tolist())
+    kth = h[KMV_K - 1]
+    sql_est = duckdb.sql(
+        f"SELECT CAST({KMV_K - 1} AS DOUBLE) / "
+        f"(CAST(CAST(concat('0x', substr('{kth}', 1, 8)) AS UBIGINT) "
+        f"AS DOUBLE) / 4294967296.0)").fetchone()[0]
+    assert kmv_estimate(np.array(h, dtype=object)) == sql_est
+
+
+def test_hll_empty():
+    regs = hll_partial([])
+    assert regs.shape == (1 << HLL_P,) and regs.dtype == np.uint8
+    assert hll_estimate(regs) == 0.0
+
+
+@pytest.mark.parametrize("n", [100, 2000, 50_000])
+def test_hll_error_bound(n):
+    regs = hll_partial([f"item-{i}" for i in range(n)])
+    est = hll_estimate(regs)
+    # sigma = 1.04/sqrt(4096) ~ 1.6%; allow 5 sigma
+    assert abs(est - n) / n < 0.08, (n, est)
+
+
+def test_hll_merge_equals_single_pass_and_dedups():
+    vals = [f"v{i}" for i in range(10_000)]
+    whole = hll_partial(vals)
+    merged = hll_merge(hll_partial(vals[:4000]),
+                       hll_partial(vals[3000:8000]),   # overlap on purpose
+                       hll_partial(vals[8000:]))
+    assert np.array_equal(whole, merged)
+    assert hll_estimate(merged) == hll_estimate(whole)
+
+
+def test_hll_insensitive_to_duplicates():
+    vals = [f"x{i}" for i in range(1000)]
+    once = hll_partial(vals)
+    many = hll_partial(vals * 7)
+    assert np.array_equal(once, many)
