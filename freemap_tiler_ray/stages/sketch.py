@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches: KMV (k-minimum-values) and HyperLogLog.
+"""Mergeable sketches: KMV, HyperLogLog, CountMin, Misra-Gries.
 
 Both are monoids: a per-batch ``map_batches`` partial produces a
 fixed-size summary, one small ``groupby`` merges partials
@@ -112,3 +112,95 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         return float(m * np.log(m / zeros))
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Frequency sketches: CountMin + Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1 << 12              # eps ~ e/4096 ~ 0.07% of stream length
+
+_CM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _cm_rows(values, depth: int, width: int) -> np.ndarray:
+    """(depth, n) counter indices — md5-derived, so deterministic across
+    processes; one md5 per UNIQUE value, rows derived by seed-mixing."""
+    arr = np.asarray(values, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(s).encode("utf-8")).digest()[:8],
+                        "big") for s in uniq),
+        dtype=np.uint64, count=len(uniq))[inv]
+    rows = np.empty((depth, len(h)), np.int64)
+    for d in range(depth):
+        m = (h ^ np.uint64(_CM_SEEDS[d])) * np.uint64(0x2545F4914F6CDD1D)
+        rows[d] = ((m >> np.uint64(33)) % np.uint64(width)).astype(np.int64)
+    return rows
+
+
+def cm_partial(values, counts=None, depth: int = CM_DEPTH,
+               width: int = CM_WIDTH) -> np.ndarray:
+    """CountMin table (depth, width) int64 for one batch. `counts`
+    weights each value (pre-aggregated (value, count) partials keep the
+    per-batch md5 work to uniques)."""
+    tab = np.zeros((depth, width), np.int64)
+    values = np.asarray(values, dtype=object)
+    if not len(values):
+        return tab
+    c = (np.ones(len(values), np.int64) if counts is None
+         else np.asarray(counts, np.int64))
+    rows = _cm_rows(values, depth, width)
+    for d in range(depth):
+        np.add.at(tab[d], rows[d], c)
+    return tab
+
+
+def cm_merge(*tabs: np.ndarray) -> np.ndarray:
+    """Associative merge = elementwise sum (counters are linear)."""
+    out = tabs[0].copy()
+    for t in tabs[1:]:
+        out += t
+    return out
+
+
+def cm_query(tab: np.ndarray, values) -> np.ndarray:
+    """Point-frequency estimates: min over depth rows. Never
+    underestimates; overestimates by <= e/width * N w.h.p."""
+    depth, width = tab.shape
+    rows = _cm_rows(np.asarray(values, dtype=object), depth, width)
+    ests = np.stack([tab[d, rows[d]] for d in range(depth)])
+    return ests.min(axis=0)
+
+
+def mg_partial(values, counts=None, k: int = 64) -> dict:
+    """Misra-Gries heavy-hitters summary (<= k-1 counters). After any
+    merge order, counter error is <= N/k, so every item with true
+    frequency > N/k survives in the summary."""
+    from collections import Counter
+    values = np.asarray(values, dtype=object)
+    c = (np.ones(len(values), np.int64) if counts is None
+         else np.asarray(counts, np.int64))
+    exact = Counter()
+    for v, n in zip(values, c):
+        exact[v] += int(n)
+    return _mg_trim(dict(exact), k)
+
+
+def _mg_trim(d: dict, k: int) -> dict:
+    if len(d) < k:
+        return d
+    # decrement all by the k-th largest count (the classic batched
+    # Misra-Gries step), drop non-positive
+    kth = sorted(d.values(), reverse=True)[k - 1]
+    return {v: n - kth for v, n in d.items() if n > kth}
+
+
+def mg_merge(*parts: dict, k: int = 64) -> dict:
+    out: dict = {}
+    for p in parts:
+        for v, n in p.items():
+            out[v] = out.get(v, 0) + n
+    return _mg_trim(out, k)

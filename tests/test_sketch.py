@@ -84,3 +84,66 @@ def test_hll_insensitive_to_duplicates():
     once = hll_partial(vals)
     many = hll_partial(vals * 7)
     assert np.array_equal(once, many)
+
+
+# ---------------------------------------------------------------------------
+# CountMin / Misra-Gries
+# ---------------------------------------------------------------------------
+
+def test_countmin_never_underestimates_and_is_tight():
+    from freemap_tiler_ray.stages.sketch import (cm_merge, cm_partial,
+                                                 cm_query)
+    rng = np.random.RandomState(7)
+    vals = [f"t{int(i)}" for i in rng.zipf(1.5, 20_000) if i < 500]
+    n = len(vals)
+    tab = cm_merge(cm_partial(vals[:n // 3]), cm_partial(vals[n // 3:]))
+    import collections
+    exact = collections.Counter(vals)
+    items = sorted(exact)
+    est = cm_query(tab, items)
+    true = np.array([exact[v] for v in items])
+    assert (est >= true).all()                      # one-sided guarantee
+    assert (est - true).max() <= 3 * np.e / 4096 * n  # 3x the eps bound
+
+
+def test_countmin_merge_equals_single_pass():
+    from freemap_tiler_ray.stages.sketch import cm_merge, cm_partial
+    vals = [f"v{i % 97}" for i in range(5000)]
+    whole = cm_partial(vals)
+    merged = cm_merge(cm_partial(vals[:1234]), cm_partial(vals[1234:]))
+    assert np.array_equal(whole, merged)
+
+
+def test_countmin_weighted_counts():
+    from freemap_tiler_ray.stages.sketch import cm_partial, cm_query
+    tab = cm_partial(["a", "b"], counts=[10, 3])
+    assert cm_query(tab, ["a"])[0] >= 10
+    assert cm_query(tab, ["zzz"])[0] <= 13          # <= total stream
+
+
+def test_misra_gries_heavy_hitters_survive():
+    from freemap_tiler_ray.stages.sketch import mg_merge, mg_partial
+    k = 16
+    # 3 heavy items (>N/k each) + uniform noise
+    vals = (["hot1"] * 500 + ["hot2"] * 400 + ["hot3"] * 300
+            + [f"noise{i}" for i in range(800)])
+    parts = [mg_partial(vals[i::4], k=k) for i in range(4)]
+    summary = mg_merge(*parts, k=k)
+    n = len(vals)
+    assert {"hot1", "hot2", "hot3"} <= set(summary)
+    assert len(summary) < k
+    # counter error bound: true - N/k <= counter <= true
+    assert summary["hot1"] <= 500 and summary["hot1"] >= 500 - n / k
+
+
+def test_misra_gries_error_bound_random():
+    from freemap_tiler_ray.stages.sketch import mg_merge, mg_partial
+    import collections
+    rng = np.random.RandomState(3)
+    vals = [f"z{int(v)}" for v in rng.zipf(1.3, 5000) if v < 200]
+    exact = collections.Counter(vals)
+    k = 32
+    summary = mg_merge(mg_partial(vals[: len(vals) // 2], k=k),
+                       mg_partial(vals[len(vals) // 2:], k=k), k=k)
+    for v, c in summary.items():
+        assert exact[v] - len(vals) / k <= c <= exact[v]
