@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_lines": q.q12_priority_lines,
         "rollup_revenue": q.rollup_revenue,
         "q18_top_customers": q.q18_top_customers,
+        "events_cumsum": q.events_cumsum,
+        "active_customer_union": q.active_customer_union,
     }
 
 
@@ -1178,5 +1180,16 @@ WITH t AS (SELECT o_custkey,
 SELECT c_name, o_custkey, total_c, n_orders
 FROM t JOIN customer ON c_custkey = o_custkey
 ORDER BY total_c DESC, o_custkey LIMIT 10
+"""
+    sqls["events_cumsum"] = """
+SELECT event_id, user_id,
+       SUM(CAST(floor(value * 1000) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_milli
+FROM events
+"""
+    sqls["active_customer_union"] = """
+SELECT o_custkey AS custkey FROM orders
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
 """
     return sqls

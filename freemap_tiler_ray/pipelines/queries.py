@@ -2034,3 +2034,60 @@ def q18_top_customers(sf_dir: str):
     out = out.sort_values(["total_c", "o_custkey"],
                           ascending=[False, True]).reset_index(drop=True)
     return out[["c_name", "o_custkey", "total_c", "n_orders"]]
+
+
+def events_cumsum(sf_dir: str):
+    """Running total per user (the prefix-window aggregate:
+    SUM(...) OVER (PARTITION BY user ORDER BY ts)). Hash-partition on
+    user_id, ONE vectorized sort + pandas grouped cumsum per partition;
+    values are summed as integer milli-units so the running total is
+    association-free and matches the SQL window exactly (a float
+    cumsum would depend on DuckDB's segment-tree summation order)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pa.array(us, pa.int64()),
+            "value_milli": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)),
+            "_part": pa.array(t["user_id"].to_numpy() % 64, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        g["running_milli"] = g.groupby("user_id", sort=False)[
+            "value_milli"].cumsum()
+        return g[["event_id", "user_id", "running_milli"]]
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def active_customer_union(sf_dir: str):
+    """Set-op breadth (Dataset.union + distinct): customers that placed
+    an order UNION customers holding a positive balance. Both sides are
+    projected to the key before the union, so the distinct groupby
+    shuffles keys only."""
+    from ray.data.aggregate import Count
+
+    o = (_rp(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+         .map_batches(lambda t: pa.table({"custkey": t["o_custkey"]}),
+                      batch_format="pyarrow"))
+
+    def pos(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], pa.scalar(0.0)))
+        return pa.table({"custkey": t["c_custkey"]})
+
+    c = (_rp(f"{sf_dir}/customer.parquet",
+             columns=["c_custkey", "c_acctbal"])
+         .map_batches(pos, batch_format="pyarrow"))
+
+    def first(t: pa.Table) -> pa.Table:
+        return pa.table({"custkey": t["custkey"]})
+
+    return (o.union(c).groupby("custkey").aggregate(Count())
+            .map_batches(first, batch_format="pyarrow"))
