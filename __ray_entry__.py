@@ -300,6 +300,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_top_customers": q.q18_top_customers,
         "events_cumsum": q.events_cumsum,
         "active_customer_union": q.active_customer_union,
+        "q14_promo_share": q.q14_promo_share,
+        "max_acctbal_per_nation": q.max_acctbal_per_nation,
+        "ordered_balance_intersect": q.ordered_balance_intersect,
+        "events_rank": q.events_rank,
+        "events_ntile": q.events_ntile,
+        "type_user_counts": q.type_user_counts,
+        "nation_activity_full_join": q.nation_activity_full_join,
     }
 
 
@@ -1191,5 +1198,66 @@ FROM events
 SELECT o_custkey AS custkey FROM orders
 UNION
 SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+"""
+    sqls["q14_promo_share"] = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS rev_e4,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-02-01')
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
+         AS promo_e4,
+       CAST(SUM(rev_e4) AS BIGINT) AS total_e4,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                    AS DOUBLE)
+             / CAST(SUM(rev_e4) AS DOUBLE) AS promo_share
+FROM j
+"""
+    sqls["max_acctbal_per_nation"] = """
+SELECT c_nationkey, c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = customer.c_nationkey)
+"""
+    sqls["ordered_balance_intersect"] = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+"""
+    sqls["events_rank"] = """
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+         rank() OVER (PARTITION BY user_id
+                      ORDER BY CAST(floor(value * 1000) AS BIGINT) DESC)
+           AS rnk
+  FROM events)
+SELECT user_id, event_id, value_milli, rnk FROM r WHERE rnk <= 3
+"""
+    sqls["events_ntile"] = """
+WITH v AS (SELECT event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS value_milli
+           FROM events)
+SELECT event_id, value_milli,
+       ntile(4) OVER (ORDER BY value_milli, event_id) AS bucket
+FROM v
+"""
+    sqls["type_user_counts"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+    sqls["nation_activity_full_join"] = """
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                  count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+FROM c FULL JOIN s ON c.nationkey = s.nationkey
 """
     return sqls

@@ -2091,3 +2091,242 @@ def active_customer_union(sf_dir: str):
 
     return (o.union(c).groupby("custkey").aggregate(Count())
             .map_batches(first, batch_format="pyarrow"))
+
+
+def q14_promo_share(sf_dir: str):
+    """TPC-H Q14 shape: conditional-aggregation ratio (promo revenue /
+    total revenue for one ship month). part is broadcast once as a
+    sorted key -> is-promo bool array; lineitem streams through one
+    pruned map_batches that emits two integer partial sums per batch;
+    the final division is a single float op on the driver (matches the
+    SQL's double division of exact integer sums bit-for-bit)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = (_rp(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+          .to_pandas().sort_values("p_partkey"))
+    lookup_ref = ray.put((pt["p_partkey"].to_numpy(),
+                          (pt["p_type"] == "PROMO").to_numpy()))
+
+    lo = np.datetime64("1997-01-01").astype("datetime64[us]").view("int64")
+    hi = np.datetime64("1997-02-01").astype("datetime64[us]").view("int64")
+
+    def partials(t: pa.Table) -> pa.Table:
+        import ray as _r
+        pk, promo = _r.get(lookup_ref)
+        sd = t["l_shipdate"].to_numpy().astype("datetime64[us]").view("int64")
+        m = (sd >= lo) & (sd < hi)
+        keys = t["l_partkey"].to_numpy()[m]
+        idx = np.clip(np.searchsorted(pk, keys), 0, len(pk) - 1)
+        is_promo = (pk[idx] == keys) & promo[idx]
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * (1.0 - t["l_discount"].to_numpy()[m]))
+                      * 10000.0).astype(np.int64)
+        return pa.table({
+            "promo_e4": pa.array([int(e4[is_promo].sum())], pa.int64()),
+            "total_e4": pa.array([int(e4.sum())], pa.int64())})
+
+    ds = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_partkey", "l_shipdate",
+                      "l_extendedprice", "l_discount"])
+    agg = ds.map_batches(partials, batch_format="pyarrow").aggregate(
+        Sum("promo_e4", alias_name="promo_e4"),
+        Sum("total_e4", alias_name="total_e4"))
+    p, t = int(agg["promo_e4"]), int(agg["total_e4"])
+    return pd.DataFrame({"promo_e4": [p], "total_e4": [t],
+                         "promo_share": [100.0 * float(p) / float(t)]})
+
+
+def max_acctbal_per_nation(sf_dir: str):
+    """Correlated-subquery shape (TPC-H Q2's argmax-per-group
+    join-back): the customer(s) holding each nation's maximum balance,
+    ties included. Pass 1 is a bounded groupby-Max (25 nations) whose
+    result is collected + broadcast; pass 2 is a streaming filter of
+    the big side against the broadcast maxima — no row-level join."""
+    import ray
+    from ray.data.aggregate import Max
+
+    mx = (_rp(f"{sf_dir}/customer.parquet",
+              columns=["c_nationkey", "c_acctbal"])
+          .groupby("c_nationkey")
+          .aggregate(Max("c_acctbal", alias_name="mx"))
+          .to_pandas().sort_values("c_nationkey"))
+    mx_ref = ray.put((mx["c_nationkey"].to_numpy(), mx["mx"].to_numpy()))
+
+    def keep_max(t: pa.Table) -> pa.Table:
+        import ray as _r
+        nk, m = _r.get(mx_ref)
+        idx = np.searchsorted(nk, t["c_nationkey"].to_numpy())
+        return t.filter(pa.array(
+            t["c_acctbal"].to_numpy() == m[idx], pa.bool_()))
+
+    return (_rp(f"{sf_dir}/customer.parquet",
+                columns=["c_nationkey", "c_custkey", "c_name", "c_acctbal"])
+            .map_batches(keep_max, batch_format="pyarrow"))
+
+
+def ordered_balance_intersect(sf_dir: str):
+    """INTERSECT set op: customers that placed an order AND hold a
+    positive balance. Each side is projected to the key plus a side-tag
+    column before the union; the Max aggregate's combiner pre-reduces
+    duplicates during the shuffle, so blocks carry (key, two small
+    ints) partials only."""
+    from ray.data.aggregate import Max
+
+    o = (_rp(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+         .map_batches(lambda t: pa.table({
+             "custkey": t["o_custkey"],
+             "in_a": pa.array(np.ones(len(t), np.int64)),
+             "in_b": pa.array(np.zeros(len(t), np.int64))}),
+             batch_format="pyarrow"))
+
+    def pos(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], pa.scalar(0.0)))
+        return pa.table({"custkey": t["c_custkey"],
+                         "in_a": pa.array(np.zeros(len(t), np.int64)),
+                         "in_b": pa.array(np.ones(len(t), np.int64))})
+
+    c = (_rp(f"{sf_dir}/customer.parquet",
+             columns=["c_custkey", "c_acctbal"])
+         .map_batches(pos, batch_format="pyarrow"))
+
+    def both(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["max(in_a)"], pa.scalar(1)),
+                    pc.equal(t["max(in_b)"], pa.scalar(1)))
+        return pa.table({"custkey": t.filter(m)["custkey"]})
+
+    return (o.union(c).groupby("custkey")
+            .aggregate(Max("in_a"), Max("in_b"))
+            .map_batches(both, batch_format="pyarrow"))
+
+
+def events_rank(sf_dir: str):
+    """Per-group RANK() with ties (method=min): each user's top-3
+    events by value, ties sharing a rank (so >3 rows can survive).
+    Hash-partitioned on user_id like events_cumsum; integer milli
+    values make tie groups exact."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "value_milli": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)),
+            "_part": pa.array(t["user_id"].to_numpy() % 64, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rnk = (g.groupby("user_id", sort=False)["value_milli"]
+               .rank(method="min", ascending=False).astype(np.int64))
+        g = g.assign(rnk=rnk)
+        g = g[g["rnk"] <= 3]
+        return g[["user_id", "event_id", "value_milli", "rnk"]]
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def events_ntile(sf_dir: str):
+    """Global NTILE(4) over (value_milli, event_id) WITHOUT a global
+    sort: value_milli has bounded cardinality (2-decimal values over a
+    bounded range), so pass 1 aggregates a (value_milli -> count)
+    histogram whose cumulative sums give every row's global-rank base;
+    pass 2 hash-partitions rows, orders each value group by event_id
+    locally, and maps position -> bucket with the standard ntile split
+    (first N%4 buckets get one extra row). Same shape as
+    lang_quantiles' histogram-exact quantiles."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def milli(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "value_milli": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64))})
+
+    src = (_rp(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+           .map_batches(milli, batch_format="pyarrow"))
+
+    hist = (src.groupby("value_milli").aggregate(Count())
+            .to_pandas().sort_values("value_milli"))
+    vm_sorted = hist["value_milli"].to_numpy()
+    counts = hist["count()"].to_numpy().astype(np.int64)
+    cum_before = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    off_ref = ray.put((vm_sorted, cum_before))
+
+    base, rem = divmod(n_total, 4)
+    cut = rem * (base + 1)
+
+    def bucketize(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+        vms, cb = _r.get(off_ref)
+        g = g.sort_values(["value_milli", "event_id"], kind="stable")
+        local = g.groupby("value_milli", sort=False).cumcount().to_numpy()
+        pos0 = cb[np.searchsorted(vms, g["value_milli"].to_numpy())] + local
+        if base == 0:
+            bucket = pos0 + 1
+        else:
+            bucket = np.where(pos0 < cut, pos0 // (base + 1) + 1,
+                              rem + (np.maximum(pos0 - cut, 0)) // base + 1)
+        return g.assign(bucket=bucket.astype(np.int64))[
+            ["event_id", "value_milli", "bucket"]]
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(
+            t["value_milli"].to_numpy() % 64, pa.int64()))
+
+    return (src.map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(bucketize, batch_format="pandas"))
+
+
+def type_user_counts(sf_dir: str):
+    """COUNT(DISTINCT) per group: distinct users and total events per
+    event type, as a two-level aggregate — groupby (type, user) with a
+    combiner Count, then groupby type counting groups and summing the
+    inner counts. No distinct-set shipping; both shuffles carry
+    pre-aggregated partials."""
+    from ray.data.aggregate import Count, Sum
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "n_users": pa.array(np.ones(len(t), np.int64)),
+                         "n_events": t["count()"]})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_type", "user_id"])
+            .groupby(["event_type", "user_id"]).aggregate(Count())
+            .map_batches(rename, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n_users", alias_name="n_users"),
+                       Sum("n_events", alias_name="n_events")))
+
+
+def nation_activity_full_join(sf_dir: str):
+    """FULL OUTER JOIN shape: per-nation customer and supplier counts,
+    keeping nations present on either side. Both sides pre-aggregate to
+    (nationkey, count) with zero-filled columns for the other side,
+    then one union + groupby-Sum merges them — the outer-join null
+    handling becomes additive identity, no join operator needed."""
+    from ray.data.aggregate import Count, Sum
+
+    def tag(col_mine, col_other):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "nationkey": pc.cast(t[t.column_names[0]], pa.int64()),
+                col_mine: t["count()"],
+                col_other: pa.array(np.zeros(len(t), np.int64))})
+        return f
+
+    c = (_rp(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+         .groupby("c_nationkey").aggregate(Count())
+         .map_batches(tag("n_cust", "n_supp"), batch_format="pyarrow"))
+    s = (_rp(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+         .groupby("s_nationkey").aggregate(Count())
+         .map_batches(tag("n_supp", "n_cust"), batch_format="pyarrow"))
+
+    return (c.union(s).groupby("nationkey")
+            .aggregate(Sum("n_cust", alias_name="n_cust"),
+                       Sum("n_supp", alias_name="n_supp")))
