@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": q.events_ntile,
         "type_user_counts": q.type_user_counts,
         "nation_activity_full_join": q.nation_activity_full_join,
+        "top_event_type": q.top_event_type,
+        "value_moments": q.value_moments,
     }
 
 
@@ -1259,5 +1261,27 @@ SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
        CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
        CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
 FROM c FULL JOIN s ON c.nationkey = s.nationkey
+"""
+    sqls["top_event_type"] = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+     r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type) AS rn
+           FROM c)
+SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
+    sqls["value_moments"] = """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(vm) AS BIGINT) AS s_milli,
+       CAST(SUM(vm * vm) AS BIGINT) AS s2_milli,
+       CAST(SUM(vm) AS DOUBLE) / count(*) AS mean_milli,
+       (CAST(SUM(vm * vm) AS DOUBLE)
+        - CAST(SUM(vm) AS DOUBLE) * CAST(SUM(vm) AS DOUBLE) / count(*))
+       / (count(*) - 1) AS var_milli
+FROM v GROUP BY event_type
 """
     return sqls

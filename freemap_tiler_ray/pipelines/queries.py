@@ -2330,3 +2330,69 @@ def nation_activity_full_join(sf_dir: str):
     return (c.union(s).groupby("nationkey")
             .aggregate(Sum("n_cust", alias_name="n_cust"),
                        Sum("n_supp", alias_name="n_supp")))
+
+
+def top_event_type(sf_dir: str):
+    """Per-group MODE (argmax of counts with deterministic ties): each
+    user's most frequent event type, ties broken by type name. Level 1
+    is a combiner groupby over (user, type) — partials pre-reduce in
+    the shuffle; level 2 hash-partitions the (user, type, count) rows
+    (at most n_types per user) and takes one vectorized idxmax-style
+    sort per partition."""
+    from ray.data.aggregate import Count
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column("_part", pa.array(
+            t["user_id"].to_numpy() % 64, pa.int64()))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "count()", "event_type"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({"user_id": g["user_id"],
+                             "top_type": g["event_type"],
+                             "n": g["count()"]})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["user_id", "event_type"])
+            .groupby(["user_id", "event_type"]).aggregate(Count())
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("_part").map_groups(pick, batch_format="pandas"))
+
+
+def value_moments(sf_dir: str):
+    """Exact distributed moments per event type: n, sum and
+    sum-of-squares are integer milli sums (associative, order-free);
+    mean and sample variance are then derived with ONE double formula
+    on the tiny aggregate — the same closed form the oracle states, so
+    floats match bit-for-bit (a streaming double accumulation would
+    depend on reduction order)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        vm = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "vm": pa.array(vm),
+                         "vm2": pa.array(vm * vm)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count()"].to_numpy().astype(np.float64)
+        s = t["s_milli"].to_numpy().astype(np.float64)
+        s2 = t["s2_milli"].to_numpy().astype(np.float64)
+        mean = s / n
+        var = (s2 - s * s / n) / (n - 1.0)
+        return pa.table({"event_type": t["event_type"],
+                         "n": t["count()"],
+                         "s_milli": t["s_milli"],
+                         "s2_milli": t["s2_milli"],
+                         "mean_milli": pa.array(mean, pa.float64()),
+                         "var_milli": pa.array(var, pa.float64())})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(),
+                       Sum("vm", alias_name="s_milli"),
+                       Sum("vm2", alias_name="s2_milli"))
+            .map_batches(finish, batch_format="pyarrow"))
