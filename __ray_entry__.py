@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_activity_full_join": q.nation_activity_full_join,
         "top_event_type": q.top_event_type,
         "value_moments": q.value_moments,
+        "embedding_quantize": q.embedding_quantize,
     }
 
 
@@ -1283,5 +1284,21 @@ SELECT event_type,
         - CAST(SUM(vm) AS DOUBLE) * CAST(SUM(vm) AS DOUBLE) / count(*))
        / (count(*) - 1) AS var_milli
 FROM v GROUP BY event_type
+"""
+    sqls["embedding_quantize"] = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+m AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS mx
+      FROM e GROUP BY vec_id),
+q AS (SELECT e.vec_id, m.mx,
+             CAST(floor(CAST(e.x AS DOUBLE) * 127.0 / m.mx) AS BIGINT) AS q8,
+             CAST(e.i AS BIGINT) AS i
+      FROM e JOIN m ON e.vec_id = m.vec_id)
+SELECT vec_id, max(mx) AS mx,
+       CAST(SUM(q8) AS BIGINT) AS q_sum,
+       CAST(min(q8) AS BIGINT) AS q_min,
+       CAST(max(q8) AS BIGINT) AS q_max,
+       CAST(SUM(q8 * i) AS BIGINT) AS q_fold
+FROM q GROUP BY vec_id
 """
     return sqls

@@ -2396,3 +2396,30 @@ def value_moments(sf_dir: str):
                        Sum("vm", alias_name="s_milli"),
                        Sum("vm2", alias_name="s2_milli"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def embedding_quantize(sf_dir: str):
+    """Int8 vector quantization (the storage/ANN compression step):
+    per-vector symmetric scale mx = max|x|, q8 = floor(x * 127 / mx).
+    One zero-copy matrix kernel per batch, no shuffle; the result is
+    summarized per vector with exact integer folds (sum, min, max,
+    position-weighted fold) so the oracle compares the full quantized
+    payload without shipping n_vec x 64 rows."""
+    from ..stages.ann import _matrix
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = _matrix(t["embedding"])          # (n, 64) float64, zero-copy
+        mx = np.abs(m).max(axis=1)
+        q = np.floor(m * 127.0 / mx[:, None]).astype(np.int64)
+        i = np.arange(1, m.shape[1] + 1, dtype=np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "mx": pa.array(mx, pa.float64()),
+            "q_sum": pa.array(q.sum(axis=1)),
+            "q_min": pa.array(q.min(axis=1)),
+            "q_max": pa.array(q.max(axis=1)),
+            "q_fold": pa.array((q * i).sum(axis=1))})
+
+    return (_rp(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+            .map_batches(quant, batch_format="pyarrow"))
