@@ -24,6 +24,15 @@ from ..stages.spatial import (PIPJoinStage, add_doc_points, knn_join,
 
 CELL_RES = 6
 
+# Fan-out of the hash-partitioned map_groups stages (events windows,
+# rank/cumsum/ntile, sequences, as-of/range joins). Results are
+# partition-invariant (each group key lives wholly inside one
+# partition either way); the default suits 32 local CPUs — on a real
+# cluster size it to ~2-4x the total task slots so no partition
+# outgrows a worker (FTR_HASH_PARTS env).
+import os as _os
+_HASH_PARTS = int(_os.environ.get("FTR_HASH_PARTS", "64"))
+
 
 # read_parquet with the file-level pandas metadata stripped — see
 # sources/pq.py for why (schema-hash dedup in hash-shuffle stages).
@@ -568,7 +577,7 @@ def events_range_join(sf_dir: str):
         k = t["key"].to_numpy().astype(np.uint64)
         h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return t.append_column(
-            "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
+            "_part", pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64)))
 
     def rjoin(g: pd.DataFrame) -> pd.DataFrame:
         is_o = (g["side"] == "o").to_numpy()
@@ -634,7 +643,7 @@ def events_asof(sf_dir: str):
         k = t["key"].to_numpy().astype(np.uint64)
         h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return t.append_column(
-            "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
+            "_part", pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64)))
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         # one call per hash partition: both sides sorted by (key, us),
@@ -1270,7 +1279,7 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30):
         u = t["user_id"].to_numpy().astype(np.uint64)
         h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         return t.append_column(
-            "_part", pa.array((h % np.uint64(64)).astype(np.int64)))
+            "_part", pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64)))
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         # one call per hash partition; a sorted scan sessionizes every
@@ -1442,7 +1451,7 @@ def events_lag(sf_dir: str):
             "user_id": t["user_id"],
             "us": pa.array(t["ts"].to_numpy().astype("datetime64[us]")
                            .view("int64"), pa.int64()),
-            "_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+            "_part": pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64))})
 
     def lag(g: pd.DataFrame) -> pa.Table:
         u = g["user_id"].to_numpy()
@@ -1670,7 +1679,7 @@ def user_sequences(sf_dir: str):
                            .view("int64"), pa.int64()),
             "event_id": t["event_id"],
             "event_type": t["event_type"],
-            "_part": pa.array((h % np.uint64(64)).astype(np.int64))})
+            "_part": pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64))})
 
     def seq(g: pd.DataFrame) -> pa.Table:
         u = g["user_id"].to_numpy()
@@ -2052,7 +2061,7 @@ def events_cumsum(sf_dir: str):
             "ts_us": pa.array(us, pa.int64()),
             "value_milli": pa.array(
                 np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)),
-            "_part": pa.array(t["user_id"].to_numpy() % 64, pa.int64())})
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS, pa.int64())})
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
@@ -2212,7 +2221,7 @@ def events_rank(sf_dir: str):
             "user_id": t["user_id"],
             "value_milli": pa.array(
                 np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)),
-            "_part": pa.array(t["user_id"].to_numpy() % 64, pa.int64())})
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS, pa.int64())})
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         rnk = (g.groupby("user_id", sort=False)["value_milli"]
@@ -2276,7 +2285,7 @@ def events_ntile(sf_dir: str):
 
     def part(t: pa.Table) -> pa.Table:
         return t.append_column("_part", pa.array(
-            t["value_milli"].to_numpy() % 64, pa.int64()))
+            t["value_milli"].to_numpy() % _HASH_PARTS, pa.int64()))
 
     return (src.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(bucketize, batch_format="pandas"))
@@ -2343,7 +2352,7 @@ def top_event_type(sf_dir: str):
 
     def part(t: pa.Table) -> pa.Table:
         return t.append_column("_part", pa.array(
-            t["user_id"].to_numpy() % 64, pa.int64()))
+            t["user_id"].to_numpy() % _HASH_PARTS, pa.int64()))
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "count()", "event_type"],
