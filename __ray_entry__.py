@@ -310,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_type": q.top_event_type,
         "value_moments": q.value_moments,
         "embedding_quantize": q.embedding_quantize,
+        "cube_revenue": q.cube_revenue,
     }
 
 
@@ -1300,5 +1301,15 @@ SELECT vec_id, max(mx) AS mx,
        CAST(max(q8) AS BIGINT) AS q_max,
        CAST(SUM(q8 * i) AS BIGINT) AS q_fold
 FROM q GROUP BY vec_id
+"""
+    sqls["cube_revenue"] = """
+WITH b AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS oyear,
+                  o_orderpriority AS prio,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT COALESCE(oyear, 'ALL') AS oyear, COALESCE(prio, 'ALL') AS prio,
+       CAST(SUM(cents) AS BIGINT) AS revenue_c,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY CUBE (oyear, prio)
 """
     return sqls

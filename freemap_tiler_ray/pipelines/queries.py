@@ -2432,3 +2432,48 @@ def embedding_quantize(sf_dir: str):
     return (_rp(f"{sf_dir}/embeddings.parquet",
                 columns=["vec_id", "embedding"])
             .map_batches(quant, batch_format="pyarrow"))
+
+
+def cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (order year, priority): the ROLLUP levels plus the
+    per-priority margin. Same shape as rollup_revenue — ONE distributed
+    integer-cents base aggregate, all four grouping sets folded from
+    the tiny base with no second pass over orders."""
+    from ray.data.aggregate import Sum
+
+    def opart(t: pa.Table) -> pa.Table:
+        df = t.select(["o_orderdate", "o_orderpriority",
+                       "o_totalprice"]).to_pandas()
+        g = pd.DataFrame({
+            "oyear": df["o_orderdate"].dt.year.astype(np.int64).astype(str),
+            "prio": df["o_orderpriority"],
+            "revenue_c": np.floor(
+                df["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+            "n_orders": np.ones(len(df), np.int64),
+        }).groupby(["oyear", "prio"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    base = (_rp(f"{sf_dir}/orders.parquet",
+                columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+            .map_batches(opart, batch_format="pyarrow")
+            .groupby(["oyear", "prio"])
+            .aggregate(Sum("revenue_c", alias_name="revenue_c"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())
+
+    cols = ["oyear", "prio", "revenue_c", "n_orders"]
+    by_year = (base.groupby("oyear", as_index=False)
+               [["revenue_c", "n_orders"]].sum())
+    by_year["prio"] = "ALL"
+    by_prio = (base.groupby("prio", as_index=False)
+               [["revenue_c", "n_orders"]].sum())
+    by_prio["oyear"] = "ALL"
+    total = pd.DataFrame({"oyear": ["ALL"], "prio": ["ALL"],
+                          "revenue_c": [base["revenue_c"].sum()],
+                          "n_orders": [base["n_orders"].sum()]})
+    out = pd.concat([base[cols], by_year[cols], by_prio[cols],
+                     total[cols]], ignore_index=True)
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out
