@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments": q.value_moments,
         "embedding_quantize": q.embedding_quantize,
         "cube_revenue": q.cube_revenue,
+        "dormant_customer_except": q.dormant_customer_except,
+        "user_first_last": q.user_first_last,
     }
 
 
@@ -1311,5 +1313,22 @@ SELECT COALESCE(oyear, 'ALL') AS oyear, COALESCE(prio, 'ALL') AS prio,
        CAST(SUM(cents) AS BIGINT) AS revenue_c,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM b GROUP BY CUBE (oyear, prio)
+"""
+    sqls["dormant_customer_except"] = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+    sqls["user_first_last"] = """
+WITH o AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       max(CASE WHEN rn = n THEN event_type END) AS last_type,
+       CAST(max(n) AS BIGINT) AS n_events
+FROM o GROUP BY user_id
 """
     return sqls

@@ -2477,3 +2477,74 @@ def cube_revenue(sf_dir: str):
     out["revenue_c"] = out["revenue_c"].astype(np.int64)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out
+
+
+def dormant_customer_except(sf_dir: str):
+    """EXCEPT set op: positive-balance customers that never placed a
+    high-value (>300k) order. Same tagged-union shape as the INTERSECT
+    query — the EXCEPT semantics is just the (in_a, not in_b) filter on
+    the merged per-key tags."""
+    from ray.data.aggregate import Max
+
+    def pos(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], pa.scalar(0.0)))
+        return pa.table({"custkey": t["c_custkey"],
+                         "in_a": pa.array(np.ones(len(t), np.int64)),
+                         "in_b": pa.array(np.zeros(len(t), np.int64))})
+
+    c = (_rp(f"{sf_dir}/customer.parquet",
+             columns=["c_custkey", "c_acctbal"])
+         .map_batches(pos, batch_format="pyarrow"))
+
+    def big(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0)))
+        return pa.table({"custkey": t["o_custkey"],
+                         "in_a": pa.array(np.zeros(len(t), np.int64)),
+                         "in_b": pa.array(np.ones(len(t), np.int64))})
+
+    o = (_rp(f"{sf_dir}/orders.parquet",
+             columns=["o_custkey", "o_totalprice"])
+         .map_batches(big, batch_format="pyarrow"))
+
+    def only_a(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["max(in_a)"], pa.scalar(1)),
+                    pc.equal(t["max(in_b)"], pa.scalar(0)))
+        return pa.table({"custkey": t.filter(m)["custkey"]})
+
+    return (c.union(o).groupby("custkey")
+            .aggregate(Max("in_a"), Max("in_b"))
+            .map_batches(only_a, batch_format="pyarrow"))
+
+
+def user_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window shape: each user's first and
+    last event type in (ts, event_id) order, plus their event count.
+    One hash-partitioned fold — a single vectorized sort per partition,
+    then grouped head/tail takes (no per-row Python)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "ts_us": pa.array(us, pa.int64()),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        gb = g.groupby("user_id", sort=False)
+        first = gb.head(1).set_index("user_id")["event_type"]
+        last = gb.tail(1).set_index("user_id")["event_type"]
+        n = gb.size()
+        return pd.DataFrame({"user_id": n.index.to_numpy(),
+                             "first_type": first.to_numpy(),
+                             "last_type": last.to_numpy(),
+                             "n_events": n.to_numpy().astype(np.int64)})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["user_id", "event_id", "event_type", "ts"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
