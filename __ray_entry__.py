@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": q.cube_revenue,
         "dormant_customer_except": q.dormant_customer_except,
         "user_first_last": q.user_first_last,
+        "events_pivot": q.events_pivot,
     }
 
 
@@ -1330,5 +1331,15 @@ SELECT user_id,
        max(CASE WHEN rn = n THEN event_type END) AS last_type,
        CAST(max(n) AS BIGINT) AS n_events
 FROM o GROUP BY user_id
+"""
+    sqls["events_pivot"] = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
 """
     return sqls

@@ -2548,3 +2548,32 @@ def user_first_last(sf_dir: str):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(fold, batch_format="pandas"))
+
+
+def events_pivot(sf_dir: str):
+    """PIVOT (long -> wide): per-user event counts spread into one
+    column per event type. The type domain is bounded (5), so each
+    batch emits a pre-pivoted partial (vectorized crosstab) and one
+    combiner groupby-Sum finishes — the wide row never exceeds
+    (key + n_types ints)."""
+    from ray.data.aggregate import Sum
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def crosstab(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(),
+                           "event_type": t["event_type"].to_pandas()})
+        ct = (df.groupby(["user_id", "event_type"], sort=False)
+              .size().unstack(fill_value=0))
+        cols = {"user_id": ct.index.to_numpy()}
+        for ty in TYPES:
+            cols[f"n_{ty}"] = (ct[ty].to_numpy().astype(np.int64)
+                               if ty in ct.columns
+                               else np.zeros(len(ct), np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in TYPES]
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["user_id", "event_type"])
+            .map_batches(crosstab, batch_format="pyarrow")
+            .groupby("user_id").aggregate(*aggs))
