@@ -204,3 +204,85 @@ def mg_merge(*parts: dict, k: int = 64) -> dict:
         for v, n in p.items():
             out[v] = out.get(v, 0) + n
     return _mg_trim(out, k)
+
+
+# ---------------------------------------------------------------------------
+# DD-style relative-error quantile sketch (log-binned histogram)
+# ---------------------------------------------------------------------------
+# The mergeable quantile path for 100 TB: each batch folds its values
+# into geometrically-spaced bins (bin(x) = ceil(log_gamma(x)) with
+# gamma = (1+alpha)/(1-alpha)); merge = sparse counter addition; a
+# quantile estimate is the midpoint 2*gamma^i/(gamma+1) of the bin
+# holding the target rank, which is within relative error alpha of the
+# true value at that rank. Fixed memory: when a sketch exceeds
+# max_bins, the lowest bins collapse into one (the paper's bound then
+# degrades only below the collapsed prefix). Non-negative inputs; a
+# dedicated zero counter handles exact zeros. Reference: Masson,
+# Rim & Lee, "DDSketch: a fast and fully-mergeable quantile sketch
+# with relative-error guarantees", VLDB 2019 (public).
+
+DD_ALPHA = 0.01
+DD_MAX_BINS = 2048
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_partial(values, alpha: float = DD_ALPHA,
+               max_bins: int = DD_MAX_BINS) -> dict:
+    """Sketch one batch of non-negative values: {'zero': n0,
+    'bins': {bin_index: count}} with geometric bins."""
+    x = np.asarray(values, np.float64)
+    if np.any(x < 0):
+        raise ValueError("dd sketch expects non-negative values")
+    n0 = int((x == 0).sum())
+    pos = x[x > 0]
+    out = {"zero": n0, "bins": {}}
+    if len(pos):
+        idx = np.ceil(np.log(pos) / np.log(_dd_gamma(alpha))).astype(np.int64)
+        b, c = np.unique(idx, return_counts=True)
+        out["bins"] = {int(k): int(v) for k, v in zip(b, c)}
+    return _dd_collapse(out, max_bins)
+
+
+def _dd_collapse(s: dict, max_bins: int) -> dict:
+    bins = s["bins"]
+    if len(bins) <= max_bins:
+        return s
+    keys = sorted(bins)
+    keep_from = len(keys) - max_bins + 1
+    low = sum(bins[k] for k in keys[:keep_from])
+    merged = {keys[keep_from - 1]: low}
+    for k in keys[keep_from:]:
+        merged[k] = bins[k]
+    return {"zero": s["zero"], "bins": merged}
+
+
+def dd_merge(*parts: dict, max_bins: int = DD_MAX_BINS) -> dict:
+    """Associative sparse-counter merge."""
+    out = {"zero": 0, "bins": {}}
+    for p in parts:
+        out["zero"] += p["zero"]
+        for k, v in p["bins"].items():
+            out["bins"][k] = out["bins"].get(k, 0) + v
+    return _dd_collapse(out, max_bins)
+
+
+def dd_quantile(s: dict, q: float, alpha: float = DD_ALPHA) -> float:
+    """Value estimate at quantile q (0 <= q <= 1): within relative
+    error alpha of the true value at rank ceil(q*(n-1)) (uncollapsed
+    bins; exact 0.0 when the rank falls in the zero counter)."""
+    n = s["zero"] + sum(s["bins"].values())
+    if n == 0:
+        raise ValueError("empty sketch")
+    rank = int(np.ceil(q * (n - 1)))
+    if rank < s["zero"]:
+        return 0.0
+    gamma = _dd_gamma(alpha)
+    cum = s["zero"]
+    for k in sorted(s["bins"]):
+        cum += s["bins"][k]
+        if cum > rank:
+            return 2.0 * gamma ** k / (gamma + 1.0)
+    return 2.0 * gamma ** max(s["bins"]) / (gamma + 1.0)

@@ -147,3 +147,82 @@ def test_misra_gries_error_bound_random():
                        mg_partial(vals[len(vals) // 2:], k=k), k=k)
     for v, c in summary.items():
         assert exact[v] - len(vals) / k <= c <= exact[v]
+
+
+def test_dd_quantile_relative_error_bound():
+    from freemap_tiler_ray.stages.sketch import (DD_ALPHA, dd_merge,
+                                                 dd_partial, dd_quantile)
+    rng = np.random.RandomState(7)
+    x = np.exp(rng.normal(0.0, 2.0, 20000))        # heavy-tailed positives
+    chunks = np.array_split(x, 13)
+    s = dd_merge(*[dd_partial(c) for c in chunks])
+    xs = np.sort(x)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        true = xs[int(np.ceil(q * (len(x) - 1)))]
+        est = dd_quantile(s, q)
+        assert abs(est - true) / true <= DD_ALPHA + 1e-12, (q, est, true)
+
+
+def test_dd_merge_equals_single_pass_and_is_associative():
+    from freemap_tiler_ray.stages.sketch import dd_merge, dd_partial
+    rng = np.random.RandomState(11)
+    x = np.abs(rng.normal(5.0, 3.0, 9000))
+    a, b, c = np.array_split(x, 3)
+    single = dd_partial(x)
+    left = dd_merge(dd_merge(dd_partial(a), dd_partial(b)), dd_partial(c))
+    right = dd_merge(dd_partial(a), dd_merge(dd_partial(b), dd_partial(c)))
+    assert single == left == right
+
+
+def test_dd_zero_counter_and_collapse_bound():
+    from freemap_tiler_ray.stages.sketch import (dd_merge, dd_partial,
+                                                 dd_quantile)
+    x = np.concatenate([np.zeros(50), np.exp(np.linspace(-8, 8, 950))])
+    s = dd_partial(x)
+    assert s["zero"] == 50
+    assert dd_quantile(s, 0.01) == 0.0
+    # force collapse to 16 bins: upper quantiles keep the bound, and
+    # the sketch size is capped
+    small = dd_merge(dd_partial(x[:500], max_bins=16),
+                     dd_partial(x[500:], max_bins=16), max_bins=16)
+    assert len(small["bins"]) <= 16
+    xs = np.sort(x)
+    true99 = xs[int(np.ceil(0.99 * (len(x) - 1)))]
+    est99 = dd_quantile(small, 0.99)
+    assert abs(est99 - true99) / true99 <= 0.011
+
+
+def test_dd_sketch_distributed_over_events(ray_session):
+    """The intended 100-TB shape: one fixed-size DD partial per batch
+    (map_batches), associative merge of the partial rows, quantiles
+    from the merged sketch within the alpha bound of exact."""
+    import pickle
+
+    import pyarrow as pa
+
+    from freemap_tiler_ray.sources.pq import read_parquet
+    from freemap_tiler_ray.stages.sketch import (DD_ALPHA, dd_merge,
+                                                 dd_partial, dd_quantile)
+
+    sf = "/root/testdata/sf0.001"
+
+    def part(t: pa.Table) -> pa.Table:
+        s = dd_partial(t["value"].to_numpy())
+        return pa.table({"sk": pa.array([pickle.dumps(s)], pa.binary())})
+
+    rows = (read_parquet(f"{sf}/events.parquet", columns=["value"])
+            .repartition(8)
+            .map_batches(part, batch_format="pyarrow")
+            .take_all())
+    merged = dd_merge(*[pickle.loads(r["sk"]) for r in rows])
+
+    import pyarrow.parquet as pq
+    x = pq.read_table(f"{sf}/events.parquet", columns=["value"]
+                      )["value"].to_numpy()
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        true = xs[int(np.ceil(q * (len(x) - 1)))]
+        if true == 0.0:
+            assert dd_quantile(merged, q) == 0.0
+        else:
+            assert abs(dd_quantile(merged, q) - true) / true <= DD_ALPHA
