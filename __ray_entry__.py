@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dormant_customer_except": q.dormant_customer_except,
         "user_first_last": q.user_first_last,
         "events_pivot": q.events_pivot,
+        # non-SQL-expressible (eigendecomposition) — no oracle entry;
+        # driver records the rows-only check, exactness pinned by
+        # tests/test_decomp.py against a full-matrix numpy reference.
+        "embedding_pca": q.embedding_pca,
     }
 
 

@@ -2577,3 +2577,19 @@ def events_pivot(sf_dir: str):
                 columns=["user_id", "event_type"])
             .map_batches(crosstab, batch_format="pyarrow")
             .groupby("user_id").aggregate(*aggs))
+
+
+def embedding_pca(sf_dir: str):
+    """Distributed PCA projection of the embedding table onto its top-8
+    principal axes: one fixed-size (n, sum, X^T X) partial per batch,
+    driver-side (d, d) eigendecomposition, broadcast matmul projection
+    (stages/decomp.py). Eigendecomposition is not SQL-expressible, so
+    this entry has no oracle (driver rows-only check); exactness vs a
+    full-matrix numpy reference is pinned by tests/test_decomp.py."""
+    from ..stages.decomp import pca_fit
+    from ..stages.decomp import pca_project as _project
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
+             columns=["vec_id", "embedding"])
+    mean, comps, _eig = pca_fit(ds, k=8)
+    return _project(ds, mean, comps)
