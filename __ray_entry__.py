@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dormant_customer_except": q.dormant_customer_except,
         "user_first_last": q.user_first_last,
         "events_pivot": q.events_pivot,
+        "q7_nation_volume": q.q7_nation_volume,
+        "q9_profit": q.q9_profit,
+        "q10_returned_items": q.q10_returned_items,
+        "q13_order_counts": q.q13_order_counts,
         # non-SQL-expressible (eigendecomposition) — no oracle entry;
         # driver records the rows-only check, exactness pinned by
         # tests/test_decomp.py against a full-matrix numpy reference.
@@ -1345,5 +1349,55 @@ SELECT user_id,
        CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
        CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
 FROM events GROUP BY user_id
+"""
+    sqls["q7_nation_volume"] = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                  AS BIGINT) AS rev_e4
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+    sqls["q9_profit"] = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem, part, supplier, orders, nation
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+    sqls["q10_returned_items"] = """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_e4
+  FROM orders, lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey)
+SELECT r.c_custkey, c_name, n_name, revenue_e4
+FROM rev r, customer, nation
+WHERE r.c_custkey = customer.c_custkey AND c_nationkey = n_nationkey
+ORDER BY revenue_e4 DESC, r.c_custkey LIMIT 20
+"""
+    sqls["q13_order_counts"] = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+GROUP BY c_count
 """
     return sqls

@@ -2593,3 +2593,295 @@ def embedding_pca(sf_dir: str):
              columns=["vec_id", "embedding"])
     mean, comps, _eig = pca_fit(ds, k=8)
     return _project(ds, mean, comps)
+
+
+# ---------------------------------------------------------------------------
+# round-3 TPC-H breadth: Q7 / Q9 / Q10 / Q13 shapes
+# ---------------------------------------------------------------------------
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
+    """(sorted keys, aligned vals) pair for searchsorted dim lookups."""
+    so = np.argsort(keys, kind="stable")
+    return keys[so], vals[so]
+
+
+def _supplier_nation(sf_dir: str):
+    """Broadcast-size supplier dim: suppkey -> nationkey (sorted pair)."""
+    import pyarrow.parquet as _pq
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    return _sorted_lookup(sup["s_suppkey"].to_numpy().astype(np.int64),
+                          sup["s_nationkey"].to_numpy().astype(np.int64))
+
+
+def _nation_names(sf_dir: str):
+    """nationkey -> n_name (sorted pair; 25 rows, driver-side)."""
+    import pyarrow.parquet as _pq
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet")
+    return _sorted_lookup(
+        nat["n_nationkey"].to_numpy().astype(np.int64),
+        nat["n_name"].to_numpy(zero_copy_only=False).astype(object))
+
+
+def _year_col(ts_col: "pa.ChunkedArray") -> np.ndarray:
+    """Calendar year of a timestamp[us] column as int64."""
+    d = ts_col.to_numpy().astype("datetime64[us]")
+    return d.astype("datetime64[Y]").astype(np.int64) + 1970
+
+
+Q7_NATIONS = ("NATION_3", "NATION_8")
+Q7_SHIP_LO = np.datetime64("1996-01-01T00:00:00", "us")
+Q7_SHIP_HI = np.datetime64("1998-01-01T00:00:00", "us")
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: revenue shipped between two nations, grouped by
+    (supp_nation, cust_nation, ship year), both directions.
+
+    Scale plan: supplier and nation are broadcast dims (searchsorted
+    rider arrays); lineitem is ship-date- and supp-nation-filtered at
+    the read so only matching rows (keys + year + int revenue) enter
+    the orders hash join; customer is nation-filtered to the two
+    nations before its hash join. The final groupby has at most
+    2 x n_years groups."""
+    from ray.data.aggregate import Sum
+
+    sup_keys, sup_nk = _supplier_nation(sf_dir)
+    nat_keys, nat_names = _nation_names(sf_dir)
+    want = {str(n): int(k) for k, n in zip(nat_keys, nat_names)
+            if str(n) in Q7_NATIONS}
+    nk_pair = np.array(sorted(want.values()), np.int64)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy().astype("datetime64[us]")
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        s_nat = sup_nk[np.searchsorted(sup_keys, sk)]
+        m = (d >= Q7_SHIP_LO) & (d < Q7_SHIP_HI) & np.isin(s_nat, nk_pair)
+        yr = (d[m].astype("datetime64[Y]").astype(np.int64) + 1970)
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * (1.0 - t["l_discount"].to_numpy()[m]))
+                      * 10000.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(m)),
+            "s_nationkey": pa.array(s_nat[m], pa.int64()),
+            "l_year": pa.array(yr, pa.int64()),
+            "revenue_e4": pa.array(e4, pa.int64())})
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                      "l_extendedprice", "l_discount"]
+             ).map_batches(li_prep, batch_format="pyarrow")
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    lo = li.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_flt(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy().astype(np.int64)
+        m = np.isin(nk, nk_pair)
+        return pa.table({"c_custkey": t["c_custkey"].filter(pa.array(m)),
+                         "c_nationkey": pa.array(nk[m], pa.int64())})
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"]
+               ).map_batches(cust_flt, batch_format="pyarrow")
+    j = lo.join(cust, join_type="inner", num_partitions=8,
+                on=("o_custkey",), right_on=("c_custkey",))
+
+    names = {int(k): str(nat_names[i]) for i, k in enumerate(nat_keys)}
+
+    def cross_pair(t: pa.Table) -> pa.Table:
+        s_nat = t["s_nationkey"].to_numpy()
+        c_nat = t["c_nationkey"].to_numpy()
+        m = s_nat != c_nat                  # both already in the pair set
+        sn = np.array([names[int(k)] for k in s_nat[m]], object)
+        cn = np.array([names[int(k)] for k in c_nat[m]], object)
+        return pa.table({
+            "supp_nation": pa.array(sn, pa.string()),
+            "cust_nation": pa.array(cn, pa.string()),
+            "l_year": t["l_year"].filter(pa.array(m)),
+            "revenue_e4": t["revenue_e4"].filter(pa.array(m))})
+
+    return (j.map_batches(cross_pair, batch_format="pyarrow")
+            .groupby(["supp_nation", "cust_nation", "l_year"])
+            .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+
+Q9_PART_SUBSTR = "widget"
+
+
+def q9_profit(sf_dir: str):
+    """TPC-H Q9 shape (no partsupp table in this schema): profit per
+    supplier nation per order year over parts whose name contains a
+    substring.
+
+    Scale plan: the part filter ships only the SORTED MATCHING KEY
+    ARRAY (not the dim) to workers; supplier/nation are broadcast
+    riders; the only wide op is the lineitem |X| orders hash join
+    carrying (key, nationkey, year-placeholder, int profit)."""
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    names = part["p_name"].to_numpy(zero_copy_only=False)
+    keep = np.char.find(names.astype(str), Q9_PART_SUBSTR) >= 0
+    pk_keep = np.sort(part["p_partkey"].to_numpy().astype(np.int64)[keep])
+
+    sup_keys, sup_nk = _supplier_nation(sf_dir)
+    nat_keys, nat_names = _nation_names(sf_dir)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(pk_keep, pk)
+        pos[pos == len(pk_keep)] = 0
+        m = pk_keep[pos] == pk if len(pk_keep) else np.zeros(len(pk), bool)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)[m]
+        s_nat = sup_nk[np.searchsorted(sup_keys, sk)]
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * (1.0 - t["l_discount"].to_numpy()[m]))
+                      * 10000.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(m)),
+            "s_nationkey": pa.array(s_nat, pa.int64()),
+            "profit_e4": pa.array(e4, pa.int64())})
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"]
+             ).map_batches(li_prep, batch_format="pyarrow")
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderdate"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    nname = {int(k): str(n) for k, n in zip(nat_keys, nat_names)}
+
+    def finish(t: pa.Table) -> pa.Table:
+        yr = _year_col(t["o_orderdate"])
+        nn = np.array([nname[int(k)] for k in t["s_nationkey"].to_numpy()],
+                      object)
+        return pa.table({"n_name": pa.array(nn, pa.string()),
+                         "o_year": pa.array(yr, pa.int64()),
+                         "profit_e4": t["profit_e4"]})
+
+    return (j.map_batches(finish, batch_format="pyarrow")
+            .groupby(["n_name", "o_year"])
+            .aggregate(Sum("profit_e4", alias_name="profit_e4")))
+
+
+Q10_LO = np.datetime64("1996-01-01T00:00:00", "us")
+Q10_HI = np.datetime64("1996-04-01T00:00:00", "us")
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items
+    in one quarter, enriched with name and nation.
+
+    Scale plan: both big tables are filtered at the read; the hash
+    join moves (orderkey, custkey) x (orderkey, int revenue); the
+    groupby is keyed on custkey (pre-aggregated by Ray); the top-20
+    enrichment touches exactly 20 customer rows (is_in filter on a
+    second pruned read)."""
+    from ray.data.aggregate import Sum
+
+    def odate(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy().astype("datetime64[us]")
+        m = (d >= Q10_LO) & (d < Q10_HI)
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(pa.array(m)),
+                         "o_custkey": t["o_custkey"].filter(pa.array(m))})
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                 ).map_batches(odate, batch_format="pyarrow")
+
+    def lret(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["l_returnflag"], "R")
+        t = t.filter(m)
+        e4 = np.floor((t["l_extendedprice"].to_numpy()
+                       * (1.0 - t["l_discount"].to_numpy()))
+                      * 10000.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_e4": pa.array(e4, pa.int64())})
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                      "l_discount"]
+             ).map_batches(lret, batch_format="pyarrow")
+
+    rev = (li.join(orders, join_type="inner", num_partitions=8,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+           .groupby("o_custkey")
+           .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+    top = (rev.sort([("revenue_e4"), ("o_custkey")],
+                    descending=[True, False]).limit(20).to_pandas())
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+
+    keys = pa.array(sorted(top["c_custkey"].tolist()), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["c_custkey"], value_set=keys)
+        return t.filter(m)
+
+    meta = (_rp(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(pick, batch_format="pyarrow").to_pandas())
+    nat_keys, nat_names = _nation_names(sf_dir)
+    pos = np.searchsorted(nat_keys, meta["c_nationkey"].to_numpy())
+    meta["n_name"] = nat_names[pos].astype(str)
+    out = top.merge(meta[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+    return out[["c_custkey", "c_name", "n_name", "revenue_e4"]]
+
+
+Q13_EXCL_PRIO = "1-URGENT"
+
+
+def q13_order_counts(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    (customers with zero qualifying orders included).
+
+    Scale plan: no customer |X| orders join at all — orders
+    pre-aggregate to (custkey, count) partials, one bounded groupby
+    per distinct count value, and the zero bucket is total_customers
+    minus customers-with-orders (two scalar reduces). Nothing keyed on
+    a skewed column."""
+    from ray.data.aggregate import Sum
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], Q13_EXCL_PRIO))
+        df = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy()})
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    per_cust = (_rp(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_orderpriority"])
+                .map_batches(flt, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("partial", alias_name="c_count")))
+
+    def hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_count": t["c_count"].to_numpy()})
+        g = df.groupby("c_count", as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "partial"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    dist = (per_cust.map_batches(hist, batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Sum("partial", alias_name="custdist"))
+            .to_pandas())
+
+    n_cust = _rp(f"{sf_dir}/customer.parquet",
+                 columns=["c_custkey"]).count()
+    n_with = int(dist["custdist"].sum())
+    if n_cust - n_with > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": [0], "custdist": [n_cust - n_with]})],
+            ignore_index=True)
+    dist["c_count"] = dist["c_count"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    return dist
