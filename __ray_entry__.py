@@ -315,7 +315,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": q.user_first_last,
         "events_pivot": q.events_pivot,
         "q7_nation_volume": q.q7_nation_volume,
+        "q8_market_share": q.q8_market_share,
         "q9_profit": q.q9_profit,
+        "q11_important_suppliers": q.q11_important_suppliers,
+        "q15_top_supplier": q.q15_top_supplier,
+        "q16_supplier_cnt": q.q16_supplier_cnt,
+        "q17_small_qty": q.q17_small_qty,
+        "q19_disjunctive": q.q19_disjunctive,
         "q10_returned_items": q.q10_returned_items,
         "q13_order_counts": q.q13_order_counts,
         # non-SQL-expressible (eigendecomposition) — no oracle entry;
@@ -1391,6 +1397,87 @@ SELECT r.c_custkey, c_name, n_name, revenue_e4
 FROM rev r, customer, nation
 WHERE r.c_custkey = customer.c_custkey AND c_nationkey = n_nationkey
 ORDER BY revenue_e4 DESC, r.c_custkey LIMIT 20
+"""
+    sqls["q8_market_share"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = 'NATION_8'
+                     THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                     * 10000.0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS vol_nation_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS vol_total_e4
+FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+     region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND p_type = 'ECONOMY'
+GROUP BY o_year
+"""
+    sqls["q11_important_suppliers"] = """
+WITH v AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * l_quantity * 10000.0)
+                       AS BIGINT)) AS BIGINT) AS value_e4
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, value_e4 FROM v
+WHERE value_e4 > (SELECT sum(value_e4) FROM v) * 0.0001
+"""
+    sqls["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 10000.0) AS BIGINT)) AS BIGINT)
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT rev.s_suppkey, s_name, total_revenue_e4
+FROM rev, supplier
+WHERE rev.s_suppkey = supplier.s_suppkey
+  AND total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+"""
+    sqls["q16_supplier_cnt"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part, lineitem
+WHERE p_partkey = l_partkey
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p_brand, p_type, p_size
+"""
+    sqls["q17_small_qty"] = """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 10000.0) AS BIGINT) AS price_e4
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'),
+st AS (
+  SELECT l_partkey,
+         CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty
+  FROM li GROUP BY l_partkey)
+SELECT CAST(sum(price_e4) AS BIGINT) AS small_rev_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li, st
+WHERE li.l_partkey = st.l_partkey
+  AND CAST(qty AS DOUBLE) < 0.2 * avg_qty
+"""
+    sqls["q19_disjunctive"] = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND (
+     (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 10
+      AND l_quantity BETWEEN 1 AND 20)
+  OR (p_brand = 'Brand#10' AND p_size BETWEEN 5 AND 20
+      AND l_quantity BETWEEN 10 AND 30)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 40
+      AND l_quantity BETWEEN 20 AND 50))
 """
     sqls["q13_order_counts"] = """
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -2885,3 +2885,350 @@ def q13_order_counts(sf_dir: str):
     dist["c_count"] = dist["c_count"].astype(np.int64)
     dist["custdist"] = dist["custdist"].astype(np.int64)
     return dist
+
+
+# ---------------------------------------------------------------------------
+# round-3 TPC-H breadth: Q8 / Q11 / Q15 / Q16 / Q17 / Q19 shapes
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_8"
+Q8_PTYPE = "ECONOMY"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a region's revenue volume
+    for one part type, per order year. The share is returned as its
+    two exact integer sums (numerator / denominator) so the compare is
+    bit-exact; the oracle divides identically if a ratio is wanted.
+
+    Scale plan: part filter -> sorted key array broadcast; supplier ->
+    nation broadcast rider on the lineitem scan; orders hash-joined on
+    orderkey; customer (region-filtered, keys only) hash-joined on
+    custkey; grouped by year (bounded)."""
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    keep = part["p_type"].to_numpy(zero_copy_only=False) == Q8_PTYPE
+    pk_keep = np.sort(part["p_partkey"].to_numpy().astype(np.int64)[keep])
+
+    sup_keys, sup_nk = _supplier_nation(sf_dir)
+    nat_keys, nat_names = _nation_names(sf_dir)
+    nation_key = int(nat_keys[list(map(str, nat_names)).index(Q8_NATION)])
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = _pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg["r_regionkey"].to_numpy().astype(np.int64)[
+        reg["r_name"].to_numpy(zero_copy_only=False) == Q8_REGION]
+    in_region = np.isin(nat["n_regionkey"].to_numpy().astype(np.int64), rk)
+    region_nk = np.sort(
+        nat["n_nationkey"].to_numpy().astype(np.int64)[in_region])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(pk_keep, pk)
+        pos[pos == len(pk_keep)] = 0
+        m = pk_keep[pos] == pk if len(pk_keep) else np.zeros(len(pk), bool)
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)[m]
+        s_nat = sup_nk[np.searchsorted(sup_keys, sk)]
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * (1.0 - t["l_discount"].to_numpy()[m]))
+                      * 10000.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].filter(pa.array(m)),
+            "vol_nation_e4": pa.array(
+                np.where(s_nat == nation_key, e4, 0), pa.int64()),
+            "vol_total_e4": pa.array(e4, pa.int64())})
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_partkey", "l_suppkey",
+                      "l_extendedprice", "l_discount"]
+             ).map_batches(li_prep, batch_format="pyarrow")
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lo = li.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_flt(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy().astype(np.int64)
+        m = np.isin(nk, region_nk)
+        return pa.table({"c_custkey": t["c_custkey"].filter(pa.array(m))})
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"]
+               ).map_batches(cust_flt, batch_format="pyarrow")
+    j = lo.join(cust, join_type="inner", num_partitions=8,
+                on=("o_custkey",), right_on=("c_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": pa.array(_year_col(t["o_orderdate"]), pa.int64()),
+            "vol_nation_e4": t["vol_nation_e4"],
+            "vol_total_e4": t["vol_total_e4"]})
+
+    return (j.map_batches(finish, batch_format="pyarrow")
+            .groupby("o_year")
+            .aggregate(Sum("vol_nation_e4", alias_name="vol_nation_e4"),
+                       Sum("vol_total_e4", alias_name="vol_total_e4")))
+
+
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.0001
+
+
+def q11_important_suppliers(sf_dir: str):
+    """TPC-H Q11 shape (no partsupp: supplier inventory value proxied
+    by shipped extendedprice x quantity): suppliers of one nation whose
+    value exceeds FRACTION of the nation total (scalar subquery).
+
+    Scale plan: the per-supplier aggregate is the only wide op
+    (bounded by #suppliers); the global total is a driver scalar from
+    that SMALL aggregate (not from raw rows), broadcast into a final
+    filter."""
+    from ray.data.aggregate import Sum
+
+    sup_keys, sup_nk = _supplier_nation(sf_dir)
+    nat_keys, nat_names = _nation_names(sf_dir)
+    nation_key = int(nat_keys[list(map(str, nat_names)).index(Q11_NATION)])
+    keep_sk = np.sort(sup_keys[sup_nk == nation_key])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keep_sk, sk)
+        pos[pos == len(keep_sk)] = 0
+        m = keep_sk[pos] == sk if len(keep_sk) else np.zeros(len(sk), bool)
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * t["l_quantity"].to_numpy()[m])
+                      * 10000.0).astype(np.int64)
+        return pa.table({"s_suppkey": pa.array(sk[m], pa.int64()),
+                         "value_e4": pa.array(e4, pa.int64())})
+
+    per_sup = (_rp(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_suppkey", "l_extendedprice", "l_quantity"])
+               .map_batches(li_prep, batch_format="pyarrow")
+               .groupby("s_suppkey")
+               .aggregate(Sum("value_e4", alias_name="value_e4")))
+    total = per_sup.sum("value_e4")
+    thresh = float(total) * Q11_FRACTION
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["value_e4"], pa.scalar(thresh)))
+
+    return per_sup.map_batches(flt, batch_format="pyarrow")
+
+
+Q15_LO = np.datetime64("1996-01-01T00:00:00", "us")
+Q15_HI = np.datetime64("1996-04-01T00:00:00", "us")
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarter revenue
+    (scalar max subquery, exact integer revenue).
+
+    Scale plan: one per-supplier aggregate (bounded by #suppliers),
+    driver scalar max over that aggregate, broadcast equality filter,
+    name enrichment from the broadcast supplier dim."""
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as _pq
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy().astype("datetime64[us]")
+        m = (d >= Q15_LO) & (d < Q15_HI)
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * (1.0 - t["l_discount"].to_numpy()[m]))
+                      * 10000.0).astype(np.int64)
+        return pa.table({
+            "s_suppkey": t["l_suppkey"].filter(pa.array(m)).cast(pa.int64()),
+            "total_revenue_e4": pa.array(e4, pa.int64())})
+
+    rev = (_rp(f"{sf_dir}/lineitem.parquet",
+               columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+           .map_batches(li_prep, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("total_revenue_e4", alias_name="total_revenue_e4")))
+    mx = rev.max("total_revenue_e4")
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["total_revenue_e4"], pa.scalar(int(mx))))
+
+    out = rev.map_batches(flt, batch_format="pyarrow").to_pandas()
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(sup, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue_e4"]]
+
+
+Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape (partsupp proxied by observed lineitem
+    part-supplier pairs): distinct supplier count per
+    (p_brand, p_type, p_size) for a size list.
+
+    Scale plan: part dims ride the lineitem scan as broadcast sorted
+    arrays; per-batch dedup of (brand, type, size, suppkey) partials,
+    one groupby on the 4-tuple to finish the distinct, then a bounded
+    3-key count."""
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_type",
+                                   "p_size"])
+    sizes = np.array(Q16_SIZES, np.int64)
+    m = np.isin(part["p_size"].to_numpy().astype(np.int64), sizes)
+    pk = part["p_partkey"].to_numpy().astype(np.int64)[m]
+    so = np.argsort(pk)
+    pk = pk[so]
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[m][so]
+    ptype = part["p_type"].to_numpy(zero_copy_only=False)[m][so]
+    psize = part["p_size"].to_numpy().astype(np.int64)[m][so]
+
+    def pairs(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(pk, k)
+        pos[pos == len(pk)] = 0
+        hit = pk[pos] == k if len(pk) else np.zeros(len(k), bool)
+        df = pd.DataFrame({
+            "p_brand": brand[pos[hit]],
+            "p_type": ptype[pos[hit]],
+            "p_size": psize[pos[hit]],
+            "s_suppkey": t["l_suppkey"].to_numpy().astype(np.int64)[hit]})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Count
+    distinct = (_rp(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_partkey", "l_suppkey"])
+                .map_batches(pairs, batch_format="pyarrow")
+                .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+                .aggregate(Count(alias_name="_c")))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({"p_brand": t["p_brand"], "p_type": t["p_type"],
+                         "p_size": t["p_size"],
+                         "one": pa.array(np.ones(len(t), np.int64))})
+
+    return (distinct.map_batches(ones, batch_format="pyarrow")
+            .groupby(["p_brand", "p_type", "p_size"])
+            .aggregate(Sum("one", alias_name="supplier_cnt")))
+
+
+Q17_BRAND = "Brand#5"
+
+
+def q17_small_qty(sf_dir: str):
+    """TPC-H Q17 shape: revenue from small-quantity lineitems, where
+    "small" is below 0.2x the part's average quantity (correlated
+    per-part aggregate). Quantities are integral, so avg is computed
+    as exact-int sum / count in float64 on both sides.
+
+    Scale plan: brand filter -> sorted key broadcast; the per-part
+    (sum, count) aggregate is bounded by #matching parts and
+    hash-joins back onto the filtered lineitem (no broadcast of an
+    O(parts) stats table)."""
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as _pq
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand"])
+    keep = part["p_brand"].to_numpy(zero_copy_only=False) == Q17_BRAND
+    pk_keep = np.sort(part["p_partkey"].to_numpy().astype(np.int64)[keep])
+
+    def li_flt(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(pk_keep, k)
+        pos[pos == len(pk_keep)] = 0
+        m = pk_keep[pos] == k if len(pk_keep) else np.zeros(len(k), bool)
+        qty = t["l_quantity"].to_numpy()[m].astype(np.int64)
+        e4 = np.floor(t["l_extendedprice"].to_numpy()[m]
+                      * 10000.0).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(k[m], pa.int64()),
+                         "qty": pa.array(qty, pa.int64()),
+                         "price_e4": pa.array(e4, pa.int64())})
+
+    li = (_rp(f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+          .map_batches(li_flt, batch_format="pyarrow"))
+
+    stats = (li.select_columns(["l_partkey", "qty"])
+             .groupby("l_partkey")
+             .aggregate(Sum("qty", alias_name="qty_sum"),
+                        Count(alias_name="qty_cnt")))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"p2": t["l_partkey"], "qty_sum": t["qty_sum"],
+                         "qty_cnt": t["qty_cnt"]})
+
+    stats = stats.map_batches(rename, batch_format="pyarrow")
+    j = li.join(stats, join_type="inner", num_partitions=8,
+                on=("l_partkey",), right_on=("p2",))
+
+    def small(t: pa.Table) -> pa.Table:
+        qty = t["qty"].to_numpy().astype(np.float64)
+        avg = (t["qty_sum"].to_numpy().astype(np.float64)
+               / t["qty_cnt"].to_numpy().astype(np.float64))
+        m = qty < 0.2 * avg
+        return pa.table({
+            "small_rev_e4": pa.array(t["price_e4"].to_numpy()[m], pa.int64()),
+            "one": pa.array(np.ones(int(m.sum()), np.int64))})
+
+    from ray.data.aggregate import Sum as _S
+    out = (j.map_batches(small, batch_format="pyarrow")
+           .sum(["small_rev_e4", "one"]))
+    return pd.DataFrame({"small_rev_e4": [int(out["sum(small_rev_e4)"])],
+                         "n_items": [int(out["sum(one)"])]})
+
+
+Q19_PREDS = (
+    ("Brand#5", 1, 10, 1, 20),
+    ("Brand#10", 5, 20, 10, 30),
+    ("Brand#2", 10, 40, 20, 50),
+)
+
+
+def q19_disjunctive(sf_dir: str):
+    """TPC-H Q19 shape: revenue under OR'd (brand, size-range,
+    qty-range) predicate triples — one scan, part dims broadcast as
+    sorted rider arrays, vectorized disjunction, global int sum."""
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    so = np.argsort(pk)
+    pk = pk[so]
+    brand = part["p_brand"].to_numpy(zero_copy_only=False)[so].astype(str)
+    psize = part["p_size"].to_numpy().astype(np.int64)[so]
+
+    def flt(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(pk, k)
+        pos[pos == len(pk)] = 0
+        hit = pk[pos] == k
+        qty = t["l_quantity"].to_numpy()
+        b, s = brand[pos], psize[pos]
+        m = np.zeros(len(k), bool)
+        for pb, s_lo, s_hi, q_lo, q_hi in Q19_PREDS:
+            m |= ((b == pb) & (s >= s_lo) & (s <= s_hi)
+                  & (qty >= q_lo) & (qty <= q_hi))
+        m &= hit
+        e4 = np.floor((t["l_extendedprice"].to_numpy()[m]
+                       * (1.0 - t["l_discount"].to_numpy()[m]))
+                      * 10000.0).astype(np.int64)
+        return pa.table({"revenue_e4": pa.array(e4, pa.int64()),
+                         "one": pa.array(np.ones(int(m.sum()), np.int64))})
+
+    out = (_rp(f"{sf_dir}/lineitem.parquet",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+           .map_batches(flt, batch_format="pyarrow")
+           .sum(["revenue_e4", "one"]))
+    return pd.DataFrame({"revenue_e4": [int(out["sum(revenue_e4)"])],
+                         "n_items": [int(out["sum(one)"])]})
