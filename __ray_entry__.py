@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_cnt": q.q16_supplier_cnt,
         "q17_small_qty": q.q17_small_qty,
         "q19_disjunctive": q.q19_disjunctive,
+        "pagerank": q.pagerank,
+        "geo_pairs": q.geo_pairs,
         "q10_returned_items": q.q10_returned_items,
         "q13_order_counts": q.q13_order_counts,
         # non-SQL-expressible (eigendecomposition) — no oracle entry;
@@ -1478,6 +1480,38 @@ WHERE p_partkey = l_partkey AND (
       AND l_quantity BETWEEN 10 AND 30)
   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 40
       AND l_quantity BETWEEN 20 AND 50))
+"""
+    sqls["pagerank"] = """
+WITH eo AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+            FROM orders, lineitem WHERE o_orderkey = l_orderkey),
+edges AS (SELECT u AS src, v AS dst FROM eo
+          UNION ALL SELECT v AS src, u AS dst FROM eo),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+r0 AS (SELECT node, d, CAST(1000000000 AS BIGINT) AS r FROM deg),
+s1 AS (SELECT e.dst AS node, sum(r0.r // r0.d) AS s
+       FROM edges e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+r1 AS (SELECT deg.node, deg.d,
+              CAST(150000000 + (85 * s1.s) // 100 AS BIGINT) AS r
+       FROM deg JOIN s1 ON deg.node = s1.node),
+s2 AS (SELECT e.dst AS node, sum(r1.r // r1.d) AS s
+       FROM edges e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+r2 AS (SELECT deg.node,
+              CAST(150000000 + (85 * s2.s) // 100 AS BIGINT) AS r
+       FROM deg JOIN s2 ON deg.node = s2.node)
+SELECT node, CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       r AS rank_e9
+FROM r2
+"""
+    sqls["geo_pairs"] = f"""
+WITH {_PTS_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+FROM pts a, pts b
+WHERE a.doc_id < b.doc_id
+  AND (a.lon - b.lon) * (a.lon - b.lon)
+        + (a.lat - b.lat) * (a.lat - b.lat) < 4.0
 """
     sqls["q13_order_counts"] = """
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

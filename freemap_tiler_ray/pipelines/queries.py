@@ -3232,3 +3232,192 @@ def q19_disjunctive(sf_dir: str):
            .sum(["revenue_e4", "one"]))
     return pd.DataFrame({"revenue_e4": [int(out["sum(revenue_e4)"])],
                          "n_items": [int(out["sum(one)"])]})
+
+
+# ---------------------------------------------------------------------------
+# round-3 graph + geo ops: PageRank (iterative) and distance-band self-join
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 2
+PR_ONE_E9 = 1_000_000_000      # fixed-point 1.0
+PR_BASE_E9 = 150_000_000       # (1 - d) with d = 0.85
+
+
+def pagerank(sf_dir: str):
+    """PageRank over the undirected customer—supplier co-occurrence
+    graph (an edge when a supplier ships any lineitem of a customer's
+    order), PR_ITERS power iterations.
+
+    All arithmetic is fixed-point int64 (rank_e9), so the result is
+    bit-exact and order-independent: contrib = r // deg, r' = 0.15 +
+    0.85 * sum(contrib) done as (85 * sum) // 100. Node ids namespace
+    customers as 2k and suppliers as 2k+1.
+
+    Scale plan: the edge list is built by ONE orders |X| lineitem hash
+    join and deduped by a (u, v) groupby; it and the degree table are
+    materialized once and reused across iterations (the canonical
+    iterative-graph checkpoint pattern, cf. dedup_clusters). Each
+    iteration is one hash join (edges |X| ranks on src) plus one
+    groupby-sum keyed on dst — no driver-side state, rank vector never
+    collected."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def uv(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t["o_custkey"].to_numpy().astype(np.int64) * 2,
+            "v": t["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    eo = (j.map_batches(uv, batch_format="pyarrow")
+          .groupby(["u", "v"]).aggregate(Count(alias_name="_c")))
+
+    def both(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    edges = t_edges = eo.map_batches(both, batch_format="pyarrow"
+                                     ).materialize()
+    deg = (t_edges.groupby("src").aggregate(Count(alias_name="d"))
+           .map_batches(lambda t: pa.table({"node": t["src"],
+                                            "d": t["d"]}),
+                        batch_format="pyarrow").materialize())
+
+    ranks = deg.map_batches(
+        lambda t: pa.table({"node": t["node"], "d": t["d"],
+                            "r": pa.array(np.full(len(t), PR_ONE_E9,
+                                                  np.int64))}),
+        batch_format="pyarrow")
+
+    for _ in range(PR_ITERS):
+        jr = edges.join(ranks, join_type="inner", num_partitions=8,
+                        on=("src",), right_on=("node",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            c = (t["r"].to_numpy().astype(np.int64)
+                 // t["d"].to_numpy().astype(np.int64))
+            return pa.table({"dst": t["dst"],
+                             "c": pa.array(c, pa.int64())})
+
+        s = (jr.map_batches(contrib, batch_format="pyarrow")
+             .groupby("dst").aggregate(Sum("c", alias_name="s")))
+
+        def newrank(t: pa.Table) -> pa.Table:
+            r = (PR_BASE_E9
+                 + (85 * t["s"].to_numpy().astype(np.int64)) // 100)
+            return pa.table({"n2": t["dst"],
+                             "r": pa.array(r, pa.int64())})
+
+        ranks = (deg.join(s.map_batches(newrank, batch_format="pyarrow"),
+                          join_type="inner", num_partitions=8,
+                          on=("node",), right_on=("n2",))
+                 .select_columns(["node", "d", "r"]).materialize())
+
+    def finish(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        kind = np.where(node % 2 == 0, "cust", "supp").astype(object)
+        return pa.table({"node": t["node"],
+                         "kind": pa.array(kind, pa.string()),
+                         "rank_e9": t["r"]})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+GEO_R_DEG = 2.0                # distance-band radius, planar degrees
+GEO_R2 = GEO_R_DEG * GEO_R_DEG
+
+
+def geo_pairs(sf_dir: str):
+    """Distance-band self-join: all doc pairs closer than GEO_R_DEG in
+    the planar lon/lat-degree metric (d2 = dlon^2 + dlat^2, exact IEEE
+    mul/add only — bit-reproducible against the SQL mirror).
+
+    Scale plan: grid-bucket prefilter with cell size = radius; each
+    point is hosted by its own cell and ghost-replicated into the four
+    forward-neighbor cells, so every candidate pair meets in EXACTLY
+    one group (own-triangle or own x ghost) — the same meet-once
+    contract as embedding_pairs' bucket-pair triangle. Group size is
+    bounded by point density per radius-sized cell; for skewed
+    real-world densities salt hot cells (stages/salt.py)."""
+
+    FWD = ((1, 0), (1, 1), (0, 1), (-1, 1))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = add_doc_points(t)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        lon = t["lon"].to_numpy()
+        lat = t["lat"].to_numpy()
+        ix = np.floor(lon / GEO_R_DEG).astype(np.int64)
+        iy = np.floor(lat / GEO_R_DEG).astype(np.int64)
+        gx = [ix]
+        gy = [iy]
+        role = [np.zeros(len(ids), np.int8)]
+        for dx, dy in FWD:
+            gx.append(ix + dx)
+            gy.append(iy + dy)
+            role.append(np.ones(len(ids), np.int8))
+        k = len(FWD) + 1
+        return pa.table({
+            "gx": pa.array(np.concatenate(gx), pa.int64()),
+            "gy": pa.array(np.concatenate(gy), pa.int64()),
+            "role": pa.array(np.concatenate(role), pa.int8()),
+            "doc_id": pa.array(np.tile(ids, k), pa.int64()),
+            "lon": pa.array(np.tile(lon, k)),
+            "lat": pa.array(np.tile(lat, k))})
+
+    def pairgen(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["role"] == 0]
+        gho = g[g["role"] == 1]
+        out_a, out_b, out_d2 = [], [], []
+
+        def emit(a_ids, a_lon, a_lat, b_ids, b_lon, b_lat):
+            # doc_a = smaller id; d2 in that orientation (symmetric
+            # anyway: (x-y)^2 == (y-x)^2 exactly in IEEE)
+            dlon = a_lon - b_lon
+            dlat = a_lat - b_lat
+            d2 = dlon * dlon + dlat * dlat
+            m = d2 < GEO_R2
+            a, b = a_ids[m], b_ids[m]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_d2.append(d2[m])
+
+        oi = own["doc_id"].to_numpy()
+        olon = own["lon"].to_numpy()
+        olat = own["lat"].to_numpy()
+        n = len(oi)
+        if n > 1:
+            iu, ju = np.triu_indices(n, k=1)
+            emit(oi[iu], olon[iu], olat[iu], oi[ju], olon[ju], olat[ju])
+        if n and len(gho):
+            gi = gho["doc_id"].to_numpy()
+            glon = gho["lon"].to_numpy()
+            glat = gho["lat"].to_numpy()
+            ii = np.repeat(np.arange(n), len(gi))
+            jj = np.tile(np.arange(len(gi)), n)
+            emit(oi[ii], olon[ii], olat[ii], gi[jj], glon[jj], glat[jj])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "d2": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "d2": np.concatenate(out_d2)})
+
+    return (_docs(sf_dir)
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby(["gx", "gy"])
+            .map_groups(pairgen, batch_format="pandas"))
