@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive": q.q19_disjunctive,
         "pagerank": q.pagerank,
         "geo_pairs": q.geo_pairs,
+        "dup_spans": q.dup_spans,
         "q10_returned_items": q.q10_returned_items,
         "q13_order_counts": q.q13_order_counts,
         # non-SQL-expressible (eigendecomposition) — no oracle entry;
@@ -1512,6 +1513,29 @@ FROM pts a, pts b
 WHERE a.doc_id < b.doc_id
   AND (a.lon - b.lon) * (a.lon - b.lon)
         + (a.lat - b.lat) * (a.lat - b.lat) < 4.0
+"""
+    sqls["dup_spans"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+i AS (SELECT doc_id, s,
+             unnest(generate_series(1, GREATEST(len(s) - 7, 0))) AS i
+      FROM t),
+g AS (SELECT doc_id, i,
+             array_to_string(list_slice(s, i, i + 7), ' ') AS gram FROM i),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT doc_id, i FROM g JOIN c USING (gram)),
+r AS (SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       <= 7
+                  THEN 0 ELSE 1 END AS is_start FROM d),
+rr AS (SELECT doc_id, i,
+              sum(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS run
+       FROM r),
+agg AS (SELECT doc_id, run, count(*) AS starts, min(i) AS a, max(i) AS b
+        FROM rr GROUP BY doc_id, run)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(starts) AS BIGINT) AS dup_grams,
+       CAST(sum(b - a + 8) AS BIGINT) AS dup_tokens
+FROM agg GROUP BY doc_id
 """
     sqls["q13_order_counts"] = """
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

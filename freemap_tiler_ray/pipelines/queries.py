@@ -3421,3 +3421,105 @@ def geo_pairs(sf_dir: str):
             .map_batches(bucket, batch_format="pyarrow")
             .groupby(["gx", "gy"])
             .map_groups(pairgen, batch_format="pandas"))
+
+
+DUP_L = 8          # tokens per overlapping gram (exact-substring dedup)
+
+
+def dup_spans(sf_dir: str):
+    """Exact-substring dedup (the Lee-et-al training-data shape):
+    slide a DUP_L-token gram (stride 1) over every doc, count each
+    gram's global occurrences, keep occurrences of grams seen >= 2
+    times anywhere in the corpus, and merge each doc's surviving gram
+    starts into maximal overlapping spans. Per doc: span count,
+    duplicated-gram count, and tokens covered by the span union.
+
+    Scale plan: gram construction is flat char-offset arithmetic (no
+    per-token Python); the one wide op is the gram-keyed groupby whose
+    groups are occurrence lists (bounded by a gram's global frequency
+    — salt degenerate grams if a corpus has boilerplate); the per-doc
+    merge groups are bounded by doc length. At 100 TB the gram string
+    key would be swapped for a 128-bit fingerprint to cut shuffle
+    bytes (kept as the string here because the oracle pins exact gram
+    identity)."""
+    from ray.data.aggregate import Sum
+
+    L = DUP_L
+
+    def grams(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "text"]).to_pandas()
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "i": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate(toks.to_numpy())
+        tok_len = pd.Series(flat).str.len().to_numpy().astype(np.int64)
+        gstart = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(tok_len + 1, out=gstart[1:])
+        dtok = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=dtok[1:])
+        tstart = gstart[:-1] - np.repeat(gstart[dtok[:-1]], n)
+        ng = np.maximum(n - L + 1, 0)
+        cum = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(ng, out=cum[1:])
+        total = int(cum[-1])
+        if not total:
+            return empty
+        pos = np.arange(total) - np.repeat(cum[:-1], ng)   # in-doc start
+        first = np.repeat(dtok[:-1], ng) + pos
+        last = first + L - 1
+        s = tstart[first]
+        e = tstart[last] + tok_len[last]
+        texts = np.repeat(df["text"].to_numpy(), ng)
+        gram = [txt[a:b] for txt, a, b in zip(texts, s, e)]
+        return pa.table({
+            "gram": pa.array(gram, pa.string()),
+            "doc_id": pa.array(np.repeat(df["doc_id"].to_numpy(), ng),
+                               pa.int64()),
+            "i": pa.array(pos + 1, pa.int64())})   # 1-based like the SQL
+
+    def keep_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per gram string; survivors = groups with >= 2 rows
+        c = g.groupby("gram", sort=False)["doc_id"].transform("size")
+        g = g[c.to_numpy() >= 2]
+        return g[["doc_id", "i"]]
+
+    dups = (_docs(sf_dir, ("doc_id", "text"))
+            .map_batches(grams, batch_format="pyarrow")
+            .groupby("gram")
+            .map_groups(keep_dups, batch_format="pandas"))
+
+    def merge_runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "i"], kind="stable")
+        ids = g["doc_id"].to_numpy()
+        i = g["i"].to_numpy()
+        new_doc = np.ones(len(g), bool)
+        new_doc[1:] = ids[1:] != ids[:-1]
+        gap = np.ones(len(g), bool)
+        gap[1:] = i[1:] - i[:-1] >= L          # no overlap -> new span
+        start = new_doc | gap
+        run = np.cumsum(start) - 1
+        df = pd.DataFrame({"doc_id": ids, "i": i, "run": run})
+        spans = (df.groupby("run", sort=False)
+                 .agg(doc_id=("doc_id", "first"), a=("i", "min"),
+                      b=("i", "max"), starts=("i", "size")))
+        out = (spans.assign(tokens=lambda d: d["b"] - d["a"] + L)
+               .groupby("doc_id", sort=False)
+               .agg(n_dup_spans=("a", "size"),
+                    dup_grams=("starts", "sum"),
+                    dup_tokens=("tokens", "sum")).reset_index())
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def part_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(t["doc_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64()))
+
+    return (dups.map_batches(part_key, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(merge_runs, batch_format="pandas"))
