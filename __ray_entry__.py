@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.pagerank,
         "geo_pairs": q.geo_pairs,
         "dup_spans": q.dup_spans,
+        "events_hopping": q.events_hopping,
+        "funnel_conversion": q.funnel_conversion,
         "q10_returned_items": q.q10_returned_items,
         "q13_order_counts": q.q13_order_counts,
         # non-SQL-expressible (eigendecomposition) — no oracle entry;
@@ -1536,6 +1538,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
        CAST(sum(starts) AS BIGINT) AS dup_grams,
        CAST(sum(b - a + 8) AS BIGINT) AS dup_tokens
 FROM agg GROUP BY doc_id
+"""
+    sqls["events_hopping"] = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000 - k) * 3600000000 AS window_start_us,
+       count(*) AS n_events, min(value) AS min_value,
+       max(value) AS max_value
+FROM events, (VALUES (0), (1)) AS hops(k)
+GROUP BY event_type, window_start_us
+"""
+    sqls["funnel_conversion"] = """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.t1
+      GROUP BY e.user_id),
+p AS (SELECT DISTINCT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_signup_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_funnel
 """
     sqls["q13_order_counts"] = """
 SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

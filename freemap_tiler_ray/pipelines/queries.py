@@ -3523,3 +3523,93 @@ def dup_spans(sf_dir: str):
     return (dups.map_batches(part_key, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(merge_runs, batch_format="pandas"))
+
+
+HOP_SIZE_US = 7_200_000_000    # 2 h window
+HOP_STEP_US = 3_600_000_000    # 1 h hop -> every event in exactly 2 windows
+
+
+def events_hopping(sf_dir: str):
+    """Hopping (overlapping tumbling) window per event type: 2 h
+    windows hopping every 1 h — each event replicated into its
+    size/hop = 2 covering windows, partial (type, window) counts
+    pre-aggregated per batch, one bounded groupby-sum to finish (the
+    replicate-into-covering-windows pattern, same bounded-group
+    contract as events_sliding's bucketing)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def rep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        bucket = us // HOP_STEP_US
+        et = t["event_type"].to_pandas().to_numpy()
+        v = t["value"].to_numpy()
+        ws = np.concatenate([bucket, bucket - 1]) * HOP_STEP_US
+        df = pd.DataFrame({"event_type": np.tile(et, 2),
+                           "window_start_us": ws,
+                           "v": np.tile(v, 2)})
+        g = (df.groupby(["event_type", "window_start_us"], sort=False)
+             .agg(partial=("v", "size"), vmin=("v", "min"),
+                  vmax=("v", "max")).reset_index())
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["ts", "event_type", "value"])
+            .map_batches(rep, batch_format="pyarrow")
+            .groupby(["event_type", "window_start_us"])
+            .aggregate(Sum("partial", alias_name="n_events"),
+                       Min("vmin", alias_name="min_value"),
+                       Max("vmax", alias_name="max_value")))
+
+
+FUNNEL = ("signup", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str):
+    """Greedy 3-stage funnel over the event stream: users who signed
+    up, then clicked strictly after their first signup, then purchased
+    strictly after that earliest qualifying click. Emits the three
+    stage counts.
+
+    Scale plan: hash-partitioned by user (bounded groups), the greedy
+    stage times computed with vectorized per-partition groupby-mins
+    and merges — no cross-partition state; the result is three int
+    partials summed in one tiny reduce."""
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy().astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": pa.array(t["ts"].to_numpy().astype("datetime64[us]")
+                           .view("int64"), pa.int64()),
+            "event_type": t["event_type"],
+            "_part": pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g[g["event_type"] == FUNNEL[0]]
+             .groupby("user_id")["us"].min().rename("t1"))
+        c = g[g["event_type"] == FUNNEL[1]].merge(
+            s, left_on="user_id", right_index=True)
+        c = (c[c["us"] > c["t1"]]
+             .groupby("user_id")["us"].min().rename("t2"))
+        p = g[g["event_type"] == FUNNEL[2]].merge(
+            c, left_on="user_id", right_index=True)
+        p = p[p["us"] > p["t2"]]
+        return pd.DataFrame({
+            "n_signup": [np.int64(len(s))],
+            "n_signup_click": [np.int64(len(c))],
+            "n_funnel": [np.int64(p["user_id"].nunique())]})
+
+    parts = (_rp(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(fold, batch_format="pandas"))
+    tot = parts.sum(["n_signup", "n_signup_click", "n_funnel"])
+    return pd.DataFrame({
+        "n_signup": [int(tot["sum(n_signup)"])],
+        "n_signup_click": [int(tot["sum(n_signup_click)"])],
+        "n_funnel": [int(tot["sum(n_funnel)"])]})
