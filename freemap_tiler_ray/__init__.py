@@ -18,5 +18,7 @@ owned by bench.py, CLI entry points and the pytest fixture only.
 """
 
 from . import memtune as _memtune
+from . import ray_patches as _ray_patches
 
 _memtune.apply()
+_ray_patches.apply()

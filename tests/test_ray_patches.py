@@ -1,0 +1,58 @@
+"""Regression test for the hash-shuffle schema-loss workaround.
+
+Ray 2.49 drops a join side's schema when the FIRST block submitted for
+that side is empty (see freemap_tiler_ray/ray_patches.py for the full
+mechanics); any hash partition whose rows all filtered out then joins a
+zero-column table and raises ArrowInvalid.  This was the cause of the
+nondeterministic `q17_small_qty` failure observed in full-suite runs:
+q17's brand filter emits 0-row blocks, and whichever of them reached the
+join's shuffle operator first poisoned the schema broadcast.
+
+The repro is deterministic: a two-block right side whose first block is
+empty and whose single data row hashes into one of 8 partitions, so the
+other partitions receive no non-empty shard.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+import freemap_tiler_ray  # noqa: F401 - applies ray_patches on import
+from freemap_tiler_ray import ray_patches
+
+
+def test_patch_applied():
+    assert ray_patches.apply()
+
+
+def test_join_with_empty_first_block(ray_session):
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(16), pa.int64()),
+                  "v": pa.array(np.ones(16), pa.float64())}))
+    empty = pa.table({"p2": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
+    one = pa.table({"p2": pa.array([3], pa.int64()),
+                    "w": pa.array([7], pa.int64())})
+    right = ray.data.from_arrow([empty, one])
+    j = left.join(right, join_type="inner", num_partitions=8,
+                  on=("k",), right_on=("p2",))
+    out = j.take_all()
+    assert len(out) == 1
+    assert out[0]["k"] == 3 and out[0]["w"] == 7
+
+
+def test_join_with_both_sides_empty_first_block(ray_session):
+    le = pa.table({"k": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64())})
+    ld = pa.table({"k": pa.array([5], pa.int64()),
+                   "v": pa.array([2.0], pa.float64())})
+    re = pa.table({"p2": pa.array([], pa.int64()),
+                   "w": pa.array([], pa.int64())})
+    rd = pa.table({"p2": pa.array([5, 9], pa.int64()),
+                   "w": pa.array([1, 2], pa.int64())})
+    j = ray.data.from_arrow([le, ld]).join(
+        ray.data.from_arrow([re, rd]), join_type="inner",
+        num_partitions=8, on=("k",), right_on=("p2",))
+    out = j.take_all()
+    assert len(out) == 1
+    assert out[0]["v"] == 2.0 and out[0]["w"] == 1
