@@ -1223,8 +1223,9 @@ ORDER BY total_c DESC, o_custkey LIMIT 10
 """
     sqls["events_cumsum"] = """
 SELECT event_id, user_id,
-       SUM(CAST(floor(value * 1000) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_milli
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS running_milli
 FROM events
 """
     sqls["active_customer_union"] = """

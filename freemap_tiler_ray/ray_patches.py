@@ -1,36 +1,51 @@
 """Workarounds for upstream Ray Data defects, applied at import.
 
-ONE patch is active: `apply_hash_shuffle_schema_fix`.
+Ray 2.49's hash-shuffle join can end up joining a zero-COLUMN partition
+table, raising ``ArrowInvalid: No match or multiple matches for key
+field reference FieldRef.Name(<key>)``.  Two distinct mechanisms feed
+it (all code in ``ray/data/_internal/execution/operators/``):
 
-Ray 2.49's hash-shuffle join loses a join side's schema when the FIRST
-block submitted for that side has zero rows (common right after a
-selective `map_batches` filter).  Mechanics, all in
-`ray/data/_internal/execution/operators/hash_shuffle.py`:
+1. Empty FIRST block suppresses the schema broadcast
+   (``hash_shuffle.py``): the driver sets ``send_empty_blocks=True`` on
+   the first shuffle task of each input so aggregators learn the schema
+   from empty shards, and immediately marks
+   ``_has_schemas_broadcasted[input_index] = True`` — but the remote
+   ``_shuffle_block`` early-returns on a 0-row block BEFORE fanning out
+   those schema shards.  Every later task drops its empty shards, so a
+   hash partition whose rows all filtered out receives ZERO blocks and
+   ``JoinAggregation.finalize`` builds it as
+   ``ArrowBlockBuilder().build()`` -> zero columns.
 
-- the driver sets ``send_empty_blocks=True`` on the first shuffle task
-  of each input so aggregators learn the schema from empty shards, and
-  immediately marks ``_has_schemas_broadcasted[input_index] = True``;
-- but the remote ``_shuffle_block`` early-returns on a 0-row block
-  BEFORE fanning out those schema shards;
-- every later (non-first) task drops its empty shards, so any hash
-  partition whose rows all filtered out receives ZERO blocks;
-- ``JoinAggregation.finalize`` then builds that side's partition with
-  ``ArrowBlockBuilder().build()`` -> a zero-COLUMN table, and
-  ``pa.Table.join`` raises
-  ``ArrowInvalid: No match or multiple matches for key field reference
-  FieldRef.Name(<key>)``.
+2. Upstream hash AGGREGATES emit zero-column empties
+   (``hash_aggregate.py``): a groupby/aggregate finalizes its
+   key-empty partitions as schema-less ``_empty_table()`` blocks.
+   Map operators skip 0-row blocks, so these flow unchanged into a
+   downstream join; whichever reaches the join's shuffle first becomes
+   the "schema" broadcast — of zero columns.  (aggregate -> join is the
+   classic correlated-aggregate shape, e.g. TPC-H Q17.)
 
-The failure is nondeterministic in real pipelines (it depends on which
-block reaches the shuffle operator first), which made it look like a
-flake in long test runs.  `tests/test_ray_patches.py` holds a
-deterministic two-block repro.
+Both are nondeterministic in real pipelines (they depend on which block
+reaches the shuffle operator first), which made them look like flakes
+in long test runs.  `tests/test_ray_patches.py` holds deterministic
+repros for each.
 
-The fix wraps ``_shuffle_block`` so an empty block with
-``send_empty_blocks=True`` still broadcasts one empty schema-carrying
-shard to every partition (exactly what the non-empty path does for
-key-empty partitions); non-empty blocks delegate to the original
-function unchanged.  Version-guarded: if Ray's internals move, the
-patch silently skips and native joins fall back to upstream behavior.
+Three defense layers, applied by `apply()`:
+
+- ``_shuffle_block`` wrap: an empty block with
+  ``send_empty_blocks=True`` still broadcasts one empty schema-carrying
+  shard to every partition (exactly what the non-empty path does for
+  key-empty partitions).
+- ``JoinAggregation.accept`` wrap: records the first WITH-schema shard
+  seen per input sequence on the aggregation instance.
+- ``JoinAggregation.finalize`` replacement: a side whose partition
+  built to zero columns is substituted with an empty table of the
+  recorded schema; if no schema was ever seen for that side (globally
+  empty input) and the join type can produce no rows from an empty
+  side (inner/semi), it returns a zero-column empty block — the same
+  convention Ray's own aggregates use — instead of crashing.
+
+Version-guarded: if Ray's internals move, the patches silently skip
+and native joins fall back to upstream behavior.
 """
 
 from __future__ import annotations
@@ -43,7 +58,9 @@ def apply() -> bool:
     global _APPLIED
     if _APPLIED:
         return True
-    _APPLIED = _apply_hash_shuffle_schema_fix()
+    ok1 = _apply_hash_shuffle_schema_fix()
+    ok2 = _apply_join_finalize_schema_fix()
+    _APPLIED = ok1 and ok2
     return _APPLIED
 
 
@@ -99,4 +116,102 @@ def _apply_hash_shuffle_schema_fix() -> bool:
         )
 
     hs._shuffle_block = ray.remote(_shuffle_block_schema_safe)
+    return True
+
+
+def _apply_join_finalize_schema_fix() -> bool:
+    # NOTE: methods monkey-patched onto Ray's class would NOT reach the
+    # aggregator ACTORS (classes pickle by reference; workers reimport
+    # the unpatched original).  Instead we define an importable SUBCLASS
+    # here and rebind the name JoinOperator's factory lambda closes
+    # over — workers unpickle the closure, import this module, and get
+    # the subclass (the package import re-applies the patch there too).
+    try:
+        from ray.data._internal.arrow_block import ArrowBlockAccessor
+        from ray.data._internal.execution.operators import join as rj
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            _create_empty_table,
+        )
+        from ray.data._internal.logical.operators.join_operator import JoinType
+
+        base = rj.JoiningShuffleAggregation
+        if base.__name__ == "_SchemaSafeJoinAggregation":
+            return True  # already rebound (re-entrant apply)
+        _JT = rj._JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP
+    except Exception:  # pragma: no cover - future Ray refactor
+        return False
+
+    class _SchemaSafeJoinAggregation(base):
+        def accept(self, input_seq_id, partition_id, partition_shard):
+            # Remember the first WITH-schema shard per input sequence: a
+            # zero-column partition can then be rebuilt as a typed empty.
+            try:
+                if getattr(partition_shard, "num_columns", 0) > 0:
+                    seen = getattr(self, "_ftr_seen_schema", None)
+                    if seen is None:
+                        seen = self._ftr_seen_schema = {}
+                    if input_seq_id not in seen:
+                        seen[input_seq_id] = partition_shard.schema
+            except Exception:
+                pass
+            return super().accept(input_seq_id, partition_id, partition_shard)
+
+        def finalize(self, partition_id):
+            left = self._get_partition_builder(
+                input_seq_id=0, partition_id=partition_id).build()
+            right = self._get_partition_builder(
+                input_seq_id=1, partition_id=partition_id).build()
+            seen = getattr(self, "_ftr_seen_schema", {})
+
+            def _fix(t, seq):
+                if t.num_columns > 0:
+                    return t
+                if seq in seen:
+                    return _create_empty_table(seen[seq])
+                return None  # schema unknowable (globally empty side)
+
+            lf, rf = _fix(left, 0), _fix(right, 1)
+            if lf is not None and rf is not None:
+                return lf.join(
+                    rf,
+                    join_type=_JT[self._join_type],
+                    keys=list(self._left_key_col_names),
+                    right_keys=list(self._right_key_col_names),
+                    left_suffix=self._left_columns_suffix,
+                    right_suffix=self._right_columns_suffix,
+                )
+            # One side has no schema anywhere (globally empty input).
+            # Where the join semantics make the result derivable, return
+            # it; the zero-column empty follows Ray's own aggregate
+            # convention for key-empty partitions.
+            jt = self._join_type
+            empty = ArrowBlockAccessor._empty_table()
+            if lf is None and rf is None:
+                return empty
+            if rf is None:  # right side globally empty
+                if jt == JoinType.LEFT_ANTI:
+                    return lf  # no right rows -> every left row survives
+                if jt in (JoinType.INNER, JoinType.LEFT_SEMI,
+                          JoinType.RIGHT_SEMI, JoinType.RIGHT_ANTI,
+                          JoinType.RIGHT_OUTER):
+                    return empty
+                if lf.num_rows == 0:  # outer joins of two empties
+                    return empty
+            else:  # left side globally empty
+                if jt == JoinType.RIGHT_ANTI:
+                    return rf
+                if jt in (JoinType.INNER, JoinType.LEFT_SEMI,
+                          JoinType.RIGHT_SEMI, JoinType.LEFT_ANTI,
+                          JoinType.LEFT_OUTER):
+                    return empty
+                if rf.num_rows == 0:
+                    return empty
+            # Outer join needing null columns of an unknowable schema:
+            # fall through to the original (and its original error).
+            return super().finalize(partition_id)
+
+    _SchemaSafeJoinAggregation.__module__ = __name__
+    _SchemaSafeJoinAggregation.__qualname__ = "_SchemaSafeJoinAggregation"
+    globals()["_SchemaSafeJoinAggregation"] = _SchemaSafeJoinAggregation
+    rj.JoiningShuffleAggregation = _SchemaSafeJoinAggregation
     return True

@@ -41,6 +41,55 @@ def test_join_with_empty_first_block(ray_session):
     assert out[0]["k"] == 3 and out[0]["w"] == 7
 
 
+def test_join_with_zero_column_first_block(ray_session):
+    """Mechanism 2: upstream hash aggregates finalize key-empty
+    partitions as zero-COLUMN empty blocks; if one of those reaches the
+    join's shuffle first, the broadcast 'schema' has no columns.  The
+    finalize-level patch rebuilds the side from the recorded schema (or
+    returns an empty block for inner joins)."""
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(16), pa.int64()),
+                  "v": pa.array(np.ones(16), pa.float64())}))
+    zerocol = pa.table({})
+    one = pa.table({"p2": pa.array([3], pa.int64()),
+                    "w": pa.array([7], pa.int64())})
+    right = ray.data.from_arrow([zerocol, one])
+    j = left.join(right, join_type="inner", num_partitions=8,
+                  on=("k",), right_on=("p2",))
+    out = j.take_all()
+    assert len(out) == 1
+    assert out[0]["k"] == 3 and out[0]["w"] == 7
+
+
+def test_aggregate_into_join(ray_session):
+    """End-to-end shape of the original q17 failure: a selective filter
+    (empty blocks) -> groupby aggregate (zero-column empties for
+    key-empty partitions) -> join back onto the filtered stream."""
+    from ray.data.aggregate import Count, Sum
+
+    blocks = []
+    for i in range(8):
+        # most blocks filter to empty; two carry a single part key
+        if i in (3, 6):
+            blocks.append(pa.table({"pk": pa.array([i], pa.int64()),
+                                    "qty": pa.array([10 * i], pa.int64())}))
+        else:
+            blocks.append(pa.table({"pk": pa.array([], pa.int64()),
+                                    "qty": pa.array([], pa.int64())}))
+    li = ray.data.from_arrow(blocks)
+    stats = (li.groupby("pk")
+             .aggregate(Sum("qty", alias_name="qty_sum"),
+                        Count(alias_name="qty_cnt"))
+             .map_batches(lambda t: pa.table({"p2": t["pk"],
+                                              "qty_sum": t["qty_sum"]}),
+                          batch_format="pyarrow"))
+    j = li.join(stats, join_type="inner", num_partitions=8,
+                on=("pk",), right_on=("p2",))
+    rows = sorted(j.take_all(), key=lambda r: r["pk"])
+    assert [r["pk"] for r in rows] == [3, 6]
+    assert [r["qty_sum"] for r in rows] == [30, 60]
+
+
 def test_join_with_both_sides_empty_first_block(ray_session):
     le = pa.table({"k": pa.array([], pa.int64()),
                    "v": pa.array([], pa.float64())})
