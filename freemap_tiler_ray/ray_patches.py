@@ -54,8 +54,15 @@ _APPLIED = False
 
 
 def apply() -> bool:
-    """Apply all patches (idempotent). Returns True if active."""
+    """Apply all patches (idempotent). Returns True if active.
+
+    ``FTR_NO_RAY_PATCHES=1`` skips them (A/B and upstream-fix escape
+    hatch)."""
+    import os
+
     global _APPLIED
+    if os.environ.get("FTR_NO_RAY_PATCHES") == "1":
+        return False
     if _APPLIED:
         return True
     ok1 = _apply_hash_shuffle_schema_fix()
