@@ -3613,3 +3613,132 @@ def funnel_conversion(sf_dir: str):
         "n_signup": [int(tot["sum(n_signup)"])],
         "n_signup_click": [int(tot["sum(n_signup_click)"])],
         "n_funnel": [int(tot["sum(n_funnel)"])]})
+
+
+def events_moving_avg(sf_dir: str):
+    """Trailing 3-row moving average per user (the ROWS-frame window:
+    AVG(...) OVER (PARTITION BY user ORDER BY ts ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW)) — row-count frames need exact row
+    order, unlike the RANGE frame of events_sliding.
+
+    Scale shape: hash-partition on user_id (one user's events fit a
+    partition, the events_sessions contract), ONE vectorized sort +
+    prefix-sum window per partition.  The windowed sum is integer
+    milli-units; the average is derived with the oracle's exact double
+    expression sum / (1000.0 * cnt), so floats match bit-for-bit."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pa.array(us, pa.int64()),
+            "vm": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts_us"].to_numpy(),
+                            g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy()[order]
+        eid = g["event_id"].to_numpy()[order]
+        vm = g["vm"].to_numpy()[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        idx = np.arange(n)
+        pos = idx - np.repeat(starts, counts)      # row pos within user
+        back = np.minimum(pos, 2)                  # preceding rows used
+        j = idx - back                             # window start index
+        cum = np.cumsum(vm)
+        sum3 = cum - (cum[j] - vm[j])
+        cnt = back + 1
+        avg3 = sum3.astype(np.float64) / (1000.0 * cnt.astype(np.float64))
+        return pd.DataFrame({"event_id": eid, "user_id": u,
+                             "avg3": avg3})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def corr_qty_price(sf_dir: str):
+    """Exact grouped covariance / correlation (COVAR_SAMP / CORR shape)
+    of quantity vs extended price per return flag.  All five cross
+    sums (q, p, q*q, p*p, q*p) are associative int64 folds (quantity
+    <= 50, price in integer cents: products fit int64 at the test
+    scales; the 100 TB path would split each sum into hi/lo int64
+    limbs, same shape); covariance and correlation are then ONE double
+    closed form on the 3-row aggregate, mirrored verbatim in the
+    oracle so floats match bit-for-bit (SQL's own CORR() streams
+    doubles and is reduction-order-dependent)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy().astype(np.int64)
+        p = np.floor(t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "q": pa.array(q), "p": pa.array(p),
+                         "qq": pa.array(q * q), "pp": pa.array(p * p),
+                         "qp": pa.array(q * p)})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["count()"].to_numpy().astype(np.float64)
+        sq = t["sq"].to_numpy().astype(np.float64)
+        sp = t["sp"].to_numpy().astype(np.float64)
+        sqq = t["sqq"].to_numpy().astype(np.float64)
+        spp = t["spp"].to_numpy().astype(np.float64)
+        spq = t["sqp"].to_numpy().astype(np.float64)
+        cov = (spq - sq * sp / n) / (n - 1.0)
+        corr = (spq - sq * sp / n) / np.sqrt(
+            (sqq - sq * sq / n) * (spp - sp * sp / n))
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "n": t["count()"],
+                         "sq": t["sq"], "sp": t["sp"], "sqp": t["sqp"],
+                         "cov_qp": pa.array(cov, pa.float64()),
+                         "corr_qp": pa.array(corr, pa.float64())})
+
+    return (_rp(f"{sf_dir}/lineitem.parquet",
+                columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Count(), Sum("q", alias_name="sq"),
+                       Sum("p", alias_name="sp"),
+                       Sum("qq", alias_name="sqq"),
+                       Sum("pp", alias_name="spp"),
+                       Sum("qp", alias_name="sqp"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+HIST_WIDTH = 40.0     # value-bucket width
+HIST_BUCKETS = 10     # buckets 0..9, top bucket clamps
+
+
+def value_histogram(sf_dir: str):
+    """Fixed-width bucketed histogram (width_bucket shape) of event
+    values per type: bucket = min(floor(value / 40), 9).  Per-batch
+    vectorized (type, bucket) partial counts, then one groupby over a
+    bounded key space (#types x 10) — row count never crosses the
+    shuffle, the bounded-histogram idiom of lang_quantiles."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = np.minimum(np.floor(t["value"].to_numpy() / HIST_WIDTH),
+                       HIST_BUCKETS - 1).astype(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "bucket": b})
+        g = (df.groupby(["event_type", "bucket"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("n", alias_name="n_events"))
+            .select_columns(["event_type", "bucket", "n_events"]))
