@@ -279,8 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": q.funnel_conversion,
         "q10_returned_items": q.q10_returned_items,
         "q13_order_counts": q.q13_order_counts,
-        # non-SQL-expressible (eigendecomposition) — no oracle entry;
-        # driver records the rows-only check, exactness pinned by
+        # re-registered round 4 as the SQL-expressible covariance
+        # partials (integer-scaled n, Σq, QᵀQ) with an exact DuckDB
+        # oracle; the eigendecomposition stays pinned by
         # tests/test_decomp.py against a full-matrix numpy reference.
         "embedding_pca": q.embedding_pca,
         # --- tail: driver-green in round 2 (CORRECTNESS_r02.json),
@@ -1171,6 +1172,26 @@ SELECT lang, CAST(LEAST(nd, 64) AS BIGINT) AS k_used,
                        AS DOUBLE) / 4294967296.0)
        END AS est_distinct
 FROM r WHERE rk = LEAST(nd, 64)
+"""
+    # PCA covariance partials (queries.embedding_pca): q = floor(e*1e6)
+    # as BIGINT, XᵀX upper triangle via UNNEST + self-join on vec_id,
+    # column sums as (i,-1), count as (-1,-1) — integer-exact mirror.
+    sqls["embedding_pca"] = """
+WITH e AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS q
+  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+),
+xtx AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS val
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2),
+sx AS (SELECT dim AS dim_i, CAST(-1 AS BIGINT) AS dim_j,
+              CAST(SUM(q) AS BIGINT) AS val FROM e GROUP BY 1),
+cnt AS (SELECT CAST(-1 AS BIGINT) AS dim_i, CAST(-1 AS BIGINT) AS dim_j,
+               CAST(count(DISTINCT vec_id) AS BIGINT) AS val FROM e)
+SELECT * FROM xtx UNION ALL SELECT * FROM sx UNION ALL SELECT * FROM cnt
 """
     sqls["passage_dedup"] = """
 WITH t AS (SELECT lang, string_split(text, ' ') AS s FROM documents),

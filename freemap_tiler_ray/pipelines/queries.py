@@ -2580,19 +2580,48 @@ def events_pivot(sf_dir: str):
 
 
 def embedding_pca(sf_dir: str):
-    """Distributed PCA projection of the embedding table onto its top-8
-    principal axes: one fixed-size (n, sum, X^T X) partial per batch,
-    driver-side (d, d) eigendecomposition, broadcast matmul projection
-    (stages/decomp.py). Eigendecomposition is not SQL-expressible, so
-    this entry has no oracle (driver rows-only check); exactness vs a
-    full-matrix numpy reference is pinned by tests/test_decomp.py."""
-    from ..stages.decomp import pca_fit
-    from ..stages.decomp import pca_project as _project
+    """Distributed PCA *covariance partials* over the embedding table —
+    the SQL-expressible core of the PCA pipeline (stages/decomp.py):
+    each batch emits one fixed-size integer partial (n, Σq, QᵀQ upper
+    triangle) with q = floor(float64(e) * 1e6) as int64; the tiny
+    partials are summed on the driver and returned as a flat
+    (dim_i, dim_j, val) table:
 
-    ds = _rp(f"{sf_dir}/embeddings.parquet",
-             columns=["vec_id", "embedding"])
-    mean, comps, _eig = pca_fit(ds, k=8)
-    return _project(ds, mean, comps)
+      (i, j, Σ q_i·q_j)  for 0 <= i <= j < d   — scaled XᵀX entries
+      (i, -1, Σ q_i)     for 0 <= i < d        — scaled column sums
+      (-1, -1, n)                              — row count
+
+    Exact DuckDB mirror via UNNEST + self-join (see oracle). Integer
+    scaling keeps both engines bit-identical; |e| < 1 so |q| < 1e6 and
+    each XᵀX sum stays under int64 to ~9e6 rows — asserted below. The
+    eigendecomposition itself (not SQL-expressible) stays pinned by
+    tests/test_decomp.py against a full-matrix numpy reference."""
+    import pickle
+
+    from ..stages.ann import _matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(_matrix(t["embedding"]) * 1e6).astype(np.int64)
+        payload = pickle.dumps(
+            (q.shape[0], q.sum(axis=0), q.T @ q))
+        return pa.table({"part": pa.array([payload], pa.binary())})
+
+    ds = _split(_rp(f"{sf_dir}/embeddings.parquet",
+                    columns=["embedding"]), blocks=8)
+    parts = [pickle.loads(r["part"])
+             for r in ds.map_batches(partial,
+                                     batch_format="pyarrow").take_all()]
+    n = int(sum(p[0] for p in parts))
+    assert n < 9_000_000, "int64 XtX overflow bound (|q|<1e6): re-scale"
+    sx = np.sum([p[1] for p in parts], axis=0)
+    xtx = np.sum([p[2] for p in parts], axis=0)
+    d = len(sx)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame({
+        "dim_i": np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64),
+        "dim_j": np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int64),
+        "val": np.concatenate([xtx[iu, ju], sx, [n]]).astype(np.int64),
+    })
 
 
 # ---------------------------------------------------------------------------
