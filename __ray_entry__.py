@@ -1621,7 +1621,8 @@ WITH b AS (
   SELECT l_returnflag, COUNT(*) AS n,
          CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
          CAST(SUM(q * q) AS BIGINT) AS sqq,
-         CAST(SUM(p * p) AS BIGINT) AS spp,
+         CAST(SUM((p * p) >> 32) AS BIGINT) AS spp_hi,
+         CAST(SUM((p * p) & 4294967295) AS BIGINT) AS spp_lo,
          CAST(SUM(q * p) AS BIGINT) AS sqp
   FROM b GROUP BY l_returnflag)
 SELECT l_returnflag, n, sq, sp, sqp,
@@ -1631,7 +1632,8 @@ SELECT l_returnflag, n, sq, sp, sqp,
      / CAST(n AS DOUBLE))
     / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
               / CAST(n AS DOUBLE))
-         * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+         * ((CAST(spp_hi AS DOUBLE) * 4294967296.0 + CAST(spp_lo AS DOUBLE))
+              - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
               / CAST(n AS DOUBLE))) AS corr_qp
 FROM s
 """

@@ -3697,30 +3697,41 @@ def events_moving_avg(sf_dir: str):
 
 def corr_qty_price(sf_dir: str):
     """Exact grouped covariance / correlation (COVAR_SAMP / CORR shape)
-    of quantity vs extended price per return flag.  All five cross
-    sums (q, p, q*q, p*p, q*p) are associative int64 folds (quantity
-    <= 50, price in integer cents: products fit int64 at the test
-    scales; the 100 TB path would split each sum into hi/lo int64
-    limbs, same shape); covariance and correlation are then ONE double
-    closed form on the 3-row aggregate, mirrored verbatim in the
-    oracle so floats match bit-for-bit (SQL's own CORR() streams
-    doubles and is reduction-order-dependent)."""
+    of quantity vs extended price per return flag.  The cross sums are
+    associative int64 folds: q <= 50 and p (price in integer cents)
+    < 2^24, so sq/sp/sqq/sqp stay inside int64 past 1e11 rows per
+    group — but SUM(p*p) (per-row up to ~1e14) would wrap near ~1e5
+    rows/group-mean-square, i.e. around sf~0.3.  That one sum is
+    therefore split into hi/lo int64 LIMBS per row (pp >> 32,
+    pp & 0xffffffff), each of which folds safely to ~2e9 rows/group
+    (asserted in finish), and is reconstructed in float64 with the
+    same two IEEE ops on both engines.  Covariance and correlation
+    are then ONE double closed form on the 3-row aggregate, mirrored
+    verbatim in the oracle so floats match bit-for-bit (SQL's own
+    CORR() streams doubles and is reduction-order-dependent)."""
     from ray.data.aggregate import Count, Sum
 
     def prep(t: pa.Table) -> pa.Table:
         q = t["l_quantity"].to_numpy().astype(np.int64)
         p = np.floor(t["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        pp = p * p
         return pa.table({"l_returnflag": t["l_returnflag"],
                          "q": pa.array(q), "p": pa.array(p),
-                         "qq": pa.array(q * q), "pp": pa.array(p * p),
+                         "qq": pa.array(q * q),
+                         "pp_hi": pa.array(pp >> 32),
+                         "pp_lo": pa.array(pp & 0xFFFFFFFF),
                          "qp": pa.array(q * p)})
 
     def finish(t: pa.Table) -> pa.Table:
-        n = t["count()"].to_numpy().astype(np.float64)
+        n_i = t["count()"].to_numpy()
+        assert n_i.max(initial=0) < 2_000_000_000, \
+            "pp_lo limb fold nears int64: add a third limb"
+        n = n_i.astype(np.float64)
         sq = t["sq"].to_numpy().astype(np.float64)
         sp = t["sp"].to_numpy().astype(np.float64)
         sqq = t["sqq"].to_numpy().astype(np.float64)
-        spp = t["spp"].to_numpy().astype(np.float64)
+        spp = (t["spp_hi"].to_numpy().astype(np.float64) * 4294967296.0
+               + t["spp_lo"].to_numpy().astype(np.float64))
         spq = t["sqp"].to_numpy().astype(np.float64)
         cov = (spq - sq * sp / n) / (n - 1.0)
         corr = (spq - sq * sp / n) / np.sqrt(
@@ -3738,7 +3749,8 @@ def corr_qty_price(sf_dir: str):
             .aggregate(Count(), Sum("q", alias_name="sq"),
                        Sum("p", alias_name="sp"),
                        Sum("qq", alias_name="sqq"),
-                       Sum("pp", alias_name="spp"),
+                       Sum("pp_hi", alias_name="spp_hi"),
+                       Sum("pp_lo", alias_name="spp_lo"),
                        Sum("qp", alias_name="sqp"))
             .map_batches(finish, batch_format="pyarrow"))
 

@@ -44,31 +44,53 @@ Three defense layers, applied by `apply()`:
   side (inner/semi), it returns a zero-column empty block — the same
   convention Ray's own aggregates use — instead of crashing.
 
-Version-guarded: if Ray's internals move, the patches silently skip
-and native joins fall back to upstream behavior.
+Pinned to Ray 2.49.x internals: ``apply()`` raises loudly on any other
+Ray version (re-validate the patches against the new internals, then
+bump ``_PINNED_RAY_PREFIX`` — or set ``FTR_NO_RAY_PATCHES=1`` to run
+unpatched). Within 2.49.x, if an expected internal is missing the
+individual patch skips and native joins fall back to upstream behavior.
 """
 
 from __future__ import annotations
 
-_APPLIED = False
+# Per-patch applied flags: a partial failure must not re-run the
+# successful patch on the next apply() (re-wrapping _shuffle_block
+# would stack wrappers).
+_SHUFFLE_APPLIED = False
+_JOIN_APPLIED = False
+
+_PINNED_RAY_PREFIX = "2.49."
+
+
+def _check_ray_version() -> None:
+    import ray
+
+    if not ray.__version__.startswith(_PINNED_RAY_PREFIX):
+        raise RuntimeError(
+            f"freemap_tiler_ray.ray_patches is pinned to Ray "
+            f"{_PINNED_RAY_PREFIX}x internals but found Ray "
+            f"{ray.__version__}. Re-validate the hash-shuffle/join "
+            f"schema patches against the new internals (they may be "
+            f"fixed upstream) and bump _PINNED_RAY_PREFIX, or set "
+            f"FTR_NO_RAY_PATCHES=1 to run unpatched.")
 
 
 def apply() -> bool:
-    """Apply all patches (idempotent). Returns True if active.
+    """Apply all patches (idempotent per patch). Returns True if active.
 
     ``FTR_NO_RAY_PATCHES=1`` skips them (A/B and upstream-fix escape
-    hatch)."""
+    hatch). Any non-2.49.x Ray raises (see _check_ray_version)."""
     import os
 
-    global _APPLIED
+    global _SHUFFLE_APPLIED, _JOIN_APPLIED
     if os.environ.get("FTR_NO_RAY_PATCHES") == "1":
         return False
-    if _APPLIED:
-        return True
-    ok1 = _apply_hash_shuffle_schema_fix()
-    ok2 = _apply_join_finalize_schema_fix()
-    _APPLIED = ok1 and ok2
-    return _APPLIED
+    _check_ray_version()
+    if not _SHUFFLE_APPLIED:
+        _SHUFFLE_APPLIED = _apply_hash_shuffle_schema_fix()
+    if not _JOIN_APPLIED:
+        _JOIN_APPLIED = _apply_join_finalize_schema_fix()
+    return _SHUFFLE_APPLIED and _JOIN_APPLIED
 
 
 def _apply_hash_shuffle_schema_fix() -> bool:
@@ -79,6 +101,8 @@ def _apply_hash_shuffle_schema_fix() -> bool:
         from ray.data.block import BlockAccessor, BlockExecStats, BlockType
 
         orig = hs._shuffle_block._function  # raw python fn of the remote
+        if getattr(orig, "_ftr_schema_safe", False):
+            return True  # already wrapped (belt-and-braces vs the flag)
     except Exception:  # pragma: no cover - future Ray refactor
         return False
 
@@ -122,17 +146,21 @@ def _apply_hash_shuffle_schema_fix() -> bool:
             override_partition_id,
         )
 
+    _shuffle_block_schema_safe._ftr_schema_safe = True
     hs._shuffle_block = ray.remote(_shuffle_block_schema_safe)
     return True
 
 
-def _apply_join_finalize_schema_fix() -> bool:
+def _build_join_subclass():
     # NOTE: methods monkey-patched onto Ray's class would NOT reach the
     # aggregator ACTORS (classes pickle by reference; workers reimport
     # the unpatched original).  Instead we define an importable SUBCLASS
-    # here and rebind the name JoinOperator's factory lambda closes
-    # over — workers unpickle the closure, import this module, and get
-    # the subclass (the package import re-applies the patch there too).
+    # and rebind the name JoinOperator's factory lambda closes over —
+    # workers unpickle the closure, import this module, and get the
+    # subclass.  The class is built at MODULE IMPORT (not inside
+    # apply()) so it is always resolvable for unpickling, even in a
+    # process where FTR_NO_RAY_PATCHES=1 or apply() failed while the
+    # driver DID apply the patch.
     try:
         from ray.data._internal.arrow_block import ArrowBlockAccessor
         from ray.data._internal.execution.operators import join as rj
@@ -143,10 +171,10 @@ def _apply_join_finalize_schema_fix() -> bool:
 
         base = rj.JoiningShuffleAggregation
         if base.__name__ == "_SchemaSafeJoinAggregation":
-            return True  # already rebound (re-entrant apply)
+            return base  # module re-import after a prior rebind
         _JT = rj._JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP
     except Exception:  # pragma: no cover - future Ray refactor
-        return False
+        return None
 
     class _SchemaSafeJoinAggregation(base):
         def accept(self, input_seq_id, partition_id, partition_shard):
@@ -219,6 +247,18 @@ def _apply_join_finalize_schema_fix() -> bool:
 
     _SchemaSafeJoinAggregation.__module__ = __name__
     _SchemaSafeJoinAggregation.__qualname__ = "_SchemaSafeJoinAggregation"
-    globals()["_SchemaSafeJoinAggregation"] = _SchemaSafeJoinAggregation
+    return _SchemaSafeJoinAggregation
+
+
+# Built unconditionally at import so aggregator actors can always
+# unpickle it by reference; apply() only REBINDS Ray's name to it.
+_SchemaSafeJoinAggregation = _build_join_subclass()
+
+
+def _apply_join_finalize_schema_fix() -> bool:
+    if _SchemaSafeJoinAggregation is None:
+        return False  # pragma: no cover - future Ray refactor
+    from ray.data._internal.execution.operators import join as rj
+
     rj.JoiningShuffleAggregation = _SchemaSafeJoinAggregation
     return True

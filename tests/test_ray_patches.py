@@ -105,3 +105,56 @@ def test_join_with_both_sides_empty_first_block(ray_session):
     out = j.take_all()
     assert len(out) == 1
     assert out[0]["v"] == 2.0 and out[0]["w"] == 1
+
+
+def test_version_guard_raises_on_mismatch(monkeypatch):
+    """A Ray upgrade must fail LOUDLY at apply(), not silently skip."""
+    import pytest
+    import ray as ray_mod
+
+    monkeypatch.setattr(ray_mod, "__version__", "2.50.0")
+    with pytest.raises(RuntimeError, match="FTR_NO_RAY_PATCHES"):
+        ray_patches.apply()
+    # kill-switch still works under the mismatched version
+    monkeypatch.setenv("FTR_NO_RAY_PATCHES", "1")
+    assert ray_patches.apply() is False
+
+
+def test_shuffle_wrap_is_idempotent(monkeypatch):
+    """Partial apply() failure must not stack _shuffle_block wrappers:
+    the wrapped fn carries a sentinel and per-patch flags gate re-runs."""
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    fn_before = hs._shuffle_block._function
+    assert getattr(fn_before, "_ftr_schema_safe", False)
+    # Simulate the join patch having failed so apply() re-enters the
+    # not-fully-applied path, then verify the shuffle wrap is not redone.
+    monkeypatch.setattr(ray_patches, "_JOIN_APPLIED", False)
+    monkeypatch.setattr(ray_patches, "_SHUFFLE_APPLIED", False)
+    assert ray_patches.apply()
+    assert hs._shuffle_block._function is fn_before or \
+        hs._shuffle_block._function.__name__ == fn_before.__name__
+    # the double-wrap guard: orig seen by a re-run is already marked
+    assert getattr(hs._shuffle_block._function, "_ftr_schema_safe", False)
+
+
+def test_join_subclass_importable_without_apply():
+    """Aggregator actors unpickle _SchemaSafeJoinAggregation by module
+    reference; it must exist at import time even when apply() is skipped
+    (FTR_NO_RAY_PATCHES on a worker while the driver patched)."""
+    import importlib
+    import subprocess
+    import sys
+
+    assert ray_patches._SchemaSafeJoinAggregation is not None
+    code = (
+        "import os; os.environ['FTR_NO_RAY_PATCHES'] = '1'\n"
+        "from freemap_tiler_ray import ray_patches as rp\n"
+        "assert rp.apply() is False\n"
+        "assert rp._SchemaSafeJoinAggregation is not None\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=120,
+                         cwd="/root/repo")
+    assert out.returncode == 0 and "ok" in out.stdout, out.stderr
