@@ -24,14 +24,11 @@ from ..stages.spatial import (PIPJoinStage, add_doc_points, knn_join,
 
 CELL_RES = 6
 
-# Fan-out of the hash-partitioned map_groups stages (events windows,
-# rank/cumsum/ntile, sequences, as-of/range joins). Results are
-# partition-invariant (each group key lives wholly inside one
-# partition either way); the default suits 32 local CPUs — on a real
-# cluster size it to ~2-4x the total task slots so no partition
-# outgrows a worker (FTR_HASH_PARTS env).
+# Fan-out of the hash-partitioned map_groups stages and of the native
+# hash joins — see tuning.py (FTR_HASH_PARTS / FTR_JOIN_PARTS envs).
 import os as _os
-_HASH_PARTS = int(_os.environ.get("FTR_HASH_PARTS", "64"))
+from ..tuning import HASH_PARTS as _HASH_PARTS
+from ..tuning import JOIN_PARTS as _JOIN_PARTS
 
 
 # read_parquet with the file-level pandas metadata stripped — see
@@ -1098,7 +1095,7 @@ def revenue_by_segment(sf_dir: str):
     cust = _rp(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
     joined = orders.map_batches(cents, batch_format="pyarrow").join(
-        cust, join_type="inner", num_partitions=8,
+        cust, join_type="inner", num_partitions=_JOIN_PARTS,
         on=("o_custkey",), right_on=("c_custkey",))
     from ray.data.aggregate import Count, Sum
     return (joined.groupby("c_mktsegment")
@@ -1126,7 +1123,7 @@ def anti_join_customers(sf_dir: str):
                               columns=["o_custkey", "o_orderpriority"])
               .map_batches(urgent_keys, batch_format="pyarrow")
               .groupby("u_custkey").aggregate(Count(alias_name="n_urgent")))
-    joined = cust.join(urgent, join_type="left_outer", num_partitions=8,
+    joined = cust.join(urgent, join_type="left_outer", num_partitions=_JOIN_PARTS,
                        on=("c_custkey",), right_on=("u_custkey",))
 
     def keep_unmatched(t: pa.Table) -> pa.Table:
@@ -1163,7 +1160,7 @@ def q3_shipping(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(odate, batch_format="pyarrow")
-    oc = orders.join(cust, join_type="inner", num_partitions=8,
+    oc = orders.join(cust, join_type="inner", num_partitions=_JOIN_PARTS,
                      on=("o_custkey",), right_on=("c_custkey",)
                      ).select_columns(["o_orderkey"])
 
@@ -1179,7 +1176,7 @@ def q3_shipping(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(ldate, batch_format="pyarrow")
-    rev = (li.join(oc, join_type="inner", num_partitions=8,
+    rev = (li.join(oc, join_type="inner", num_partitions=_JOIN_PARTS,
                    on=("l_orderkey",), right_on=("o_orderkey",))
            .groupby("l_orderkey")
            .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
@@ -1356,7 +1353,7 @@ def q5_region_revenue(sf_dir: str):
     orders = _rp(f"{sf_dir}/orders.parquet",
                  columns=["o_orderkey", "o_custkey", "o_orderdate"]
                  ).map_batches(odate, batch_format="pyarrow")
-    oc = orders.join(cust, join_type="inner", num_partitions=8,
+    oc = orders.join(cust, join_type="inner", num_partitions=_JOIN_PARTS,
                      on=("o_custkey",), right_on=("c_custkey",)
                      ).select_columns(["o_orderkey", "c_nationkey"])
 
@@ -1384,7 +1381,7 @@ def q5_region_revenue(sf_dir: str):
              columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                       "l_discount"]
              ).map_batches(li_prep, batch_format="pyarrow")
-    j = li.join(oc, join_type="inner", num_partitions=8,
+    j = li.join(oc, join_type="inner", num_partitions=_JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def local_sup(t: pa.Table) -> pa.Table:
@@ -1893,7 +1890,7 @@ def q4_order_priority(sf_dir: str):
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(opart, batch_format="pyarrow")
 
-    j = orders.join(li, join_type="inner", num_partitions=8,
+    j = orders.join(li, join_type="inner", num_partitions=_JOIN_PARTS,
                     on=("o_orderkey",), right_on=("l_orderkey",))
 
     def late(t: pa.Table) -> pa.Table:
@@ -1935,7 +1932,7 @@ def q12_priority_lines(sf_dir: str):
                  columns=["o_orderkey", "o_orderpriority"]
                  ).map_batches(opart, batch_format="pyarrow")
 
-    j = li.join(orders, join_type="inner", num_partitions=8,
+    j = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def split(t: pa.Table) -> pa.Table:
@@ -2703,7 +2700,7 @@ def q7_nation_volume(sf_dir: str):
 
     orders = _rp(f"{sf_dir}/orders.parquet",
                  columns=["o_orderkey", "o_custkey"])
-    lo = li.join(orders, join_type="inner", num_partitions=8,
+    lo = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
                  on=("l_orderkey",), right_on=("o_orderkey",))
 
     def cust_flt(t: pa.Table) -> pa.Table:
@@ -2715,7 +2712,7 @@ def q7_nation_volume(sf_dir: str):
     cust = _rp(f"{sf_dir}/customer.parquet",
                columns=["c_custkey", "c_nationkey"]
                ).map_batches(cust_flt, batch_format="pyarrow")
-    j = lo.join(cust, join_type="inner", num_partitions=8,
+    j = lo.join(cust, join_type="inner", num_partitions=_JOIN_PARTS,
                 on=("o_custkey",), right_on=("c_custkey",))
 
     names = {int(k): str(nat_names[i]) for i, k in enumerate(nat_keys)}
@@ -2783,7 +2780,7 @@ def q9_profit(sf_dir: str):
 
     orders = _rp(f"{sf_dir}/orders.parquet",
                  columns=["o_orderkey", "o_orderdate"])
-    j = li.join(orders, join_type="inner", num_partitions=8,
+    j = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     nname = {int(k): str(n) for k, n in zip(nat_keys, nat_names)}
@@ -2840,7 +2837,7 @@ def q10_returned_items(sf_dir: str):
                       "l_discount"]
              ).map_batches(lret, batch_format="pyarrow")
 
-    rev = (li.join(orders, join_type="inner", num_partitions=8,
+    rev = (li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
                    on=("l_orderkey",), right_on=("o_orderkey",))
            .groupby("o_custkey")
            .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
@@ -2978,7 +2975,7 @@ def q8_market_share(sf_dir: str):
 
     orders = _rp(f"{sf_dir}/orders.parquet",
                  columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    lo = li.join(orders, join_type="inner", num_partitions=8,
+    lo = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
                  on=("l_orderkey",), right_on=("o_orderkey",))
 
     def cust_flt(t: pa.Table) -> pa.Table:
@@ -2989,7 +2986,7 @@ def q8_market_share(sf_dir: str):
     cust = _rp(f"{sf_dir}/customer.parquet",
                columns=["c_custkey", "c_nationkey"]
                ).map_batches(cust_flt, batch_format="pyarrow")
-    j = lo.join(cust, join_type="inner", num_partitions=8,
+    j = lo.join(cust, join_type="inner", num_partitions=_JOIN_PARTS,
                 on=("o_custkey",), right_on=("c_custkey",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -3196,7 +3193,7 @@ def q17_small_qty(sf_dir: str):
                          "qty_cnt": t["qty_cnt"]})
 
     stats = stats.map_batches(rename, batch_format="pyarrow")
-    j = li.join(stats, join_type="inner", num_partitions=8,
+    j = li.join(stats, join_type="inner", num_partitions=_JOIN_PARTS,
                 on=("l_partkey",), right_on=("p2",))
 
     def small(t: pa.Table) -> pa.Table:
@@ -3295,7 +3292,7 @@ def pagerank(sf_dir: str):
                  columns=["o_orderkey", "o_custkey"])
     li = _rp(f"{sf_dir}/lineitem.parquet",
              columns=["l_orderkey", "l_suppkey"])
-    j = li.join(orders, join_type="inner", num_partitions=8,
+    j = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def uv(t: pa.Table) -> pa.Table:
@@ -3330,7 +3327,7 @@ def pagerank(sf_dir: str):
         batch_format="pyarrow")
 
     for _ in range(PR_ITERS):
-        jr = edges.join(ranks, join_type="inner", num_partitions=8,
+        jr = edges.join(ranks, join_type="inner", num_partitions=_JOIN_PARTS,
                         on=("src",), right_on=("node",))
 
         def contrib(t: pa.Table) -> pa.Table:
@@ -3349,7 +3346,7 @@ def pagerank(sf_dir: str):
                              "r": pa.array(r, pa.int64())})
 
         ranks = (deg.join(s.map_batches(newrank, batch_format="pyarrow"),
-                          join_type="inner", num_partitions=8,
+                          join_type="inner", num_partitions=_JOIN_PARTS,
                           on=("node",), right_on=("n2",))
                  .select_columns(["node", "d", "r"]).materialize())
 
@@ -3783,3 +3780,339 @@ def value_histogram(sf_dir: str):
             .groupby(["event_type", "bucket"])
             .aggregate(Sum("n", alias_name="n_events"))
             .select_columns(["event_type", "bucket", "n_events"]))
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: TPC-H Q21/Q22 shapes, edit-distance near-dup,
+# skyline (pareto front), retention cohorts
+# ---------------------------------------------------------------------------
+
+def _supplier_names(sf_dir: str):
+    """suppkey -> s_name (sorted pair; broadcast-size dim)."""
+    import pyarrow.parquet as _pq
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    return _sorted_lookup(
+        sup["s_suppkey"].to_numpy().astype(np.int64),
+        sup["s_name"].to_numpy(zero_copy_only=False).astype(object))
+
+
+def q21_last_shipper(sf_dir: str):
+    """TPC-H Q21 shape (without l_receiptdate, which the testdata
+    lacks): per supplier, the number of multi-supplier 'F'-status
+    orders where THAT supplier shipped last (latest l_shipdate, ties
+    to the highest suppkey).
+
+    Scale plan: the per-order argmax folds as ONE int64 Max over a
+    packed (days << 32 | suppkey) key, and the >=2-distinct-suppliers
+    predicate as Min/Max inequality — so lineitem collapses to one row
+    per order in a single hash aggregate before the orders join; the
+    supplier-name attach is a broadcast searchsorted."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = (t["l_shipdate"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64))
+        sk = t["l_suppkey"].to_numpy().astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "pack": pa.array((days << 32) | sk),
+                         "sk": pa.array(sk)})
+
+    per_order = (_rp(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+                 .map_batches(prep, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Max("pack", alias_name="wpack"),
+                            Min("sk", alias_name="mn"),
+                            Max("sk", alias_name="mx")))
+
+    def multi(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["mn"], t["mx"]))
+        return t.select(["l_orderkey", "wpack"])
+
+    def fkeys(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["o_orderstatus"], "F"))
+                .select(["o_orderkey"]))
+
+    f_orders = (_rp(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderstatus"])
+                .map_batches(fkeys, batch_format="pyarrow"))
+    j = (per_order.map_batches(multi, batch_format="pyarrow")
+         .join(f_orders, join_type="inner", num_partitions=_JOIN_PARTS,
+               on=("l_orderkey",), right_on=("o_orderkey",)))
+
+    sup_keys, sup_names = _supplier_names(sf_dir)
+
+    def name(t: pa.Table) -> pa.Table:
+        s = (t["s"].to_numpy() if "s" in t.column_names
+             else np.array([], np.int64))
+        nm = sup_names[np.searchsorted(sup_keys, s)]
+        return pa.table({"s_name": pa.array(nm.astype(str)),
+                         "numwait": t["numwait"]})
+
+    def winner(t: pa.Table) -> pa.Table:
+        return pa.table({"s": pc.bit_wise_and(t["wpack"], 0xFFFFFFFF)})
+
+    return (j.map_batches(winner, batch_format="pyarrow")
+            .groupby("s").aggregate(Count(alias_name="numwait"))
+            .map_batches(name, batch_format="pyarrow"))
+
+
+Q22_CODES = (1, 3, 5, 7, 9)
+
+
+def q22_global_sales(sf_dir: str):
+    """TPC-H Q22 shape: 'country code' (c_nationkey % 10) groups of
+    above-average-balance customers with no URGENT-priority order
+    (every customer in this testdata has SOME order, so the classic
+    never-ordered predicate would be vacuously empty; the filtered
+    not-exists keeps Q22's exact shape with a selective right side).
+
+    Scale plan: the threshold is a fixed-size aggregate (integer-cent
+    sum + count -> one double divide, mirrored in SQL); the no-orders
+    predicate is the distinct-keys + left_outer + null-marker anti-join
+    (anti_join_customers shape); the final groupby has <= 5 groups.
+    Balance folds in integer cents, one float divide at the end."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            t["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        keep = np.isin(nk % 10, Q22_CODES)
+        return pa.table({"c_custkey": t["c_custkey"].to_numpy()[keep],
+                         "code": (nk % 10)[keep],
+                         "cents": cents[keep]})
+
+    cust = (_rp(f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_nationkey", "c_acctbal"])
+            .map_batches(prep, batch_format="pyarrow"))
+
+    def positive(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["cents"], 0)).select(["cents"])
+
+    pos = (cust.map_batches(positive, batch_format="pyarrow")
+           .aggregate(Sum("cents", alias_name="s"),
+                      Count(alias_name="n")))
+    thr = float(pos["s"]) / float(pos["n"])
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.filter(t["cents"].to_numpy().astype(np.float64) > thr)
+
+    def okeys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"u_custkey": pc.unique(
+            t.filter(m)["o_custkey"].combine_chunks())})
+
+    ordered = (_rp(f"{sf_dir}/orders.parquet",
+                   columns=["o_custkey", "o_orderpriority"])
+               .map_batches(okeys, batch_format="pyarrow")
+               .groupby("u_custkey").aggregate(Count(alias_name="n_ord")))
+    j = (cust.map_batches(above, batch_format="pyarrow")
+         .join(ordered, join_type="left_outer",
+               num_partitions=_JOIN_PARTS,
+               on=("c_custkey",), right_on=("u_custkey",)))
+
+    def never(t: pa.Table) -> pa.Table:
+        if "n_ord" not in t.column_names:
+            return t.select(["code", "cents"])
+        return (t.filter(pc.is_null(t["n_ord"]))
+                .select(["code", "cents"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cntrycode": t["code"],
+            "numcust": t["numcust"],
+            "totacctbal": pa.array(
+                t["scents"].to_numpy().astype(np.float64) / 100.0,
+                pa.float64())})
+
+    return (j.map_batches(never, batch_format="pyarrow")
+            .groupby("code")
+            .aggregate(Count(alias_name="numcust"),
+                       Sum("cents", alias_name="scents"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+EDIT_PRE = 40        # compared prefix length
+EDIT_MAXD = 4        # max edit distance emitted
+_EDIT_BAND = 5       # length-bucket width (> EDIT_MAXD)
+
+
+def _lev_block(A: np.ndarray, la: np.ndarray,
+               B: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein for P (a, b) pairs at once: classic DP with
+    both loops over the FIXED prefix length (<= 40x40 steps), every
+    step a vector op over the pair axis — no per-row Python. Rows are
+    captured at each pair's own (la, lb) so ragged lengths stay
+    exact."""
+    P, L = A.shape
+    res = np.zeros(P, np.int64)
+    prev = np.broadcast_to(np.arange(L + 1), (P, L + 1)).copy()
+    done = la == 0
+    res[done] = lb[done]
+    for i in range(1, L + 1):
+        cur = np.empty((P, L + 1), np.int32)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j], cur[:, j - 1]) + 1,
+                prev[:, j - 1] + (ai != B[:, j - 1]))
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+def edit_distance_pairs(sf_dir: str):
+    """Near-duplicate pairs by exact Levenshtein distance <= 4 over the
+    first 40 chars, within language.
+
+    Scale plan: docs shuffle ONCE keyed by (lang, prefix-length bucket)
+    with each doc replicated to its home bucket h = len // 5 and h + 1,
+    so every pair within the +-4 length band meets in exactly one
+    bucket (emitted iff bucket == max(h_a, h_b)); inside a bucket a
+    character-histogram bag bound (lev >= L1 / 2, each edit moves the
+    bag by <= 2) prunes candidates before the vectorized DP kernel.
+    For corpus-scale near-dup the MinHash/SimHash families (stages/
+    dedup.py) are the first-stage filter; this gives the exact-distance
+    verify shape."""
+    def expand(t: pa.Table) -> pa.Table:
+        txt = t["text"].to_pandas().str.slice(0, EDIT_PRE)
+        plen = txt.str.len().to_numpy().astype(np.int64)
+        h = plen // _EDIT_BAND
+        n = len(t)
+        ids = t["doc_id"].to_numpy()
+        lang = t["lang"].to_pandas().to_numpy()
+        return pa.table({
+            "lang": pa.array(np.concatenate([lang, lang])),
+            "bucket": pa.array(np.concatenate([h, h + 1])),
+            "home": pa.array(np.concatenate([h, h])),
+            "doc_id": pa.array(np.concatenate([ids, ids])),
+            "pre": pa.array(np.concatenate([txt.to_numpy()] * 2)),
+            "plen": pa.array(np.concatenate([plen, plen]))})
+
+    def group(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        bucket = t["bucket"][0].as_py()
+        ids = t["doc_id"].to_numpy()
+        home = t["home"].to_numpy()
+        plen = t["plen"].to_numpy()
+        pre = t["pre"].to_pandas().to_numpy()
+        # fixed-width byte matrix + per-doc char histogram (ASCII)
+        M = np.zeros((n, EDIT_PRE), np.uint8)
+        for k, s in enumerate(pre):       # bounded by bucket size
+            b = np.frombuffer(s.encode(), np.uint8)
+            M[k, :len(b)] = b
+        H = np.zeros((n, 128), np.int32)
+        np.add.at(H, (np.repeat(np.arange(n), plen),
+                      M[M > 0] & 0x7F), 1)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = ((np.maximum(home[ia], home[ib]) == bucket)
+                & (np.abs(plen[ia] - plen[ib]) <= EDIT_MAXD)
+                & (ids[ia] != ids[ib]))
+        ia, ib = ia[keep], ib[keep]
+        l1 = np.abs(H[ia] - H[ib]).sum(axis=1)
+        ok = l1 <= 2 * EDIT_MAXD          # bag lower bound
+        ia, ib = ia[ok], ib[ok]
+        if not len(ia):
+            return empty
+        d = _lev_block(M[ia], plen[ia], M[ib], plen[ib])
+        hit = d <= EDIT_MAXD
+        ia, ib, d = ia[hit], ib[hit], d[hit]
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "lang": pa.array([t["lang"][0].as_py()] * len(lo),
+                             pa.string()),
+            "doc_a": pa.array(lo), "doc_b": pa.array(hi),
+            "dist": pa.array(d)})
+
+    return (_docs(sf_dir, columns=("doc_id", "lang", "text"))
+            .map_batches(expand, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .map_groups(group, batch_format="pyarrow"))
+
+
+def pareto_front(sf_dir: str):
+    """Per-brand skyline: parts not dominated on (retailprice, size)
+    (dominated = another part with both <= and at least one strict).
+
+    Scale plan: one hash shuffle on brand (bounded groups), then an
+    O(n log n) sorted sweep per group — sort by (price, size), a
+    prefix-min of size over strictly-cheaper rows kills cross-price
+    dominance, a per-price-group min kills same-price dominance. No
+    all-pairs anywhere."""
+    def group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_retailprice", "p_size", "p_partkey"],
+                            kind="mergesort").reset_index(drop=True)
+        p = df["p_retailprice"].to_numpy()
+        s = df["p_size"].to_numpy().astype(np.int64)
+        new_price = np.concatenate([[True], p[1:] != p[:-1]])
+        grp = np.cumsum(new_price) - 1
+        run_min = np.minimum.accumulate(s)
+        # min size among rows with price strictly lower: value of
+        # run_min at the END of the previous price group
+        prev_end = np.concatenate(
+            [[np.iinfo(np.int64).max],
+             run_min[np.flatnonzero(new_price)[1:] - 1]])[grp]
+        same_min = df.groupby(grp)["p_size"].transform("min").to_numpy()
+        dominated = (prev_end <= s) | (s > same_min)
+        return df.loc[~dominated,
+                      ["p_brand", "p_partkey", "p_retailprice", "p_size"]]
+
+    return (_split(_rp(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand",
+                                "p_retailprice", "p_size"]))
+            .groupby("p_brand").map_groups(group, batch_format="pandas"))
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention: orders bucketed by (customer's first-order
+    month, months since that month), counting orders and distinct
+    customers per cell.
+
+    Scale plan: first-order month is one hash aggregate (Min over a
+    month index) joined back to orders on custkey — the canonical
+    large-large self-informing join; the distinct-customer count
+    pre-collapses on (cohort, delta, custkey) before the final bounded
+    (months x months) groupby, so no count-distinct state ever exceeds
+    one row per (cell, customer)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    EPOCH_M = 1970 * 12
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = (t["o_orderdate"].to_numpy().astype("datetime64[M]")
+             .astype(np.int64))
+        return pa.table({"o_custkey": t["o_custkey"], "m": pa.array(m)})
+
+    orders = (_rp(f"{sf_dir}/orders.parquet",
+                  columns=["o_custkey", "o_orderdate"])
+              .map_batches(prep, batch_format="pyarrow"))
+    first = (orders.groupby("o_custkey")
+             .aggregate(Min("m", alias_name="cohort")))
+    j = orders.join(first, join_type="inner",
+                    num_partitions=_JOIN_PARTS,
+                    on=("o_custkey",), right_on=("o_custkey",))
+
+    def delta(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_month": t["cohort"],
+            "months_since": pc.subtract(t["m"], t["cohort"]),
+            "o_custkey": t["o_custkey"]})
+
+    per_cust = (j.map_batches(delta, batch_format="pyarrow")
+                .groupby(["cohort_month", "months_since", "o_custkey"])
+                .aggregate(Count(alias_name="n")))
+    return (per_cust.groupby(["cohort_month", "months_since"])
+            .aggregate(Sum("n", alias_name="n_orders"),
+                       Count(alias_name="n_customers")))

@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..tuning import JOIN_PARTS as _JOIN_PARTS
 from .text import shingle_hashes
 
 # MinHash parameters (mirrored in __ray_entry__ SQL)
@@ -257,9 +258,9 @@ def _verify_jaccard(pairs_ds, shingled_ds, tau: float,
     sa = shingled_ds.map_batches(_ren("a"), batch_format="pyarrow")
     sb = shingled_ds.map_batches(_ren("b"), batch_format="pyarrow")
     j = (pairs_ds
-         .join(sa, join_type="inner", num_partitions=8,
+         .join(sa, join_type="inner", num_partitions=_JOIN_PARTS,
                on=("doc_a",), right_on=("rid_a",))
-         .join(sb, join_type="inner", num_partitions=8,
+         .join(sb, join_type="inner", num_partitions=_JOIN_PARTS,
                on=("doc_b",), right_on=("rid_b",)))
 
     def verify(t: pa.Table) -> pa.Table:
@@ -792,7 +793,7 @@ def connected_components(pairs_ds, docs_ds, max_iters: int = 16):
     labels = docs_ds.map_batches(init, batch_format="pyarrow").materialize()
     prev = None
     for _ in range(max_iters):
-        j = edges.join(labels, join_type="inner", num_partitions=8,
+        j = edges.join(labels, join_type="inner", num_partitions=_JOIN_PARTS,
                        on=("e_src",), right_on=("doc_id",))
         prop = j.map_batches(relab, batch_format="pyarrow")
         labels = (labels.union(prop)
