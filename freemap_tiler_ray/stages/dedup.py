@@ -837,11 +837,13 @@ def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU,
         out = out.append_column("pair_key", pa.array(key, pa.int64()))
         return out.append_column("bucket", pa.array(b[idx], pa.int64()))
 
-    def group_pairs(g: pd.DataFrame) -> pa.Table:
-        key = int(g["pair_key"].iloc[0])
+    def group_pairs(g: pa.Table) -> pa.Table:
+        from .ann import _matrix
+
+        key = g["pair_key"][0].as_py()
         lo, hi = divmod(key, B)
         ids = g["vec_id"].to_numpy()
-        mat = np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+        mat = _matrix(g["embedding"])     # zero-copy list_flatten
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         if lo == hi:
             cos = mat @ mat.T
@@ -859,4 +861,4 @@ def embedding_pairs(emb_ds, tau: float = EMBED_COS_TAU,
 
     return (emb_ds.map_batches(replicate, batch_format="pyarrow")
             .groupby("pair_key")
-            .map_groups(group_pairs, batch_format="pandas"))
+            .map_groups(group_pairs, batch_format="pyarrow"))
