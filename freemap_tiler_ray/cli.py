@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-threads", type=int, default=None,
                    help="Ray CPU count (default: available parallelism)")
     p.add_argument("--no-insert-empty", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="print a per-zoom step trace (args.rs:63-65; "
+                        "the reference prints one char per tile at "
+                        "processor.rs:618 — here the same ●=data / "
+                        "○=empty trace is aggregated per zoom, plus "
+                        "per-stage seconds)")
     p.add_argument("--source-srs", default=None,
                    help="override the sidecar CRS: an EPSG code "
                         "(4326/3857, UTM 326xx/327xx, ETRS89-UTM 258xx, "
@@ -58,6 +64,37 @@ def build_parser() -> argparse.ArgumentParser:
                         "returning (fwd, inv[, separable]); see "
                         "transforms_demo.py")
     return p
+
+
+def _print_debug_trace(res: dict) -> None:
+    """--debug step trace (args.rs:63-65): the reference prints one
+    char per tile ('●' data / '○' empty-resume skip) at
+    processor.rs:132,187-192,618; a Ray run processes tiles in
+    distributed batches, so the same trace is printed aggregated per
+    zoom from the level parquet (status column), followed by the
+    per-stage seconds the manifests already carry. Goes to stderr —
+    stdout stays one JSON line."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.tiler import parquet_files
+
+    counts: Counter = Counter()
+    files = parquet_files(res.get("tile_dirs", []) or [])
+    if files:
+        t = pq.read_table(files, columns=["zoom", "status"])
+        counts.update(zip(t["zoom"].to_pylist(),
+                          t["status"].to_pylist()))
+    for z in sorted({z for z, _ in counts}):
+        n_data = counts[(z, "data")]
+        n_empty = sum(n for (zz, s), n in counts.items()
+                      if zz == z and s != "data")
+        print(f"debug z{z}: |{'●' * min(n_data, 40)}"
+              f"{'○' * min(n_empty, 40)} data={n_data} empty={n_empty}",
+              file=sys.stderr)
+    for stage, sec in sorted((res.get("metrics_sec") or {}).items()):
+        print(f"debug stage {stage}: {sec:.3f}s", file=sys.stderr)
 
 
 def main(argv=None) -> int:
@@ -123,6 +160,8 @@ def main(argv=None) -> int:
             warp_zoom_offset=args.warp_zoom_offset,
             insert_empty=not args.no_insert_empty)
         res = build_pyramid(cfg)
+        if args.debug:
+            _print_debug_trace(res)
         out = {k: res[k] for k in ("max_zoom", "mbtiles_rows", "format",
                                    "wall_sec", "metrics_sec", "limits_json")}
         print(json.dumps(out))
