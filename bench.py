@@ -144,6 +144,88 @@ def bench_dedup_ann() -> dict:
     return out
 
 
+DEDUP_SF1_DIR = "/tmp/ftr_dedup_sf1"
+
+
+def build_sf1_corpus() -> str:
+    """10x-sf0.1 documents corpus for the dedup/text stress bench
+    (VERDICT r3 next #10): each source doc is replicated 10 times with
+    disjoint doc_id ranges; replicas r>=1 have every 17th token
+    replaced by a replica marker, so they are NEAR-dups (high shingle
+    overlap, no exact dups) and the candidate/verify stages do real
+    work. Deterministic, built once, cached under /tmp."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(DEDUP_SF1_DIR, "documents.parquet")
+    if os.path.exists(out):
+        return DEDUP_SF1_DIR
+    os.makedirs(DEDUP_SF1_DIR, exist_ok=True)
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pylist()
+    langs = t["lang"].to_pylist()
+    srcs = t["source"].to_pylist()
+    all_ids, all_txt, all_lang, all_src, all_nc = [], [], [], [], []
+    for r in range(10):
+        all_ids.append(ids + r * 10_000_000)
+        all_lang.extend(langs)
+        all_src.extend(srcs)
+        if r == 0:
+            rep = texts
+        else:
+            rep = []
+            for x in texts:
+                toks = x.split(" ")
+                toks[r::17] = [f"rep{r}"] * len(toks[r::17])
+                rep.append(" ".join(toks))
+        all_txt.extend(rep)
+        all_nc.extend(len(x) for x in rep)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.concatenate(all_ids), pa.int64()),
+                  "text": pa.array(all_txt, pa.string()),
+                  "lang": pa.array(all_lang, pa.string()),
+                  "source": pa.array(all_src, pa.string()),
+                  "n_chars": pa.array(all_nc, pa.int64())}),
+        out, row_group_size=4096)
+    return DEDUP_SF1_DIR
+
+
+def bench_dedup_sf1() -> dict:
+    """Dedup/text family over the 10x corpus — stresses the shuffles
+    (band rows, gram counts, candidate joins) that the sf0.1 micro
+    tables no longer exercise."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sf1 = build_sf1_corpus()
+    from freemap_tiler_ray.pipelines import queries as q
+
+    out = {}
+    n_docs = None
+    t_all = time.time()
+    for name in ["dedup_exact", "minhash_sigs", "lsh_pairs",
+                 "simhash_pairs", "ngram_pairs", "dup_spans",
+                 "edit_distance_pairs"]:
+        t0 = time.time()
+        n = getattr(q, name)(sf1).count()
+        out[f"{name}_sec"] = round(time.time() - t0, 3)
+        out[f"{name}_rows"] = n
+    total = time.time() - t_all
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(
+        os.path.join(sf1, "documents.parquet")).num_rows
+    ray.shutdown()
+    return {"metric": "dedup/text sf1-scale suite wall time",
+            "value": round(total, 3), "unit": "sec",
+            "queries": out, "sf": sf1, "n_docs": n_docs,
+            "num_cpus": NUM_CPUS}
+
+
 def run_suite() -> dict:
     import ray
 
@@ -378,6 +460,9 @@ def stats_report(names: list[str]) -> None:
 
 
 def main():
+    if "--dedup-sf1" in sys.argv:
+        print(json.dumps(bench_dedup_sf1()))
+        return
     if "--stats" in sys.argv:
         i = sys.argv.index("--stats")
         names = sys.argv[i + 1:] or ["lsh_pairs", "pip_join_spans",

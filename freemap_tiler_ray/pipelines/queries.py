@@ -4054,14 +4054,30 @@ def edit_distance_pairs(sf_dir: str):
         H = np.zeros((n, 128), np.int32)
         np.add.at(H, (np.repeat(np.arange(n), plen),
                       M[M > 0] & 0x7F), 1)
-        ia, ib = np.triu_indices(n, k=1)
-        keep = ((np.maximum(home[ia], home[ib]) == bucket)
-                & (np.abs(plen[ia] - plen[ib]) <= EDIT_MAXD)
-                & (ids[ia] != ids[ib]))
-        ia, ib = ia[keep], ib[keep]
-        l1 = np.abs(H[ia] - H[ib]).sum(axis=1)
-        ok = l1 <= 2 * EDIT_MAXD          # bag lower bound
-        ia, ib = ia[ok], ib[ok]
+        # blocked pair enumeration: peak memory O(block x n), not
+        # O(n^2) — the bag bound prunes inside each block before any
+        # candidate array is kept
+        cand_a, cand_b = [], []
+        BLK = 512
+        for s0 in range(0, n - 1, BLK):
+            s1 = min(s0 + BLK, n - 1)
+            ia0 = np.repeat(np.arange(s0, s1), n - 1 - np.arange(s0, s1))
+            ib0 = np.concatenate(
+                [np.arange(i + 1, n) for i in range(s0, s1)])
+            keep = ((np.maximum(home[ia0], home[ib0]) == bucket)
+                    & (np.abs(plen[ia0] - plen[ib0]) <= EDIT_MAXD)
+                    & (ids[ia0] != ids[ib0]))
+            ia0, ib0 = ia0[keep], ib0[keep]
+            if not len(ia0):
+                continue
+            l1 = np.abs(H[ia0] - H[ib0]).sum(axis=1)
+            ok = l1 <= 2 * EDIT_MAXD      # bag lower bound
+            cand_a.append(ia0[ok])
+            cand_b.append(ib0[ok])
+        if not cand_a:
+            return empty
+        ia = np.concatenate(cand_a)
+        ib = np.concatenate(cand_b)
         if not len(ia):
             return empty
         d = _lev_block(M[ia], plen[ia], M[ib], plen[ib])
