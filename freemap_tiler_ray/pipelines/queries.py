@@ -3978,23 +3978,32 @@ EDIT_MAXD = 4        # max edit distance emitted
 _EDIT_BAND = 5       # length-bucket width (> EDIT_MAXD)
 
 
+_LEV_INF = np.int32(99)
+
+
 def _lev_block(A: np.ndarray, la: np.ndarray,
-               B: np.ndarray, lb: np.ndarray) -> np.ndarray:
-    """Exact Levenshtein for P (a, b) pairs at once: classic DP with
-    both loops over the FIXED prefix length (<= 40x40 steps), every
-    step a vector op over the pair axis — no per-row Python. Rows are
-    captured at each pair's own (la, lb) so ragged lengths stay
-    exact."""
+               B: np.ndarray, lb: np.ndarray,
+               band: int = EDIT_MAXD) -> np.ndarray:
+    """Levenshtein for P (a, b) pairs at once, BANDED: only cells with
+    |i - j| <= band are computed (a cell outside the band is >= |i-j|
+    > band, so the banded DP is EXACT for every distance <= band —
+    the only values the callers emit; larger distances saturate at
+    >= band + 1). Both loops run over the fixed prefix length x the
+    band width (<= 40 x 9 steps), every step a vector op over the
+    pair axis — no per-row Python. Rows are captured at each pair's
+    own (la, lb) so ragged lengths stay exact."""
     P, L = A.shape
-    res = np.zeros(P, np.int64)
-    prev = np.broadcast_to(np.arange(L + 1), (P, L + 1)).copy()
+    res = np.full(P, _LEV_INF, np.int64)
+    prev = np.broadcast_to(
+        np.minimum(np.arange(L + 1), _LEV_INF), (P, L + 1)).copy()
     done = la == 0
     res[done] = lb[done]
     for i in range(1, L + 1):
-        cur = np.empty((P, L + 1), np.int32)
-        cur[:, 0] = i
+        cur = np.full((P, L + 1), _LEV_INF, np.int32)
+        if i - band <= 0:
+            cur[:, 0] = i
         ai = A[:, i - 1]
-        for j in range(1, L + 1):
+        for j in range(max(1, i - band), min(L, i + band) + 1):
             cur[:, j] = np.minimum(
                 np.minimum(prev[:, j], cur[:, j - 1]) + 1,
                 prev[:, j - 1] + (ai != B[:, j - 1]))
@@ -4002,36 +4011,98 @@ def _lev_block(A: np.ndarray, la: np.ndarray,
         if hit.any():
             res[hit] = cur[hit, lb[hit]]
         prev = cur
-    return res
+    return np.minimum(res, _LEV_INF)
+
+
+_EDIT_BUCKETS = int(_os.environ.get("FTR_EDIT_BUCKETS", "8"))
 
 
 def edit_distance_pairs(sf_dir: str):
     """Near-duplicate pairs by exact Levenshtein distance <= 4 over the
     first 40 chars, within language.
 
-    Scale plan: docs shuffle ONCE keyed by (lang, prefix-length bucket)
-    with each doc replicated to its home bucket h = len // 5 and h + 1,
-    so every pair within the +-4 length band meets in exactly one
-    bucket (emitted iff bucket == max(h_a, h_b)); inside a bucket a
-    character-histogram bag bound (lev >= L1 / 2, each edit moves the
-    bag by <= 2) prunes candidates before the vectorized DP kernel.
-    For corpus-scale near-dup the MinHash/SimHash families (stages/
-    dedup.py) are the first-stage filter; this gives the exact-distance
-    verify shape."""
+    Scale plan (round-4 rebuild after the --dedup-sf1 stress run
+    exposed the per-lang single-group shape): docs shuffle ONCE keyed
+    by (lang, sub-bucket pair) — each doc hash-bucketed into B
+    sub-buckets and replicated to its B bucket-pair groups, the
+    embedding_pairs triangle, so every pair meets in EXACTLY one group
+    and parallelism is ~B^2/2 per language instead of 1.  Inside a
+    group, the EXACT character-bag bound (lev >= l1/2: each edit moves
+    the bag by <= 2) is computed for ALL pairs with ONE blocked GEMM
+    via the thermometer embedding — T(a).T(b) = sum_c min(a_c, b_c),
+    so l1 = len_a + len_b - 2 T(a).T(b); the thermometer dimension is
+    sum_c max-count(c), bounded by the prefix length x live alphabet.
+    Survivors (l1 <= 2*maxd, |len diff| <= maxd) then hit the banded
+    pair-axis-vectorized DP kernel.  No O(n^2 d) elementwise pass
+    anywhere.  For corpus-scale near-dup the MinHash/SimHash families
+    (stages/dedup.py) are the first-stage filter; this gives the
+    exact-distance verify shape."""
+    B = _EDIT_BUCKETS
+
     def expand(t: pa.Table) -> pa.Table:
         txt = t["text"].to_pandas().str.slice(0, EDIT_PRE)
         plen = txt.str.len().to_numpy().astype(np.int64)
-        h = plen // _EDIT_BAND
         n = len(t)
         ids = t["doc_id"].to_numpy()
         lang = t["lang"].to_pandas().to_numpy()
+        b = (((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              >> np.uint64(33)) % np.uint64(B)).astype(np.int64)
+        tt = np.arange(B, dtype=np.int64)
+        lo = np.minimum(b[:, None], tt[None, :])
+        hi = np.maximum(b[:, None], tt[None, :])
+        key = (lo * B + hi).ravel()
+        idx = np.repeat(np.arange(n), B)
         return pa.table({
-            "lang": pa.array(np.concatenate([lang, lang])),
-            "bucket": pa.array(np.concatenate([h, h + 1])),
-            "home": pa.array(np.concatenate([h, h])),
-            "doc_id": pa.array(np.concatenate([ids, ids])),
-            "pre": pa.array(np.concatenate([txt.to_numpy()] * 2)),
-            "plen": pa.array(np.concatenate([plen, plen]))})
+            "lang": pa.array(lang[idx]),
+            "pair_key": pa.array(key),
+            "bucket": pa.array(b[idx]),
+            "doc_id": pa.array(ids[idx]),
+            "pre": pa.array(txt.to_numpy()[idx]),
+            "plen": pa.array(plen[idx])})
+
+    def _encode(pre, plen, n):
+        """Byte matrix + thermometer bag embedding: T[i] has H[i][c]
+        leading ones in char c's lane (lane width = the group's max
+        count of c), so T(a).T(b) = sum_c min(a_c, b_c) and the GEMM
+        below yields the EXACT bag l1."""
+        M = np.zeros((n, EDIT_PRE), np.uint8)
+        for k, s in enumerate(pre):       # bounded by group size
+            raw = np.frombuffer(s.encode(), np.uint8)
+            M[k, :len(raw)] = raw
+        H = np.zeros((n, 128), np.int32)
+        np.add.at(H, (np.repeat(np.arange(n), plen),
+                      M[M > 0] & 0x7F), 1)
+        cmax = H.max(axis=0)
+        live = np.flatnonzero(cmax)
+        off = np.zeros(len(live) + 1, np.int64)
+        np.cumsum(cmax[live], out=off[1:])
+        T = np.zeros((n, int(off[-1])), np.float32)
+        for li, c in enumerate(live):     # bounded by live alphabet
+            T[:, off[li]:off[li + 1]] = (
+                np.arange(cmax[c])[None, :] < H[:, c][:, None])
+        return M, T
+
+    def _bag_candidates(Ta, Tb, plena, plenb, tri: bool):
+        """Blocked-GEMM exact bag bound: pairs with l1 <= 2*maxd and
+        |len diff| <= maxd (tri=True restricts to i < j for the
+        same-bucket triangle). l1 = len_a + len_b - 2 Ta.Tb."""
+        na, nb = len(Ta), len(Tb)
+        out_i, out_j = [], []
+        BLK = 2048
+        for s0 in range(0, na, BLK):
+            s1 = min(s0 + BLK, na)
+            l1 = (plena[s0:s1, None] + plenb[None, :]
+                  - 2.0 * (Ta[s0:s1] @ Tb.T))
+            mask = l1 <= 2 * EDIT_MAXD
+            if tri:
+                mask &= (np.arange(s0, s1)[:, None]
+                         < np.arange(nb)[None, :])
+            mask &= (np.abs(plena[s0:s1, None] - plenb[None, :])
+                     <= EDIT_MAXD)
+            ii, jj = np.nonzero(mask)
+            out_i.append(ii + s0)
+            out_j.append(jj)
+        return np.concatenate(out_i), np.concatenate(out_j)
 
     def group(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -4041,43 +4112,26 @@ def edit_distance_pairs(sf_dir: str):
                           "dist": pa.array([], pa.int64())})
         if n < 2:
             return empty
-        bucket = t["bucket"][0].as_py()
+        key = t["pair_key"][0].as_py()
+        blo, bhi = divmod(key, B)
         ids = t["doc_id"].to_numpy()
-        home = t["home"].to_numpy()
+        bkt = t["bucket"].to_numpy()
         plen = t["plen"].to_numpy()
         pre = t["pre"].to_pandas().to_numpy()
-        # fixed-width byte matrix + per-doc char histogram (ASCII)
-        M = np.zeros((n, EDIT_PRE), np.uint8)
-        for k, s in enumerate(pre):       # bounded by bucket size
-            b = np.frombuffer(s.encode(), np.uint8)
-            M[k, :len(b)] = b
-        H = np.zeros((n, 128), np.int32)
-        np.add.at(H, (np.repeat(np.arange(n), plen),
-                      M[M > 0] & 0x7F), 1)
-        # blocked pair enumeration: peak memory O(block x n), not
-        # O(n^2) — the bag bound prunes inside each block before any
-        # candidate array is kept
-        cand_a, cand_b = [], []
-        BLK = 512
-        for s0 in range(0, n - 1, BLK):
-            s1 = min(s0 + BLK, n - 1)
-            ia0 = np.repeat(np.arange(s0, s1), n - 1 - np.arange(s0, s1))
-            ib0 = np.concatenate(
-                [np.arange(i + 1, n) for i in range(s0, s1)])
-            keep = ((np.maximum(home[ia0], home[ib0]) == bucket)
-                    & (np.abs(plen[ia0] - plen[ib0]) <= EDIT_MAXD)
-                    & (ids[ia0] != ids[ib0]))
-            ia0, ib0 = ia0[keep], ib0[keep]
-            if not len(ia0):
-                continue
-            l1 = np.abs(H[ia0] - H[ib0]).sum(axis=1)
-            ok = l1 <= 2 * EDIT_MAXD      # bag lower bound
-            cand_a.append(ia0[ok])
-            cand_b.append(ib0[ok])
-        if not cand_a:
+        M, T = _encode(pre, plen, n)
+        if blo == bhi:
+            ia, ib = _bag_candidates(T, T, plen, plen, tri=True)
+        else:
+            ma = bkt == blo
+            ai = np.flatnonzero(ma)
+            bi = np.flatnonzero(~ma)
+            ii, jj = _bag_candidates(T[ai], T[bi], plen[ai], plen[bi],
+                                     tri=False)
+            ia, ib = ai[ii], bi[jj]
+        if not len(ia):
             return empty
-        ia = np.concatenate(cand_a)
-        ib = np.concatenate(cand_b)
+        keep = ids[ia] != ids[ib]
+        ia, ib = ia[keep], ib[keep]
         if not len(ia):
             return empty
         d = _lev_block(M[ia], plen[ia], M[ib], plen[ib])
@@ -4093,7 +4147,7 @@ def edit_distance_pairs(sf_dir: str):
 
     return (_docs(sf_dir, columns=("doc_id", "lang", "text"))
             .map_batches(expand, batch_format="pyarrow")
-            .groupby(["lang", "bucket"])
+            .groupby(["lang", "pair_key"])
             .map_groups(group, batch_format="pyarrow"))
 
 

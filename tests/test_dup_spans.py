@@ -75,3 +75,41 @@ def test_boilerplate_gram_everywhere(ray_session, tmp_path):
                                    row.dup_tokens), row.doc_id
     # the boilerplate gram occurs in all 300 docs -> every doc has a span
     assert len(got) == 300
+
+
+def test_banded_lev_matches_duckdb():
+    """_lev_block's band is exact for every distance <= EDIT_MAXD and
+    saturates above it — property-checked against DuckDB levenshtein
+    on random ragged strings (incl. empties)."""
+    import duckdb
+
+    from freemap_tiler_ray.pipelines.queries import (EDIT_MAXD, EDIT_PRE,
+                                                     _lev_block)
+
+    rng = np.random.default_rng(0)
+    con = duckdb.connect()
+    strs = []
+    for _ in range(200):
+        n = rng.integers(0, EDIT_PRE + 1)
+        strs.append("".join(chr(97 + c) for c in rng.integers(0, 4, n)))
+    P = 500
+    ia = rng.integers(0, len(strs), P)
+    ib = rng.integers(0, len(strs), P)
+    A = np.zeros((P, EDIT_PRE), np.uint8)
+    B = np.zeros((P, EDIT_PRE), np.uint8)
+    la = np.zeros(P, np.int64)
+    lb = np.zeros(P, np.int64)
+    for k in range(P):
+        a, b = strs[ia[k]].encode(), strs[ib[k]].encode()
+        A[k, :len(a)] = np.frombuffer(a, np.uint8)
+        la[k] = len(a)
+        B[k, :len(b)] = np.frombuffer(b, np.uint8)
+        lb[k] = len(b)
+    d = _lev_block(A, la, B, lb)
+    for k in range(P):
+        ref = con.sql("select levenshtein(?, ?)",
+                      params=[strs[ia[k]], strs[ib[k]]]).fetchone()[0]
+        if ref <= EDIT_MAXD:
+            assert d[k] == ref
+        else:
+            assert d[k] > EDIT_MAXD
