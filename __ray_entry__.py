@@ -207,6 +207,8 @@ DRIVER_WINDOW = (
     "value_histogram", "embedding_pca",
     "q21_last_shipper", "q22_global_sales", "edit_distance_pairs",
     "pareto_front", "retention_cohorts",
+    "q2_min_cost_supp", "q20_excess_stock", "triangle_count",
+    "lineitem_melt", "order_lines_concat",
     "q17_small_qty", "pagerank", "dedup_clusters", "lsh_pairs",
     "dup_spans", "anti_join_customers", "q3_shipping",
     "q10_returned_items", "q13_order_counts", "q18_top_customers",
@@ -217,8 +219,7 @@ DRIVER_WINDOW = (
     "events_props_json", "label_centroids", "tile_polygon_coverage",
     "events_sliding", "events_asof", "events_range_join",
     "q1_lineitem", "revenue_by_segment", "part_revenue_broadcast",
-    "topk_orders", "events_window", "events_sessions", "lang_id",
-    "winnow_pairs", "dedup_exact", "decontaminate",
+    "topk_orders", "events_window",
 )
 
 
@@ -238,16 +239,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
       value_histogram) — closing the cross-round union;
     - embedding_pca, re-registered with an exact covariance-partials
       oracle (was err:no_oracle in r3);
-    - the 5 round-4 additions (q21/q22 shapes, edit-distance near-dup,
-      pareto skyline, retention cohorts);
+    - the 10 round-4 additions (q21/q22/q2/q20 shapes, triangle census,
+      UNPIVOT melt, ordered string_agg, edit-distance near-dup, pareto
+      skyline, retention cohorts);
     - 11 join-heavy sentinels kept in-window because this round touched
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
       hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
       anti_join, q3, q10, q13, q18, nation_region_join;
-    - 27 rotation-pool entries last driver-checked in round 2.
+    - 22 rotation-pool entries last driver-checked in round 2
+      (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id
+      yielded their slots to the late round-4 additions; all five are
+      r2-green, join-free shapes and stay oracle-checked every pytest
+      run).
 
     Cross-round union after this round (if the window is green):
-    111/111 registered queries with a driver row; all 111 also run
+    116/116 registered queries with a driver row; all 116 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -272,6 +278,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": q.edit_distance_pairs,
         "pareto_front": q.pareto_front,
         "retention_cohorts": q.retention_cohorts,
+        "q2_min_cost_supp": q.q2_min_cost_supp,
+        "q20_excess_stock": q.q20_excess_stock,
+        "triangle_count": q.triangle_count,
+        "lineitem_melt": q.lineitem_melt,
+        "order_lines_concat": q.order_lines_concat,
         # join-heavy sentinels (join fan-out + patches changed this round):
         "q17_small_qty": q.q17_small_qty,
         "pagerank": q.pagerank,
@@ -307,13 +318,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_revenue_broadcast": q.part_revenue_broadcast,
         "topk_orders": q.topk_orders,
         "events_window": q.events_window,
+        # --- tail: driver-green in round 2 or 3, still oracle-checked
+        # every pytest session ---
         "events_sessions": q.events_sessions,
         "lang_id": q.lang_id,
         "winnow_pairs": q.winnow_pairs,
         "dedup_exact": q.dedup_exact,
         "decontaminate": q.decontaminate,
-        # --- tail: driver-green in round 2 or 3, still oracle-checked
-        # every pytest session ---
         "ann_topk": q.ann_topk,
         "ann_ivf": q.ann_ivf,
         "ann_lsh": q.ann_lsh,
@@ -1745,5 +1756,81 @@ SELECT cohort AS cohort_month, delta AS months_since,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
 FROM j GROUP BY 1, 2
+"""
+    sqls["q2_min_cost_supp"] = """
+WITH ps AS (
+  SELECT l_partkey AS p_partkey, l_suppkey,
+         CAST(min(CAST(floor(l_extendedprice / l_quantity * 10000.0)
+                       AS BIGINT)) AS BIGINT) AS cost_e4
+  FROM lineitem, part, supplier, nation, region
+  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 25
+  GROUP BY l_partkey, l_suppkey),
+mn AS (SELECT p_partkey, min(cost_e4) AS min_cost
+       FROM ps GROUP BY p_partkey)
+SELECT CAST(floor(s_acctbal * 100.0) AS BIGINT) AS acctbal_e2,
+       s_name, n_name, ps.p_partkey, cost_e4
+FROM ps, mn, supplier, nation
+WHERE ps.p_partkey = mn.p_partkey AND cost_e4 = min_cost
+  AND ps.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+"""
+    sqls["q20_excess_stock"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_all,
+         CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS qty_96
+  FROM lineitem, part, supplier, nation
+  WHERE l_partkey = p_partkey AND p_name LIKE 'large%'
+    AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_excess_parts
+FROM ps, supplier
+WHERE qty_96 > 0 AND qty_all > 2 * qty_96 AND l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""
+    sqls["triangle_count"] = """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey, l_partkey
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_size <= 15),
+e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a, lp b
+      WHERE a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+w AS (SELECT e1.u AS a, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
+       CAST((SELECT count(*) FROM w JOIN e ON w.a = e.u AND w.c = e.v)
+            AS BIGINT) AS n_triangles
+"""
+    sqls["lineitem_melt"] = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'quantity' AS measure,
+       CAST(floor(l_quantity * 10000.0) AS BIGINT) AS value_e4
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'extendedprice',
+       CAST(floor(l_extendedprice * 10000.0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'discount',
+       CAST(floor(l_discount * 10000.0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'tax',
+       CAST(floor(l_tax * 10000.0) AS BIGINT)
+FROM lineitem
+"""
+    sqls["order_lines_concat"] = """
+SELECT l_orderkey AS o_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY l_linenumber, l_partkey) AS part_list,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_orderkey
 """
     return sqls

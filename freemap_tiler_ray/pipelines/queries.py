@@ -4225,3 +4225,345 @@ def retention_cohorts(sf_dir: str):
     return (per_cust.groupby(["cohort_month", "months_since"])
             .aggregate(Sum("n", alias_name="n_orders"),
                        Count(alias_name="n_customers")))
+
+
+def _in_sorted(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership mask of vals in a sorted broadcast key array (the
+    searchsorted dim-filter idiom used across the TPC-H shapes)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(vals), bool)
+    pos = np.searchsorted(sorted_keys, vals)
+    pos[pos == len(sorted_keys)] = 0
+    return sorted_keys[pos] == vals
+
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "LARGE"
+Q2_MAX_SIZE = 25
+
+
+def q2_min_cost_supp(sf_dir: str):
+    """TPC-H Q2 shape (no partsupp table: per-(part, supplier) supply
+    cost proxied by the minimum observed unit price
+    floor(l_extendedprice / l_quantity * 1e4) over the pair's
+    lineitems): for every part of one type/size band, the region's
+    supplier(s) offering the minimum cost — the classic correlated
+    min subquery.
+
+    Scale plan: region->nation->supplier and the part filter are
+    broadcast sorted arrays riding the lineitem scan (no dim
+    shuffle); the (part, supplier) cost table is the only wide
+    aggregate (bounded by observed pairs); the per-part min is a
+    second, strictly smaller groupby hash-joined back (fan-out
+    _JOIN_PARTS) — never a broadcast of O(parts) state. Supplier
+    attributes are enriched from the broadcast dim in the final
+    map, so no row ever carries name/acctbal through the shuffle."""
+    from ray.data.aggregate import Min
+    import pyarrow.parquet as _pq
+
+    reg = _pq.read_table(f"{sf_dir}/region.parquet")
+    rnames = list(map(str, reg["r_name"].to_numpy(zero_copy_only=False)))
+    rk = int(reg["r_regionkey"].to_numpy()[rnames.index(Q2_REGION)])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_in = nat.filter(pc.equal(nat["n_regionkey"], rk))
+    nk_keys, nk_names = _sorted_lookup(
+        nat_in["n_nationkey"].to_numpy().astype(np.int64),
+        nat_in["n_name"].to_numpy(zero_copy_only=False).astype(object))
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet")
+    snk = sup["s_nationkey"].to_numpy().astype(np.int64)
+    in_reg = np.isin(snk, nk_keys)
+    sk_raw = sup["s_suppkey"].to_numpy().astype(np.int64)[in_reg]
+    so = np.argsort(sk_raw)
+    sk = sk_raw[so]
+    s_name = sup["s_name"].to_numpy(zero_copy_only=False)[in_reg][so]
+    s_nk = snk[in_reg][so]
+    s_bal_e2 = np.floor(sup["s_acctbal"].to_numpy()[in_reg]
+                        * 100.0).astype(np.int64)[so]
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_size", "p_type"])
+    pm = ((part["p_size"].to_numpy().astype(np.int64) <= Q2_MAX_SIZE)
+          & (part["p_type"].to_numpy(zero_copy_only=False) == Q2_TYPE))
+    pk_keep = np.sort(part["p_partkey"].to_numpy().astype(np.int64)[pm])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        m = _in_sorted(pk_keep, k) & _in_sorted(sk, s)
+        cost = np.floor(t["l_extendedprice"].to_numpy()[m]
+                        / t["l_quantity"].to_numpy()[m]
+                        * 10000.0).astype(np.int64)
+        return pa.table({"p_partkey": pa.array(k[m], pa.int64()),
+                         "s_suppkey": pa.array(s[m], pa.int64()),
+                         "cost_e4": pa.array(cost, pa.int64())})
+
+    ps = (_rp(f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_quantity"])
+          .map_batches(li_prep, batch_format="pyarrow")
+          .groupby(["p_partkey", "s_suppkey"])
+          .aggregate(Min("cost_e4", alias_name="cost_e4")))
+
+    mn = (ps.select_columns(["p_partkey", "cost_e4"])
+          .groupby("p_partkey")
+          .aggregate(Min("cost_e4", alias_name="min_cost"))
+          .map_batches(lambda t: pa.table({"pk2": t["p_partkey"],
+                                           "min_cost": t["min_cost"]}),
+                       batch_format="pyarrow"))
+    j = ps.join(mn, join_type="inner", num_partitions=_JOIN_PARTS,
+                on=("p_partkey",), right_on=("pk2",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["cost_e4"], t["min_cost"]))
+        s = t["s_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(sk, s)
+        nk = s_nk[pos] if len(s) else np.empty(0, np.int64)
+        npos = np.searchsorted(nk_keys, nk)
+        return pa.table({
+            "acctbal_e2": pa.array(s_bal_e2[pos], pa.int64()),
+            "s_name": pa.array(s_name[pos].astype(object), pa.string()),
+            "n_name": pa.array(nk_names[npos].astype(object),
+                               pa.string()),
+            "p_partkey": t["p_partkey"],
+            "cost_e4": t["cost_e4"]})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+Q20_PREFIX = "large"
+Q20_NATION = "NATION_3"
+Q20_LO = np.datetime64("1996-01-01T00:00:00", "us")
+Q20_HI = np.datetime64("1997-01-01T00:00:00", "us")
+
+
+def q20_excess_stock(sf_dir: str):
+    """TPC-H Q20 shape (availqty proxied by the pair's all-time
+    shipped quantity): suppliers of one nation holding "excess stock"
+    of any prefix-named part — a pair is excess when its all-time
+    quantity is more than twice its 1996 shipment (so the stock
+    OUTSIDE the window exceeds the window's draw; Q20's
+    availqty > 0.5 * year-qty reads identically under the proxy).
+    Returns each such supplier with its excess-pair count.
+
+    Scale plan: the part-prefix filter and the nation's supplier dim
+    are broadcast sorted arrays; ONE lineitem scan emits both
+    measures (all-time and windowed) so no second pass; the
+    (part, supplier) aggregate is the only wide op and the closing
+    distinct is a groupby over at most #suppliers-of-nation rows."""
+    from ray.data.aggregate import Count, Sum
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    names = part["p_name"].to_numpy(zero_copy_only=False).astype(str)
+    pm = np.char.startswith(names, Q20_PREFIX)
+    pk_keep = np.sort(part["p_partkey"].to_numpy().astype(np.int64)[pm])
+
+    sup_keys, sup_nk = _supplier_nation(sf_dir)
+    nat_keys, nat_names = _nation_names(sf_dir)
+    nation_key = int(nat_keys[list(map(str, nat_names))
+                              .index(Q20_NATION)])
+    sk_keep = np.sort(sup_keys[sup_nk == nation_key])
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    sname_keys, sname_vals = _sorted_lookup(
+        sup["s_suppkey"].to_numpy().astype(np.int64),
+        sup["s_name"].to_numpy(zero_copy_only=False).astype(object))
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64)
+        m = _in_sorted(pk_keep, k) & _in_sorted(sk_keep, s)
+        qty = t["l_quantity"].to_numpy()[m].astype(np.int64)
+        d = t["l_shipdate"].to_numpy().astype("datetime64[us]")[m]
+        win = ((d >= Q20_LO) & (d < Q20_HI)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(k[m], pa.int64()),
+                         "l_suppkey": pa.array(s[m], pa.int64()),
+                         "qty_all": pa.array(qty, pa.int64()),
+                         "qty_96": pa.array(qty * win, pa.int64())})
+
+    ps = (_rp(f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_quantity",
+                       "l_shipdate"])
+          .map_batches(li_prep, batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"])
+          .aggregate(Sum("qty_all", alias_name="qty_all"),
+                     Sum("qty_96", alias_name="qty_96")))
+
+    def excess(t: pa.Table) -> pa.Table:
+        qa = t["qty_all"].to_numpy().astype(np.int64)
+        q96 = t["qty_96"].to_numpy().astype(np.int64)
+        m = (q96 > 0) & (qa > 2 * q96)
+        return pa.table({"s_suppkey": t["l_suppkey"].filter(pa.array(m))})
+
+    per_sup = (ps.map_batches(excess, batch_format="pyarrow")
+               .groupby("s_suppkey")
+               .aggregate(Count(alias_name="n_excess_parts")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s_suppkey"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(sname_keys, s)
+        return pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "s_name": pa.array(sname_vals[pos].astype(object),
+                               pa.string()),
+            "n_excess_parts": t["n_excess_parts"]})
+
+    return per_sup.map_batches(finish, batch_format="pyarrow")
+
+
+TRI_MAX_SIZE = 15
+
+
+def triangle_count(sf_dir: str):
+    """Triangle census of the part co-purchase graph (undirected edge
+    u < v when both parts, restricted to p_size <= TRI_MAX_SIZE,
+    appear in one order): one row (n_edges, n_wedges, n_triangles),
+    where n_wedges counts ordered 2-paths a < b < c.
+
+    Scale plan: edges come from ONE lineitem self-join on l_orderkey
+    (per-key multiplicity bounded by order size) deduped by a (u, v)
+    groupby; wedges enumerate via edges |X| edges on the middle
+    vertex — each triangle a < b < c meets exactly once with b as the
+    pivot — and closure is a hash semi-join of the wedge (a, c) pairs
+    against the edge set. All three joins fan out by _JOIN_PARTS. For
+    power-law degree graphs, replace the raw-id total order with the
+    (degree, id) order (compact-forward) so pivot fan-out is bounded
+    by arboricity; the co-purchase graph here is near-regular so the
+    id order suffices — documented for reuse."""
+    from ray.data.aggregate import Count
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_size"])
+    pm = part["p_size"].to_numpy().astype(np.int64) <= TRI_MAX_SIZE
+    pk_keep = np.sort(part["p_partkey"].to_numpy().astype(np.int64)[pm])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy().astype(np.int64)
+        m = _in_sorted(pk_keep, k)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy().astype(np.int64)[m],
+            "l_partkey": k[m]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    lp = (_rp(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_partkey"])
+          .map_batches(li_prep, batch_format="pyarrow"))
+    rhs = lp.map_batches(lambda t: pa.table({"ok2": t["l_orderkey"],
+                                             "p2": t["l_partkey"]}),
+                         batch_format="pyarrow")
+    co = lp.join(rhs, join_type="inner", num_partitions=_JOIN_PARTS,
+                 on=("l_orderkey",), right_on=("ok2",))
+
+    def ordered(t: pa.Table) -> pa.Table:
+        u = t["l_partkey"].to_numpy().astype(np.int64)
+        v = t["p2"].to_numpy().astype(np.int64)
+        m = u < v
+        return pa.table({"u": pa.array(u[m], pa.int64()),
+                         "v": pa.array(v[m], pa.int64())})
+
+    edges = (co.map_batches(ordered, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+             .select_columns(["u", "v"]).materialize())
+    n_edges = edges.count()
+
+    mids = edges.map_batches(lambda t: pa.table({"b2": t["u"],
+                                                 "c": t["v"]}),
+                             batch_format="pyarrow")
+    wedges = (edges.join(mids, join_type="inner",
+                         num_partitions=_JOIN_PARTS,
+                         on=("v",), right_on=("b2",))
+              .map_batches(lambda t: pa.table({"a": t["u"],
+                                               "c": t["c"]}),
+                           batch_format="pyarrow").materialize())
+    n_wedges = wedges.count()
+
+    closing = edges.map_batches(lambda t: pa.table({"a2": t["u"],
+                                                    "c2": t["v"]}),
+                                batch_format="pyarrow")
+    n_tri = wedges.join(closing, join_type="inner",
+                        num_partitions=_JOIN_PARTS,
+                        on=("a", "c"), right_on=("a2", "c2")).count()
+
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_wedges": pa.array([n_wedges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})
+
+
+MELT_MEASURES = ("discount", "extendedprice", "quantity", "tax")
+
+
+def lineitem_melt(sf_dir: str):
+    """UNPIVOT / melt (wide -> long): each lineitem's four numeric
+    measures become four (key, measure, value_e4) rows — the reshape
+    inverse of events_pivot. Values are floor(v * 1e4) int64 so both
+    sides are exact.
+
+    Scale plan: pure map_batches — each batch emits its own stacked
+    long block (np.repeat keys + tiled measure names), so the melt is
+    embarrassingly parallel with zero shuffle; output is ~4x the
+    input rows but never concentrates."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ok = t["l_orderkey"].to_numpy().astype(np.int64)
+        ln = t["l_linenumber"].to_numpy().astype(np.int64)
+        vals = [np.floor(t[f"l_{m}"].to_numpy() * 10000.0)
+                .astype(np.int64) for m in MELT_MEASURES]
+        meas = np.concatenate([np.full(n, m, object)
+                               for m in MELT_MEASURES])
+        return pa.table({
+            "l_orderkey": pa.array(np.tile(ok, len(MELT_MEASURES)),
+                                   pa.int64()),
+            "l_linenumber": pa.array(np.tile(ln, len(MELT_MEASURES)),
+                                     pa.int64()),
+            "measure": pa.array(meas, pa.string()),
+            "value_e4": pa.array(np.concatenate(vals), pa.int64())})
+
+    return (_rp(f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_tax"])
+            .map_batches(melt, batch_format="pyarrow"))
+
+
+def order_lines_concat(sf_dir: str):
+    """Ordered string aggregation: per order, the comma-joined part
+    keys in (l_linenumber, l_partkey) order — SQL's
+    string_agg(x, ',' ORDER BY ...) — plus the line count.
+
+    Scale plan: the hash-partitioned fold used by the window queries
+    (one map_groups call per _HASH_PARTS bucket, NOT per order): each
+    partition lexsorts once and joins strings with a pandas grouped
+    agg, so dispatch cost is per-partition while memory stays bounded
+    by the bucket. Per-order output is bounded by order size (~7
+    lines), so no concatenated value can blow up a row."""
+
+    def part(t: pa.Table) -> pa.Table:
+        u = t["l_orderkey"].to_numpy().astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_part",
+            pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64)))
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["l_orderkey"].to_numpy().astype(np.int64)
+        ln = g["l_linenumber"].to_numpy().astype(np.int64)
+        pk = g["l_partkey"].to_numpy().astype(np.int64)
+        order = np.lexsort((pk, ln, ok))
+        ok, pk = ok[order], pk[order]
+        s = pd.Series(pk.astype(str))
+        grouped = s.groupby(ok, sort=True)
+        return pd.DataFrame({
+            "o_orderkey": np.fromiter(grouped.groups.keys(), np.int64),
+            "part_list": grouped.agg(",".join).to_numpy(),
+            "n_lines": grouped.size().to_numpy().astype(np.int64)})
+
+    return (_rp(f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_linenumber", "l_partkey"])
+            .map_batches(part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(concat, batch_format="pandas"))

@@ -34,3 +34,17 @@ def test_every_query_has_an_oracle():
     assert sorted(qs) == sorted(os_), (
         "every registered query needs a DuckDB oracle (or an explicit "
         "carve-out documented here)")
+
+
+def test_in_sorted_membership_mask():
+    import numpy as np
+
+    from freemap_tiler_ray.pipelines.queries import _in_sorted
+
+    keys = np.array([2, 5, 9], np.int64)
+    vals = np.array([1, 2, 5, 6, 9, 10], np.int64)
+    assert _in_sorted(keys, vals).tolist() == [
+        False, True, True, False, True, False]
+    # empty key set -> nothing matches; empty vals -> empty mask
+    assert _in_sorted(np.empty(0, np.int64), vals).sum() == 0
+    assert _in_sorted(keys, np.empty(0, np.int64)).shape == (0,)
