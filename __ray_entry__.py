@@ -208,7 +208,7 @@ DRIVER_WINDOW = (
     "q21_last_shipper", "q22_global_sales", "edit_distance_pairs",
     "pareto_front", "retention_cohorts",
     "q2_min_cost_supp", "q20_excess_stock", "triangle_count",
-    "lineitem_melt", "order_lines_concat",
+    "lineitem_melt", "order_lines_concat", "embedding_unnest",
     "q17_small_qty", "pagerank", "dedup_clusters", "lsh_pairs",
     "dup_spans", "anti_join_customers", "q3_shipping",
     "q10_returned_items", "q13_order_counts", "q18_top_customers",
@@ -219,7 +219,7 @@ DRIVER_WINDOW = (
     "events_props_json", "label_centroids", "tile_polygon_coverage",
     "events_sliding", "events_asof", "events_range_join",
     "q1_lineitem", "revenue_by_segment", "part_revenue_broadcast",
-    "topk_orders", "events_window",
+    "topk_orders",
 )
 
 
@@ -239,21 +239,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
       value_histogram) — closing the cross-round union;
     - embedding_pca, re-registered with an exact covariance-partials
       oracle (was err:no_oracle in r3);
-    - the 10 round-4 additions (q21/q22/q2/q20 shapes, triangle census,
-      UNPIVOT melt, ordered string_agg, edit-distance near-dup, pareto
-      skyline, retention cohorts);
+    - the 11 round-4 additions (q21/q22/q2/q20 shapes, triangle census,
+      UNPIVOT melt, ordered string_agg, UNNEST explode, edit-distance
+      near-dup, pareto skyline, retention cohorts);
     - 11 join-heavy sentinels kept in-window because this round touched
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
       hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
       anti_join, q3, q10, q13, q18, nation_region_join;
-    - 22 rotation-pool entries last driver-checked in round 2
-      (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id
-      yielded their slots to the late round-4 additions; all five are
-      r2-green, join-free shapes and stay oracle-checked every pytest
-      run).
+    - 21 rotation-pool entries last driver-checked in round 2
+      (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
+      events_window yielded their slots to the late round-4 additions;
+      all six are r2-green, join-free shapes and stay oracle-checked
+      every pytest run).
 
     Cross-round union after this round (if the window is green):
-    116/116 registered queries with a driver row; all 116 also run
+    117/117 registered queries with a driver row; all 117 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.triangle_count,
         "lineitem_melt": q.lineitem_melt,
         "order_lines_concat": q.order_lines_concat,
+        "embedding_unnest": q.embedding_unnest,
         # join-heavy sentinels (join fan-out + patches changed this round):
         "q17_small_qty": q.q17_small_qty,
         "pagerank": q.pagerank,
@@ -317,9 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": q.revenue_by_segment,
         "part_revenue_broadcast": q.part_revenue_broadcast,
         "topk_orders": q.topk_orders,
-        "events_window": q.events_window,
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
+        "events_window": q.events_window,
         "events_sessions": q.events_sessions,
         "lang_id": q.lang_id,
         "winnow_pairs": q.winnow_pairs,
@@ -1832,5 +1833,11 @@ SELECT l_orderkey AS o_orderkey,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 GROUP BY l_orderkey
+"""
+    sqls["embedding_unnest"] = """
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS value_e6
+FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
 """
     return sqls

@@ -4567,3 +4567,34 @@ def order_lines_concat(sf_dir: str):
             .map_batches(part, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(concat, batch_format="pandas"))
+
+
+def embedding_unnest(sf_dir: str):
+    """Explode / UNNEST (list -> long): each 64-dim embedding vector
+    becomes 64 (vec_id, dim, value_e6) rows — the list-column inverse
+    of a collect_list, complementing lineitem_melt (struct-ish wide ->
+    long) on the reshape axis. value_e6 = floor(float64(x) * 1e6)
+    int64 so both sides are exact.
+
+    Scale plan: pure map_batches; keys fan out with np.repeat and the
+    values ride a zero-copy Arrow list_flatten — no shuffle, no
+    per-row Python, output never concentrates."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy().astype(np.float64)
+        q = np.floor(flat * 1_000_000.0).astype(np.int64)
+        vid = np.repeat(t["vec_id"].to_numpy().astype(np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        dim = (np.arange(int(lens.sum()), dtype=np.int64)
+               - np.repeat(starts, lens))
+        return pa.table({"vec_id": pa.array(vid, pa.int64()),
+                         "dim": pa.array(dim, pa.int64()),
+                         "value_e6": pa.array(q, pa.int64())})
+
+    return (_rp(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"])
+            .map_batches(explode, batch_format="pyarrow"))
