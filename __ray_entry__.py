@@ -1802,10 +1802,24 @@ WITH lp AS (
 e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lp a, lp b
       WHERE a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-w AS (SELECT e1.u AS a, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u)
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e
+              UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+ed AS (SELECT CASE WHEN du.d * 4294967296 + u < dv.d * 4294967296 + v
+                   THEN u ELSE v END AS s,
+              CASE WHEN du.d * 4294967296 + u < dv.d * 4294967296 + v
+                   THEN v ELSE u END AS dst,
+              greatest(du.d * 4294967296 + u,
+                       dv.d * 4294967296 + v) AS kd
+       FROM e JOIN deg du ON e.u = du.node
+              JOIN deg dv ON e.v = dv.node),
+w AS (SELECT e1.dst AS b, e2.dst AS c
+      FROM ed e1 JOIN ed e2 ON e1.s = e2.s AND e1.kd < e2.kd)
 SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        CAST((SELECT count(*) FROM w) AS BIGINT) AS n_wedges,
-       CAST((SELECT count(*) FROM w JOIN e ON w.a = e.u AND w.c = e.v)
+       CAST((SELECT count(*) FROM w
+             JOIN ed ON w.b = ed.s AND w.c = ed.dst)
             AS BIGINT) AS n_triangles
 """
     sqls["lineitem_melt"] = """

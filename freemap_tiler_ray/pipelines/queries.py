@@ -4419,20 +4419,27 @@ TRI_MAX_SIZE = 15
 
 def triangle_count(sf_dir: str):
     """Triangle census of the part co-purchase graph (undirected edge
-    u < v when both parts, restricted to p_size <= TRI_MAX_SIZE,
-    appear in one order): one row (n_edges, n_wedges, n_triangles),
-    where n_wedges counts ordered 2-paths a < b < c.
+    {u, v} when both parts, restricted to p_size <= TRI_MAX_SIZE,
+    appear in one order): one row (n_edges, n_wedges, n_triangles).
+
+    Compact-forward / degree-ordered enumeration (Latapy 2008; the
+    standard MapReduce triangle algorithm of Suri & Vassilvitskii):
+    every edge is directed from its lower- to its higher-ranked
+    endpoint under the total order key(x) = degree(x) * 2^32 + x, a
+    wedge is a pair of OUT-edges of one pivot (each triangle's pivot
+    is its minimum-rank vertex, so each triangle is generated exactly
+    once), and closure is a hash semi-join of the wedge (b, c) pair
+    (kept in rank order, so it matches the closing edge's direction)
+    against the directed edge set. n_wedges counts these out-pairs.
 
     Scale plan: edges come from ONE lineitem self-join on l_orderkey
     (per-key multiplicity bounded by order size) deduped by a (u, v)
-    groupby; wedges enumerate via edges |X| edges on the middle
-    vertex — each triangle a < b < c meets exactly once with b as the
-    pivot — and closure is a hash semi-join of the wedge (a, c) pairs
-    against the edge set. All three joins fan out by _JOIN_PARTS. For
-    power-law degree graphs, replace the raw-id total order with the
-    (degree, id) order (compact-forward) so pivot fan-out is bounded
-    by arboricity; the co-purchase graph here is near-regular so the
-    id order suffices — documented for reuse."""
+    groupby; degrees are a bounded groupby joined onto the edges; the
+    pivot self-join is the only quadratic-looking step and the degree
+    order bounds each pivot's out-degree by O(sqrt(m)) (graph
+    arboricity) even on power-law co-purchase graphs — the exact skew
+    failure the raw-id order would have. All joins fan out by
+    _JOIN_PARTS."""
     from ray.data.aggregate import Count
     import pyarrow.parquet as _pq
 
@@ -4471,23 +4478,60 @@ def triangle_count(sf_dir: str):
              .select_columns(["u", "v"]).materialize())
     n_edges = edges.count()
 
-    mids = edges.map_batches(lambda t: pa.table({"b2": t["u"],
-                                                 "c": t["v"]}),
-                             batch_format="pyarrow")
-    wedges = (edges.join(mids, join_type="inner",
-                         num_partitions=_JOIN_PARTS,
-                         on=("v",), right_on=("b2",))
-              .map_batches(lambda t: pa.table({"a": t["u"],
-                                               "c": t["c"]}),
-                           batch_format="pyarrow").materialize())
+    # degree per node (bounded by #nodes), hash-joined onto both ends
+    deg = (edges.map_batches(
+        lambda t: pa.table({"node": pa.array(np.concatenate(
+            [t["u"].to_numpy(), t["v"].to_numpy()]), pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="d")))
+    deg_u = deg.map_batches(lambda t: pa.table({"nu": t["node"],
+                                                "du": t["d"]}),
+                            batch_format="pyarrow")
+    deg_v = deg.map_batches(lambda t: pa.table({"nv": t["node"],
+                                                "dv": t["d"]}),
+                            batch_format="pyarrow")
+    ej = (edges.join(deg_u, join_type="inner",
+                     num_partitions=_JOIN_PARTS,
+                     on=("u",), right_on=("nu",))
+          .join(deg_v, join_type="inner", num_partitions=_JOIN_PARTS,
+                on=("v",), right_on=("nv",)))
+
+    B32 = np.int64(1) << np.int64(32)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy().astype(np.int64)
+        v = t["v"].to_numpy().astype(np.int64)
+        ku = t["du"].to_numpy().astype(np.int64) * B32 + u
+        kv = t["dv"].to_numpy().astype(np.int64) * B32 + v
+        fwd = ku < kv
+        return pa.table({
+            "s": pa.array(np.where(fwd, u, v), pa.int64()),
+            "dst": pa.array(np.where(fwd, v, u), pa.int64()),
+            "kd": pa.array(np.maximum(ku, kv), pa.int64())})
+
+    directed = ej.map_batches(orient, batch_format="pyarrow"
+                              ).materialize()
+
+    out2 = directed.map_batches(lambda t: pa.table(
+        {"s2": t["s"], "d2": t["dst"], "kd2": t["kd"]}),
+        batch_format="pyarrow")
+    wj = directed.join(out2, join_type="inner",
+                       num_partitions=_JOIN_PARTS,
+                       on=("s",), right_on=("s2",))
+
+    def wedge(t: pa.Table) -> pa.Table:
+        m = pc.less(t["kd"], t["kd2"])
+        t = t.filter(m)
+        return pa.table({"b": t["dst"], "c": t["d2"]})
+
+    wedges = wj.map_batches(wedge, batch_format="pyarrow").materialize()
     n_wedges = wedges.count()
 
-    closing = edges.map_batches(lambda t: pa.table({"a2": t["u"],
-                                                    "c2": t["v"]}),
-                                batch_format="pyarrow")
+    closing = directed.map_batches(lambda t: pa.table(
+        {"b2": t["s"], "c2": t["dst"]}), batch_format="pyarrow")
     n_tri = wedges.join(closing, join_type="inner",
                         num_partitions=_JOIN_PARTS,
-                        on=("a", "c"), right_on=("a2", "c2")).count()
+                        on=("b", "c"), right_on=("b2", "c2")).count()
 
     return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
                      "n_wedges": pa.array([n_wedges], pa.int64()),
