@@ -218,8 +218,7 @@ DRIVER_WINDOW = (
     "weighted_sample", "lang_quantiles", "q6_filtered_revenue",
     "events_props_json", "label_centroids", "tile_polygon_coverage",
     "events_sliding", "events_asof", "events_range_join",
-    "q1_lineitem", "revenue_by_segment", "part_revenue_broadcast",
-    "topk_orders",
+    "q1_lineitem", "ann_filtered", "oov_rate", "events_range_frame",
 )
 
 
@@ -246,14 +245,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
       hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
       anti_join, q3, q10, q13, q18, nation_region_join;
-    - 21 rotation-pool entries last driver-checked in round 2
+    - the 3 round-4 continuation additions (ann_filtered, oov_rate,
+      events_range_frame), which displaced the r1/r2-green
+      revenue_by_segment / part_revenue_broadcast / topk_orders
+      rechecks to the tail;
+    - 18 rotation-pool entries last driver-checked in round 2
       (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
       events_window yielded their slots to the late round-4 additions;
       all six are r2-green, join-free shapes and stay oracle-checked
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    117/117 registered queries with a driver row; all 117 also run
+    120/120 registered queries with a driver row; all 120 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -315,11 +318,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.events_asof,
         "events_range_join": q.events_range_join,
         "q1_lineitem": q.q1_lineitem,
+        # round-4 continuation additions (driver-checked this round):
+        "ann_filtered": q.ann_filtered,
+        "oov_rate": q.oov_rate,
+        "events_range_frame": q.events_range_frame,
+        # --- tail: driver-green in round 2 or 3, still oracle-checked
+        # every pytest session ---
         "revenue_by_segment": q.revenue_by_segment,
         "part_revenue_broadcast": q.part_revenue_broadcast,
         "topk_orders": q.topk_orders,
-        # --- tail: driver-green in round 2 or 3, still oracle-checked
-        # every pytest session ---
         "events_window": q.events_window,
         "events_sessions": q.events_sessions,
         "lang_id": q.lang_id,
@@ -1853,5 +1860,45 @@ SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
        CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
                   * 1000000.0) AS BIGINT) AS value_e6
 FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+"""
+
+    # ---- round-4 continuation: filtered ANN / OOV rate / RANGE frame ----
+    from freemap_tiler_ray.pipelines.queries import (OOV_VOCAB_V,
+                                                     RANGE_FRAME_US)
+    sqls["ann_filtered"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlab, v AS qv
+      FROM e WHERE vec_id < {N_QUERIES}),
+d AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+      FROM q JOIN e ON e.label <> q.qlab),
+r AS (SELECT qid AS query_vec_id, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM d)
+SELECT query_vec_id, CAST(rank AS BIGINT) AS rank, vec_id
+FROM r WHERE rank <= {TOP_K}
+"""
+    sqls["oov_rate"] = f"""
+WITH tok AS (
+  SELECT d.doc_id, t.tk
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tk)),
+cnt AS (SELECT tk, count(*) AS tf FROM tok GROUP BY tk),
+voc AS (SELECT tk FROM cnt ORDER BY tf DESC, tk LIMIT {OOV_VOCAB_V})
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tk IN (SELECT tk FROM voc)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+FROM tok GROUP BY doc_id
+"""
+    sqls["events_range_frame"] = f"""
+WITH v AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_id, user_id,
+       CAST(sum(vm) OVER w AS BIGINT) AS range_sum_milli,
+       CAST(count(*) OVER w AS BIGINT) AS range_cnt
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {RANGE_FRAME_US // 1_000_000} SECONDS
+                   PRECEDING AND CURRENT ROW)
 """
     return sqls

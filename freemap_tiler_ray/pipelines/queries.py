@@ -4642,3 +4642,157 @@ def embedding_unnest(sf_dir: str):
     return (_rp(f"{sf_dir}/embeddings.parquet",
                 columns=["vec_id", "embedding"])
             .map_batches(explode, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# round 4 (continuation): filtered ANN, OOV-rate quality filter,
+# time-RANGE window frame
+# ---------------------------------------------------------------------------
+
+def ann_filtered(sf_dir: str):
+    """Filtered vector search (attribute-constrained top-k): exact
+    cosine top-k per query over vectors whose label differs from the
+    query's. See stages/ann.ann_filtered for the shape — the predicate
+    is applied inside the per-batch matmul so partial top-k + tiny
+    merge stays correct under the filter (a post-filtered plain top-k
+    would under-fill)."""
+    from ..stages.ann import ann_filtered as _af
+    return _af(sf_dir)
+
+
+OOV_VOCAB_V = 24             # vocabulary = top-V corpus tokens
+
+
+def oov_rate(sf_dir: str):
+    """Out-of-vocabulary-rate quality filter: build the corpus top-V
+    vocabulary (by total term frequency, ties token-ascending), then
+    per doc count tokens outside it — the classic two-pass broadcast
+    shape (cheap global artifact -> ray.put -> vectorized per-batch
+    probe; the corpus is never shuffled).
+
+    Scale plan: pass 1 emits per-batch (tok, tf) partials, one
+    (tok) groupby folds them, and the top-V is taken from bounded
+    per-block partial top-Vs (each block emits <= V rows, the driver
+    merges #blocks x V — never the full vocabulary). Pass 2 is a
+    single map_batches over documents with a sorted-membership probe
+    against the broadcast V-token vocab."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    V = OOV_VOCAB_V
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        df = t.select(["text"]).to_pandas()
+        if not len(df):
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        flat = np.concatenate(df["text"].str.split(" ").to_numpy())
+        g = pd.Series(flat).groupby(flat, sort=False).size()
+        return pa.table({"tok": pa.array(g.index.to_numpy(), pa.string()),
+                         "tf": pa.array(g.to_numpy().astype(np.int64))})
+
+    def block_topv(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["tf", "tok"],
+                            ascending=[False, True]).head(V)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    vocab_df = (_docs(sf_dir, ("text",))
+                .map_batches(tf_partial, batch_format="pyarrow")
+                .groupby("tok")
+                .aggregate(Sum("tf", alias_name="tf"))
+                .map_batches(block_topv, batch_format="pyarrow")
+                .to_pandas()
+                .sort_values(["tf", "tok"], ascending=[False, True])
+                .head(V))
+    vocab = np.sort(vocab_df["tok"].to_numpy().astype(str))
+    vref = ray.put(vocab)
+
+    def probe(t: pa.Table) -> pa.Table:
+        voc = ray.get(vref)
+        df = t.select(["doc_id", "text"]).to_pandas()
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_oov": pa.array([], pa.int64())})
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy().astype(np.int64)
+        flat = np.concatenate(toks.to_numpy()).astype(str)
+        pos = np.searchsorted(voc, flat)
+        pos[pos == len(voc)] = 0
+        oov = voc[pos] != flat
+        doc_edges = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=doc_edges[1:])
+        oov_cum = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(oov, out=oov_cum[1:])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_oov": pa.array(np.diff(oov_cum[doc_edges]), pa.int64())})
+
+    return (_docs(sf_dir, ("doc_id", "text"))
+            .map_batches(probe, batch_format="pyarrow"))
+
+
+RANGE_FRAME_US = 3_600_000_000        # 1 hour, in microseconds
+
+
+def events_range_frame(sf_dir: str):
+    """Time-RANGE window frame per user: SUM / COUNT over
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW (ORDER BY
+    ts) — a value-based frame, including ORDER-BY peers at the frame
+    end, unlike the row-count frame of events_moving_avg and the
+    bucketed windows of events_sliding/events_hopping.
+
+    Scale shape: hash-partition on user_id, ONE vectorized fold per
+    partition — per-user segments are made globally monotone by an
+    offset trick (segment i shifted by i * OFFSET where OFFSET exceeds
+    the partition's ts span + frame), so both frame bounds come from
+    two global searchsorted calls and a prefix sum; no per-user Python
+    loop. Sums are integer milli-units, so exact."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pa.array(us, pa.int64()),
+            "vm": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    W = RANGE_FRAME_US
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts_us"].to_numpy(),
+                            g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy()[order]
+        eid = g["event_id"].to_numpy()[order]
+        ts = g["ts_us"].to_numpy()[order]
+        vm = g["vm"].to_numpy()[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.cumsum(np.r_[False, u[1:] != u[:-1]]).astype(np.int64)
+        rel = ts - ts.min()
+        off = int(rel.max()) + 2 * W            # > span + frame width
+        # n_segments * off must stay inside int64 (~9e18): holds to
+        # ~1e5 users/partition x multi-year spans; assert, don't wrap.
+        assert seg[-1] * off < 2**62 if n else True
+        adj = rel + seg * off
+        left = np.searchsorted(adj, adj - W, side="left")
+        right = np.searchsorted(adj, adj, side="right")
+        cum = np.zeros(n + 1, np.int64)
+        np.cumsum(vm, out=cum[1:])
+        return pd.DataFrame({
+            "event_id": eid, "user_id": u,
+            "range_sum_milli": cum[right] - cum[left],
+            "range_cnt": (right - left).astype(np.int64)})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))

@@ -120,6 +120,65 @@ def ann_topk(sf_dir: str, k: int = TOP_K):
             .map_groups(_merge_topk(k), batch_format="pandas"))
 
 
+class FilteredAnnPartialStage:
+    """Per-batch partial top-k with a metadata predicate: candidates
+    whose label EQUALS the query's label are masked out before the
+    top-k (the filtered-vector-search shape — search restricted by an
+    attribute filter, evaluated inside the same matmul pass rather
+    than as a post-filter that could starve the top-k)."""
+
+    def __init__(self, query_ids: np.ndarray, query_mat: np.ndarray,
+                 query_labels: np.ndarray, k: int):
+        self.qids = query_ids
+        self.q = _normalize(query_mat)
+        self.qlab = query_labels.astype(np.int64)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        lab = batch["label"].to_numpy().astype(np.int64)
+        m = _normalize(_matrix(batch["embedding"]))
+        cos = self.q @ m.T                                   # (Q, n)
+        cos[self.qlab[:, None] == lab[None, :]] = -np.inf    # predicate
+        k = min(self.k, cos.shape[1])
+        part = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(np.arange(len(self.qids)), k)
+        rows_d = part.ravel()
+        vals = cos[rows_q, rows_d]
+        keep = np.isfinite(vals)                  # drop masked fillers
+        return pa.table({
+            "query_vec_id": pa.array(
+                np.repeat(self.qids, k)[keep], pa.int64()),
+            "vec_id": pa.array(ids[rows_d][keep], pa.int64()),
+            "cos": pa.array(vals[keep], pa.float64()),
+        })
+
+
+def ann_filtered(sf_dir: str, k: int = TOP_K):
+    """Filtered vector search: exact cosine top-k per query restricted
+    to vectors with label <> the query's label. Same distributed shape
+    as ann_topk (broadcast query matrix, per-batch partial top-k, tiny
+    grouped merge); the filter is applied inside the matmul pass so
+    partial top-k stays correct under the predicate."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("vec_id") < N_QUERIES)
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    qids = tbl["vec_id"].to_numpy()[order]
+    qmat = _matrix(tbl["embedding"].take(pa.array(order)))
+    qlab = tbl["label"].to_numpy()[order]
+
+    ds = _rp(f"{sf_dir}/embeddings.parquet",
+             columns=["vec_id", "embedding", "label"]).repartition(8)
+    partial = ds.map_batches(
+        FilteredAnnPartialStage(qids, qmat, qlab, k),
+        batch_format="pyarrow", batch_size=4096)
+    return (partial.groupby("query_vec_id")
+            .map_groups(_merge_topk(k), batch_format="pandas"))
+
+
 def kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     """Deterministic distributed k-means (the iterative-algorithm shape:
     broadcast centroids -> per-batch partial sums -> tiny merge -> new
