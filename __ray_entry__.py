@@ -218,7 +218,7 @@ DRIVER_WINDOW = (
     "weighted_sample", "lang_quantiles", "q6_filtered_revenue",
     "events_props_json", "label_centroids", "tile_polygon_coverage",
     "events_sliding", "events_asof", "events_range_join",
-    "q1_lineitem", "ann_filtered", "oov_rate", "events_range_frame",
+    "bfs_hops", "ann_filtered", "oov_rate", "events_range_frame",
 )
 
 
@@ -245,18 +245,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
       hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
       anti_join, q3, q10, q13, q18, nation_region_join;
-    - the 3 round-4 continuation additions (ann_filtered, oov_rate,
-      events_range_frame), which displaced the r1/r2-green
-      revenue_by_segment / part_revenue_broadcast / topk_orders
-      rechecks to the tail;
-    - 18 rotation-pool entries last driver-checked in round 2
+    - the 4 round-4 continuation additions (bfs_hops, ann_filtered,
+      oov_rate, events_range_frame), which displaced the r1/r2-green
+      q1_lineitem / revenue_by_segment / part_revenue_broadcast /
+      topk_orders rechecks to the tail;
+    - 17 rotation-pool entries last driver-checked in round 2
       (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
       events_window yielded their slots to the late round-4 additions;
       all six are r2-green, join-free shapes and stay oracle-checked
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    120/120 registered queries with a driver row; all 120 also run
+    121/121 registered queries with a driver row; all 121 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -317,13 +317,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q.events_sliding,
         "events_asof": q.events_asof,
         "events_range_join": q.events_range_join,
-        "q1_lineitem": q.q1_lineitem,
         # round-4 continuation additions (driver-checked this round):
+        "bfs_hops": q.bfs_hops,
         "ann_filtered": q.ann_filtered,
         "oov_rate": q.oov_rate,
         "events_range_frame": q.events_range_frame,
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
+        "q1_lineitem": q.q1_lineitem,
         "revenue_by_segment": q.revenue_by_segment,
         "part_revenue_broadcast": q.part_revenue_broadcast,
         "topk_orders": q.topk_orders,
@@ -1862,9 +1863,25 @@ SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
 FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
 """
 
-    # ---- round-4 continuation: filtered ANN / OOV rate / RANGE frame ----
-    from freemap_tiler_ray.pipelines.queries import (OOV_VOCAB_V,
+    # ---- round-4 continuation: filtered ANN / OOV rate / RANGE frame /
+    # bounded BFS ----
+    from freemap_tiler_ray.pipelines.queries import (BFS_MAX_HOPS,
+                                                     BFS_SEED_MAX,
+                                                     OOV_VOCAB_V,
                                                      RANGE_FRAME_US)
+    sqls["bfs_hops"] = f"""
+WITH RECURSIVE eo AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+e AS (SELECT u AS src, v AS dst FROM eo
+      UNION ALL SELECT v, u FROM eo),
+walk(node, hops) AS (
+  SELECT DISTINCT src, 0 FROM e WHERE src < {BFS_SEED_MAX}
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < {BFS_MAX_HOPS})
+SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
     sqls["ann_filtered"] = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, label AS qlab, v AS qv

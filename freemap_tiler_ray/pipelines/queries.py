@@ -4796,3 +4796,80 @@ def events_range_frame(sf_dir: str):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(fold, batch_format="pandas"))
+
+
+BFS_MAX_HOPS = 3             # bound on path length from the seed set
+BFS_SEED_MAX = 8             # seeds = graph nodes with id < 8
+
+
+def bfs_hops(sf_dir: str):
+    """Multi-source BFS shortest hops (bounded) over the same
+    customer—supplier co-occurrence graph as pagerank: min hop count
+    from the seed set (graph nodes with id < BFS_SEED_MAX) to every
+    node within BFS_MAX_HOPS — the frontier-expansion iterative-graph
+    shape, complementing pagerank (fixed-iteration matvec) and
+    dedup_clusters (min-label propagation to convergence).
+
+    Implemented as label-correcting min-propagation: dist_r(node) =
+    min hops over paths of length <= r, so BFS_MAX_HOPS rounds of
+    (edges |X| dist hash join -> +1 -> union -> groupby-min) compute
+    exactly the oracle's hop-bounded recursive-CTE closure. Each round
+    is one join plus one groupby-min; dist is materialized between
+    rounds (the iterative checkpoint pattern) and never collected on
+    the driver. Integer hops, so exact."""
+    from ray.data.aggregate import Count, Min
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey"])
+    j = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def uv(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t["o_custkey"].to_numpy().astype(np.int64) * 2,
+            "v": t["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    eo = (j.map_batches(uv, batch_format="pyarrow")
+          .groupby(["u", "v"]).aggregate(Count(alias_name="_c")))
+
+    def both(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        return pa.table({
+            "src": pa.array(np.concatenate([u, v]), pa.int64()),
+            "dst": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    edges = eo.map_batches(both, batch_format="pyarrow").materialize()
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        s = np.unique(t["src"].to_numpy().astype(np.int64))
+        s = s[s < BFS_SEED_MAX]
+        return pa.table({"node": pa.array(s, pa.int64()),
+                         "hops": pa.array(np.zeros(len(s), np.int64))})
+
+    dist = (edges.map_batches(seed_part, batch_format="pyarrow")
+            .groupby("node").aggregate(Min("hops", alias_name="hops"))
+            .materialize())
+
+    for _ in range(BFS_MAX_HOPS):
+        jr = edges.join(dist, join_type="inner",
+                        num_partitions=_JOIN_PARTS,
+                        on=("src",), right_on=("node",))
+
+        def step(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["dst"],
+                "hops": pa.array(t["hops"].to_numpy().astype(np.int64)
+                                 + 1, pa.int64())})
+
+        dist = (jr.map_batches(step, batch_format="pyarrow")
+                .union(dist)
+                .groupby("node").aggregate(Min("hops", alias_name="hops"))
+                .materialize())
+
+    return dist
