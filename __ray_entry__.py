@@ -214,7 +214,7 @@ DRIVER_WINDOW = (
     "q10_returned_items", "q13_order_counts", "q18_top_customers",
     "nation_region_join",
     "doc_cells", "cell_counts", "spans_fp", "pip_join_spans", "knn",
-    "media_features", "tile_zorder", "stratified_sample",
+    "ppjoin_pairs", "salted_type_stats", "stratified_sample",
     "weighted_sample", "lang_quantiles", "q6_filtered_revenue",
     "events_props_json", "label_centroids", "tile_polygon_coverage",
     "events_sliding", "events_asof", "events_range_join",
@@ -245,18 +245,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
       hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
       anti_join, q3, q10, q13, q18, nation_region_join;
-    - the 4 round-4 continuation additions (bfs_hops, ann_filtered,
-      oov_rate, events_range_frame), which displaced the r1/r2-green
-      q1_lineitem / revenue_by_segment / part_revenue_broadcast /
-      topk_orders rechecks to the tail;
-    - 17 rotation-pool entries last driver-checked in round 2
+    - the 6 round-4 continuation additions (bfs_hops, ann_filtered,
+      oov_rate, events_range_frame, ppjoin_pairs, salted_type_stats),
+      which displaced the r1/r2-green q1_lineitem / revenue_by_segment
+      / part_revenue_broadcast / topk_orders / media_features /
+      tile_zorder rechecks to the tail;
+    - 15 rotation-pool entries last driver-checked in round 2
       (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
       events_window yielded their slots to the late round-4 additions;
       all six are r2-green, join-free shapes and stay oracle-checked
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    121/121 registered queries with a driver row; all 121 also run
+    123/123 registered queries with a driver row; all 123 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -305,8 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_fp": q.spans_fp,
         "pip_join_spans": q.pip_join_spans,
         "knn": q.knn,
-        "media_features": q.media_features,
-        "tile_zorder": q.tile_zorder,
+        "ppjoin_pairs": q.ppjoin_pairs,
+        "salted_type_stats": q.salted_type_stats,
         "stratified_sample": q.stratified_sample,
         "weighted_sample": q.weighted_sample,
         "lang_quantiles": q.lang_quantiles,
@@ -325,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
         "q1_lineitem": q.q1_lineitem,
+        "media_features": q.media_features,
+        "tile_zorder": q.tile_zorder,
         "revenue_by_segment": q.revenue_by_segment,
         "part_revenue_broadcast": q.part_revenue_broadcast,
         "topk_orders": q.topk_orders,
@@ -978,6 +981,24 @@ cand AS (
   FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id),
 {_JACCARD_TAIL}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {NGRAM_JACCARD_TAU!r}
+"""
+    # PPJoin differs only in candidate generation (prefix filter),
+    # which the exact-verify pass makes invisible to the result: the
+    # oracle is the plain all-shared-shingle candidate set at its tau.
+    from freemap_tiler_ray.stages.dedup import PPJOIN_TAU
+    sqls["ppjoin_pairs"] = f"""
+WITH {_SH_CTE},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id),
+{_JACCARD_TAIL}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {PPJOIN_TAU!r}
+"""
+    sqls["salted_type_stats"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s_milli
+FROM events GROUP BY event_type
 """
 
     # 60-bit simhash: 15 hex chars of md5 = 60 bits (positive in BIGINT)

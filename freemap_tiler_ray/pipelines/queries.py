@@ -4873,3 +4873,54 @@ def bfs_hops(sf_dir: str):
                 .materialize())
 
     return dist
+
+
+def ppjoin_pairs(sf_dir: str):
+    """Prefix-filtered set-similarity self-join (PPJoin candidate
+    strategy) at tau = 0.5 — see stages/dedup.ppjoin_pairs. A third,
+    genuinely different candidate-generation strategy next to
+    LSH banding (lsh_pairs) and full-token count buckets
+    (ngram_pairs): only each set's (1 - tau) prefix under the global
+    token order reaches the shuffle."""
+    from ..stages.dedup import doc_shingles
+    from ..stages.dedup import ppjoin_pairs as _pp
+    return _pp(_shingled(sf_dir),
+               docs_ds=_docs(sf_dir, ("doc_id", "text")),
+               shingle_fn=doc_shingles)
+
+
+SALT_N = 16
+
+
+def salted_type_stats(sf_dir: str):
+    """Skew-safe grouped aggregate via two-phase key salting
+    (stages/salt.py, the north-rule hot-key pattern) over the
+    deliberately pathological key: event_type has only a handful of
+    distinct values across the whole corpus, so EVERY key is hot and
+    an unsalted groupby funnels the full table through one reducer
+    per key. Phase 1 aggregates per (event_type, salt) — SALT_N
+    sub-groups spread each hot key across reducers — phase 2 merges
+    the bounded per-salt partials. Integer milli sums, so the salted
+    two-phase fold is bit-exact vs the oracle's plain GROUP BY."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.salt import salted_grouped_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "vm": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64))})
+
+    ds = (_rp(f"{sf_dir}/events.parquet",
+              columns=["event_id", "event_type", "value"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = salted_grouped_aggregate(
+        ds, "event_type",
+        aggs_partial=[Sum("vm", alias_name="s_milli"),
+                      Count(alias_name="n")],
+        aggs_final=[Sum("s_milli", alias_name="s_milli"),
+                    Sum("n", alias_name="n")],
+        n_salt=SALT_N, id_col="event_id")
+    return out.select_columns(["event_type", "n", "s_milli"])

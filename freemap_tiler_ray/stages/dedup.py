@@ -649,6 +649,48 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
                                           batch_format="pandas"))
 
 
+PPJOIN_TAU = 0.5                 # = PPJOIN_NUM / PPJOIN_DEN exactly
+PPJOIN_NUM, PPJOIN_DEN = 1, 2    # rational tau for exact prefix lengths
+
+
+def ppjoin_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
+    """Prefix-filtered set-similarity self-join (the PPJoin-family
+    candidate strategy, Xiao et al. WWW'08 — public algorithm): for
+    Jaccard >= tau, any qualifying pair must share a token inside each
+    side's PREFIX of length |S| - ceil(tau*|S|) + 1 under one global
+    token order (here: shingle hash ascending — shingle_hashes already
+    emits per-doc sorted unique sets, so the prefix is a zero-copy
+    head slice). Only prefix tokens reach the shuffle — a (1 - tau)
+    fraction of each set, vs every token in ngram_pairs or whole band
+    signatures in LSH — then candidates are verified with the shared
+    exact-Jaccard rejoin (_verify_jaccard), so the prefix filter only
+    affects candidate COUNT, never correctness. Prefix lengths use the
+    rational tau (NUM/DEN) in integer arithmetic, so the filter's
+    completeness guarantee is exact, not float-dependent."""
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        sh = batch["shingles"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        offsets = sh.offsets.to_numpy()
+        sizes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        flat = sh.flatten().to_numpy()
+        # p = sz - ceil(tau * sz) + 1, exact via the rational tau
+        p = sizes - (sizes * PPJOIN_NUM + PPJOIN_DEN - 1) // PPJOIN_DEN + 1
+        starts = np.cumsum(sizes) - sizes
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = pos < np.repeat(p, sizes)
+        ids = np.repeat(batch["doc_id"].to_numpy(), sizes)
+        return pa.table({"shingle": pa.array(flat[keep], pa.int64()),
+                         "doc_id": pa.array(ids[keep], pa.int64())})
+
+    ex = shingled_ds.map_batches(prefix_explode, batch_format="pyarrow")
+    ex = _keep_multi_keys(ex, "shingle")      # singleton prefix tokens
+    cands = _distinct_pairs(_pairs_by_key(ex, "shingle"))
+    return _verify_jaccard(cands, shingled_ds, PPJOIN_TAU,
+                           docs_ds=docs_ds, shingle_fn=shingle_fn)
+
+
 WINNOW_MAXDF = 16        # IDF cutoff: fps in more docs are not evidence
 WINNOW_MIN_SHARED = 3    # pairs must share >= this many fingerprints
 
