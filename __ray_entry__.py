@@ -213,7 +213,8 @@ DRIVER_WINDOW = (
     "dup_spans", "anti_join_customers", "q3_shipping",
     "q10_returned_items", "q13_order_counts", "q18_top_customers",
     "nation_region_join",
-    "doc_cells", "cell_counts", "spans_fp", "pip_join_spans", "knn",
+    "doc_cells", "cell_counts", "spans_fp", "pip_join_spans",
+    "modality_balance",
     "ppjoin_pairs", "salted_type_stats", "stratified_sample",
     "weighted_sample", "lang_quantiles", "q6_filtered_revenue",
     "events_props_json", "label_centroids", "tile_polygon_coverage",
@@ -245,19 +246,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
       hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
       anti_join, q3, q10, q13, q18, nation_region_join;
-    - the 6 round-4 continuation additions (bfs_hops, ann_filtered,
-      oov_rate, events_range_frame, ppjoin_pairs, salted_type_stats),
-      which displaced the r1/r2-green q1_lineitem / revenue_by_segment
-      / part_revenue_broadcast / topk_orders / media_features /
-      tile_zorder rechecks to the tail;
-    - 15 rotation-pool entries last driver-checked in round 2
+    - the 7 round-4 continuation additions (bfs_hops, ann_filtered,
+      oov_rate, events_range_frame, ppjoin_pairs, salted_type_stats,
+      modality_balance), which displaced the r1/r2-green q1_lineitem /
+      revenue_by_segment / part_revenue_broadcast / topk_orders /
+      media_features / tile_zorder / knn rechecks to the tail (knn_ring
+      shares knn's kernel and oracle shape and both remain
+      oracle-checked every pytest session);
+    - 14 rotation-pool entries last driver-checked in round 2
       (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
       events_window yielded their slots to the late round-4 additions;
       all six are r2-green, join-free shapes and stay oracle-checked
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    123/123 registered queries with a driver row; all 123 also run
+    124/124 registered queries with a driver row; all 124 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -305,7 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_counts": q.cell_counts,
         "spans_fp": q.spans_fp,
         "pip_join_spans": q.pip_join_spans,
-        "knn": q.knn,
+        "modality_balance": q.modality_balance,
         "ppjoin_pairs": q.ppjoin_pairs,
         "salted_type_stats": q.salted_type_stats,
         "stratified_sample": q.stratified_sample,
@@ -326,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
         "q1_lineitem": q.q1_lineitem,
+        "knn": q.knn,
         "media_features": q.media_features,
         "tile_zorder": q.tile_zorder,
         "revenue_by_segment": q.revenue_by_segment,
@@ -993,6 +997,21 @@ cand AS (
   FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id),
 {_JACCARD_TAIL}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {PPJOIN_TAU!r}
+"""
+    sqls["modality_balance"] = f"""
+WITH {_SPANS_CTE}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_text,
+       CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_media,
+       CAST(sum(CASE WHEN kind = 'text' THEN length(text) ELSE 0 END)
+            AS BIGINT) AS text_chars,
+       CAST(sum(CASE WHEN kind <> 'text'
+                     THEN (doc_id * 31 + j * 17) % 4096 + 256
+                     ELSE 0 END) AS BIGINT) AS media_bytes
+FROM spans GROUP BY doc_id
 """
     sqls["salted_type_stats"] = """
 SELECT event_type,

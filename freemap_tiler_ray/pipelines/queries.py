@@ -4924,3 +4924,47 @@ def salted_type_stats(sf_dir: str):
                     Sum("n", alias_name="n")],
         n_salt=SALT_N, id_col="event_id")
     return out.select_columns(["event_type", "n", "s_milli"])
+
+
+def modality_balance(sf_dir: str):
+    """Per-document modality statistics over the interleaved spans
+    table (the north-rule input shape): span/text/media counts, text
+    character volume, and media byte volume (a deterministic
+    byte-size derivation standing in for the media store's metadata,
+    mirrored verbatim in the oracle) — the modality-balance profile a
+    training-data curator filters and samples on.
+
+    Scale shape: a doc's spans are derived in-batch, so this is ONE
+    map_batches with reduceat folds over the flattened span arrays —
+    no shuffle, no per-row Python; output is one row per doc."""
+    from ..stages.docs import _flat_spans
+
+    def stats(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        if not len(ids):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_spans": z, "n_text": z,
+                             "n_media": z, "text_chars": z,
+                             "media_bytes": z})
+        offsets, i_rep, j_flat = _flat_spans(ids)
+        starts = offsets[:-1].astype(np.int64)
+        is_text = ((i_rep + j_flat) % 3) == 0
+        # len(f"t-{i}-{j}") = 3 + digits(i) + digits(j)
+        tchars = np.where(
+            is_text,
+            3 + np.char.str_len(i_rep.astype(str))
+            + np.char.str_len(j_flat.astype(str)), 0).astype(np.int64)
+        mbytes = np.where(~is_text,
+                          (i_rep * 31 + j_flat * 17) % 4096 + 256,
+                          0).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_spans": pa.array(np.diff(offsets).astype(np.int64)),
+            "n_text": pa.array(
+                np.add.reduceat(is_text.astype(np.int64), starts)),
+            "n_media": pa.array(
+                np.add.reduceat((~is_text).astype(np.int64), starts)),
+            "text_chars": pa.array(np.add.reduceat(tchars, starts)),
+            "media_bytes": pa.array(np.add.reduceat(mbytes, starts))})
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
