@@ -213,8 +213,8 @@ DRIVER_WINDOW = (
     "dup_spans", "anti_join_customers", "q3_shipping",
     "q10_returned_items", "q13_order_counts", "q18_top_customers",
     "nation_region_join",
-    "doc_cells", "cell_counts", "spans_fp", "pip_join_spans",
-    "modality_balance",
+    "events_dedup_latest", "value_percentiles", "spans_fp",
+    "pip_join_spans", "modality_balance",
     "ppjoin_pairs", "salted_type_stats", "stratified_sample",
     "weighted_sample", "lang_quantiles", "q6_filtered_revenue",
     "events_props_json", "label_centroids", "tile_polygon_coverage",
@@ -246,21 +246,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
       hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
       anti_join, q3, q10, q13, q18, nation_region_join;
-    - the 7 round-4 continuation additions (bfs_hops, ann_filtered,
+    - the 9 round-4 continuation additions (bfs_hops, ann_filtered,
       oov_rate, events_range_frame, ppjoin_pairs, salted_type_stats,
-      modality_balance), which displaced the r1/r2-green q1_lineitem /
-      revenue_by_segment / part_revenue_broadcast / topk_orders /
-      media_features / tile_zorder / knn rechecks to the tail (knn_ring
-      shares knn's kernel and oracle shape and both remain
-      oracle-checked every pytest session);
-    - 14 rotation-pool entries last driver-checked in round 2
+      modality_balance, events_dedup_latest, value_percentiles), which
+      displaced the r1/r2-green q1_lineitem / revenue_by_segment /
+      part_revenue_broadcast / topk_orders / media_features /
+      tile_zorder / knn / doc_cells / cell_counts rechecks to the tail
+      (knn_ring shares knn's kernel and oracle shape; cell_counts is
+      doc_cells' aggregate — all remain oracle-checked every pytest
+      session);
+    - 12 rotation-pool entries last driver-checked in round 2
       (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
       events_window yielded their slots to the late round-4 additions;
       all six are r2-green, join-free shapes and stay oracle-checked
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    124/124 registered queries with a driver row; all 124 also run
+    126/126 registered queries with a driver row; all 126 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -304,8 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_top_customers": q.q18_top_customers,
         "nation_region_join": q.nation_region_join,
         # rotation pool: last driver-checked in round 2:
-        "doc_cells": q.doc_cells,
-        "cell_counts": q.cell_counts,
+        "events_dedup_latest": q.events_dedup_latest,
+        "value_percentiles": q.value_percentiles,
         "spans_fp": q.spans_fp,
         "pip_join_spans": q.pip_join_spans,
         "modality_balance": q.modality_balance,
@@ -329,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
         "q1_lineitem": q.q1_lineitem,
+        "doc_cells": q.doc_cells,
+        "cell_counts": q.cell_counts,
         "knn": q.knn,
         "media_features": q.media_features,
         "tile_zorder": q.tile_zorder,
@@ -1012,6 +1016,32 @@ SELECT doc_id,
                      THEN (doc_id * 31 + j * 17) % 4096 + 256
                      ELSE 0 END) AS BIGINT) AS media_bytes
 FROM spans GROUP BY doc_id
+"""
+    sqls["events_dedup_latest"] = """
+WITH v AS (SELECT user_id, event_type, event_id, ts,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC)
+                    AS rn
+           FROM events)
+SELECT user_id, event_type, event_id AS last_event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us, vm AS last_vm
+FROM v WHERE rn = 1
+"""
+    sqls["value_percentiles"] = """
+WITH v AS (SELECT event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+h AS (SELECT event_type, vm, count(*) AS c FROM v GROUP BY 1, 2),
+cum AS (SELECT event_type, vm,
+               sum(c) OVER (PARTITION BY event_type ORDER BY vm) AS cc,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM h)
+SELECT event_type, CAST(min(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN 4 * cc >= n THEN vm END) AS BIGINT) AS p25_milli,
+       CAST(min(CASE WHEN 2 * cc >= n THEN vm END) AS BIGINT) AS p50_milli,
+       CAST(min(CASE WHEN 4 * cc >= 3 * n THEN vm END) AS BIGINT)
+         AS p75_milli
+FROM cum GROUP BY event_type
 """
     sqls["salted_type_stats"] = """
 SELECT event_type,

@@ -4968,3 +4968,97 @@ def modality_balance(sf_dir: str):
             "media_bytes": pa.array(np.add.reduceat(mbytes, starts))})
 
     return _docs(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def events_dedup_latest(sf_dir: str):
+    """Keep-latest-per-key compaction (the CDC / versioned-corpus
+    dedup-by-recency primitive): for each (user_id, event_type), the
+    row with the greatest (ts, event_id). A per-batch combiner keeps
+    only each batch's latest row per key BEFORE the shuffle (the
+    shuffle moves <= distinct-keys-per-batch rows, not the table),
+    then one hash-partitioned vectorized fold finishes the argmax."""
+
+    def _latest(u, et, eid, ts, vm):
+        order = np.lexsort((eid, ts, et, u))
+        u, et, eid, ts, vm = (x[order] for x in (u, et, eid, ts, vm))
+        last = np.r_[(u[1:] != u[:-1]) | (et[1:] != et[:-1]), True]
+        return u[last], et[last], eid[last], ts[last], vm[last]
+
+    def combine(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        u, et, eid, ts, vm = _latest(
+            t["user_id"].to_numpy(),
+            t["event_type"].to_numpy().astype(object),
+            t["event_id"].to_numpy(), us,
+            np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(u, pa.int64()),
+            "event_type": pa.array(et.astype(str)),
+            "event_id": pa.array(eid, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "vm": pa.array(vm, pa.int64()),
+            "_part": pa.array(u % _HASH_PARTS, pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u, et, eid, ts, vm = _latest(
+            g["user_id"].to_numpy(),
+            g["event_type"].to_numpy().astype(object),
+            g["event_id"].to_numpy(), g["ts_us"].to_numpy(),
+            g["vm"].to_numpy())
+        return pd.DataFrame({
+            "user_id": u, "event_type": et.astype(str),
+            "last_event_id": eid, "last_ts_us": ts, "last_vm": vm})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type",
+                         "value"])
+            .map_batches(combine, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def value_percentiles(sf_dir: str):
+    """Exact per-type PERCENTILE_DISC (p25/p50/p75 of integer
+    milli-values): smallest vm whose cumulative count reaches q*n,
+    decided by pure integer comparisons (4*cc >= n etc.) so there is
+    no float boundary ambiguity.
+
+    Scale shape: the shuffle carries the (event_type, vm) HISTOGRAM
+    (bounded by the value domain — ~half a million milli-buckets max —
+    not by row count, cf. lang_quantiles); per-batch partial counts
+    fold into one bounded groupby, then one tiny per-type sorted
+    cumulative scan."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        g = (pd.DataFrame({"event_type": t["event_type"].to_numpy(),
+                           "vm": vm})
+             .groupby(["event_type", "vm"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "vm"])
+            .aggregate(Sum("c", alias_name="c")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vm")
+        vm = g["vm"].to_numpy()
+        cc = np.cumsum(g["c"].to_numpy())
+        n = int(cc[-1])
+        p25 = vm[np.argmax(4 * cc >= n)]
+        p50 = vm[np.argmax(2 * cc >= n)]
+        p75 = vm[np.argmax(4 * cc >= 3 * n)]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], np.int64),
+            "p25_milli": np.array([p25], np.int64),
+            "p50_milli": np.array([p50], np.int64),
+            "p75_milli": np.array([p75], np.int64)})
+
+    return hist.groupby("event_type").map_groups(pick,
+                                                 batch_format="pandas")
