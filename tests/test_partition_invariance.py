@@ -23,7 +23,9 @@ def _canon(res) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("qname", ["events_cumsum", "events_rank",
-                                   "user_first_last", "events_ntile"])
+                                   "user_first_last", "events_ntile",
+                                   "events_range_frame",
+                                   "events_dedup_latest"])
 def test_result_invariant_under_fanout(ray_session, qname, monkeypatch):
     from freemap_tiler_ray.pipelines import queries as q
 
