@@ -215,11 +215,12 @@ DRIVER_WINDOW = (
     "nation_region_join",
     "events_dedup_latest", "value_percentiles", "spans_fp",
     "pip_join_spans", "modality_balance",
-    "ppjoin_pairs", "salted_type_stats", "stratified_sample",
-    "weighted_sample", "lang_quantiles", "q6_filtered_revenue",
-    "events_props_json", "label_centroids", "tile_polygon_coverage",
+    "ppjoin_pairs", "salted_type_stats",
     "events_sliding", "events_asof", "events_range_join",
     "bfs_hops", "ann_filtered", "oov_rate", "events_range_frame",
+    "line_dedup", "zscore_outliers", "mad_outliers",
+    "time_weighted_avg", "gini_by_source",
+    "modality_transitions", "token_diversity",
 )
 
 
@@ -262,7 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    126/126 registered queries with a driver row; all 126 also run
+    133/133 registered queries with a driver row; all 133 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -313,13 +314,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modality_balance": q.modality_balance,
         "ppjoin_pairs": q.ppjoin_pairs,
         "salted_type_stats": q.salted_type_stats,
-        "stratified_sample": q.stratified_sample,
-        "weighted_sample": q.weighted_sample,
-        "lang_quantiles": q.lang_quantiles,
-        "q6_filtered_revenue": q.q6_filtered_revenue,
-        "events_props_json": q.events_props_json,
-        "label_centroids": q.label_centroids,
-        "tile_polygon_coverage": q.tile_polygon_coverage,
         "events_sliding": q.events_sliding,
         "events_asof": q.events_asof,
         "events_range_join": q.events_range_join,
@@ -328,8 +322,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": q.ann_filtered,
         "oov_rate": q.oov_rate,
         "events_range_frame": q.events_range_frame,
+        # round-4 continuation II additions (driver-checked this round;
+        # displaced the r2-green stratified/weighted_sample,
+        # q6_filtered_revenue, events_props_json, label_centroids
+        # rechecks to the tail):
+        "line_dedup": q.line_dedup,
+        "zscore_outliers": q.zscore_outliers,
+        "mad_outliers": q.mad_outliers,
+        "time_weighted_avg": q.time_weighted_avg,
+        "gini_by_source": q.gini_by_source,
+        "modality_transitions": q.modality_transitions,
+        "token_diversity": q.token_diversity,
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
+        "lang_quantiles": q.lang_quantiles,
+        "tile_polygon_coverage": q.tile_polygon_coverage,
+        "stratified_sample": q.stratified_sample,
+        "weighted_sample": q.weighted_sample,
+        "q6_filtered_revenue": q.q6_filtered_revenue,
+        "events_props_json": q.events_props_json,
+        "label_centroids": q.label_centroids,
         "q1_lineitem": q.q1_lineitem,
         "doc_cells": q.doc_cells,
         "cell_counts": q.cell_counts,
@@ -1048,6 +1060,121 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s_milli
 FROM events GROUP BY event_type
+"""
+    # non-overlapping 8-token lines; a line in >= 2 distinct docs is
+    # boilerplate and dropped from the per-doc view
+    sqls["line_dedup"] = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tk,
+         generate_subscripts(string_split(text, ' '), 1) AS ord
+  FROM documents),
+lines AS (
+  SELECT doc_id, (ord - 1) // 8 AS line_no,
+         string_agg(tk, ' ' ORDER BY ord) AS passage
+  FROM tok GROUP BY doc_id, (ord - 1) // 8),
+freq AS (
+  SELECT passage, count(DISTINCT doc_id) AS ndocs
+  FROM lines GROUP BY passage)
+SELECT l.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN f.ndocs < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN f.ndocs < 2 THEN length(l.passage) ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM lines l JOIN freq f USING (passage)
+GROUP BY l.doc_id
+"""
+    sqls["zscore_outliers"] = """
+WITH st AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(n_chars) AS HUGEINT) AS s,
+                   sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+            FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN st USING (lang)
+WHERE (CAST(d.n_chars AS HUGEINT) * st.n - st.s)
+      * (CAST(d.n_chars AS HUGEINT) * st.n - st.s)
+      > 4 * (st.n * st.q - st.s * st.s)
+"""
+    sqls["mad_outliers"] = """
+WITH h AS (SELECT lang, n_chars AS v, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+medc AS (SELECT lang, v,
+                2 * sum(c) OVER (PARTITION BY lang ORDER BY v) AS cc2,
+                sum(c) OVER (PARTITION BY lang) AS n
+         FROM h),
+med AS (SELECT lang, min(v) AS m FROM medc WHERE cc2 >= n
+        GROUP BY lang),
+dh AS (SELECT h.lang, abs(h.v - med.m) AS d, sum(h.c) AS c
+       FROM h JOIN med USING (lang) GROUP BY h.lang, abs(h.v - med.m)),
+madc AS (SELECT lang, d,
+                2 * sum(c) OVER (PARTITION BY lang ORDER BY d) AS cc2,
+                sum(c) OVER (PARTITION BY lang) AS n
+         FROM dh),
+mad AS (SELECT lang, min(d) AS mad FROM madc WHERE cc2 >= n
+        GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN med USING (lang) JOIN mad USING (lang)
+WHERE abs(d.n_chars - med.m) > 2 * mad.mad
+"""
+    sqls["time_weighted_avg"] = """
+WITH v AS (SELECT user_id, event_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm
+           FROM events),
+w AS (SELECT user_id, vm, ts_us,
+             lead(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS nxt
+      FROM v)
+SELECT user_id,
+       CAST(coalesce(sum(vm * ((nxt - ts_us) // 1000000)), 0) AS BIGINT)
+         AS twa_num,
+       CAST(coalesce(sum((nxt - ts_us) // 1000000), 0) AS BIGINT)
+         AS twa_den,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM w GROUP BY user_id
+"""
+    sqls["modality_transitions"] = f"""
+WITH {_SPANS_CTE},
+tr AS (SELECT doc_id, (kind = 'text') AS a,
+              lead(kind = 'text') OVER (PARTITION BY doc_id
+                                        ORDER BY j) AS b
+       FROM spans)
+SELECT doc_id,
+  CAST(sum(CASE WHEN b IS NOT NULL AND a AND b THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_tt,
+  CAST(sum(CASE WHEN b IS NOT NULL AND a AND NOT b THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_tm,
+  CAST(sum(CASE WHEN b IS NOT NULL AND NOT a AND b THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_mt,
+  CAST(sum(CASE WHEN b IS NOT NULL AND NOT a AND NOT b THEN 1 ELSE 0
+           END) AS BIGINT) AS n_mm
+FROM tr GROUP BY doc_id
+"""
+    sqls["token_diversity"] = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+c AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num,
+       CAST(sum(c) * (sum(c) - 1) AS BIGINT) AS simpson_den
+FROM c GROUP BY source
+"""
+    sqls["gini_by_source"] = """
+WITH h AS (SELECT source, n_chars AS v, count(*) AS c
+           FROM documents GROUP BY 1, 2),
+cum AS (SELECT source, v, c,
+               coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS p,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM h)
+SELECT source,
+       CAST(min(n) AS BIGINT) AS n,
+       CAST(sum(v * c * (2 * p + c - n)) AS BIGINT) AS gini_num,
+       CAST(min(n) * sum(v * c) AS BIGINT) AS gini_den
+FROM cum GROUP BY source
 """
 
     # 60-bit simhash: 15 hex chars of md5 = 60 bits (positive in BIGINT)

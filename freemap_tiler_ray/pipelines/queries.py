@@ -5062,3 +5062,503 @@ def value_percentiles(sf_dir: str):
 
     return hist.groupby("event_type").map_groups(pick,
                                                  batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation II: line-level dedup, robust/moment outliers,
+# time-weighted means, grouped Gini
+# ---------------------------------------------------------------------------
+
+LINE_W = 8          # tokens per "line" (non-overlapping; remainder kept)
+LINE_DUP_DOCS = 2   # a line in >= this many distinct docs is boilerplate
+
+_LINE_SCHEMA = {"h1": pa.int64(), "h2": pa.int64(), "doc_id": pa.int64(),
+                "c": pa.int64(), "chars": pa.int64()}
+
+
+def _line_dedup_explode(t: pa.Table, W: int = LINE_W) -> pa.Table:
+    """(doc_id, text) batch -> per-(line, doc) pre-counts
+    (h1, h2, doc_id, c, chars) where (h1, h2) is the 128-bit rolling
+    line identity and chars = occurrences * line char length. Module
+    level so tests can pin the hash identity against direct string
+    grouping (test_line_dedup.py)."""
+    empty = pa.table({k: pa.array([], v) for k, v in _LINE_SCHEMA.items()})
+    if not t.num_rows:
+        return empty
+    arr = t["text"].combine_chunks()
+    splits = pc.split_pattern(arr, " ")
+    counts = pc.list_value_length(splits).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(splits)
+    len_b = pc.binary_length(flat).to_numpy().astype(np.int64)
+    len_ch = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    nf = len(len_b)
+    # token start offsets in the batch's single space-joined buffer
+    # (bytes for hashing, codepoints for the oracle's length())
+    gb = np.zeros(nf + 1, np.int64)
+    np.cumsum(len_b + 1, out=gb[1:])
+    gc_ = np.zeros(nf + 1, np.int64)
+    np.cumsum(len_ch + 1, out=gc_[1:])
+    dtok = np.zeros(t.num_rows + 1, np.int64)
+    np.cumsum(counts, out=dtok[1:])
+    n_ln = (counts + W - 1) // W        # >=1: split("") -> [""]
+    cum = np.zeros(t.num_rows + 1, np.int64)
+    np.cumsum(n_ln, out=cum[1:])
+    total = int(cum[-1])
+    ci = np.arange(total) - np.repeat(cum[:-1], n_ln)
+    first = np.repeat(dtok[:-1], n_ln) + ci * W
+    last = np.minimum(first + W - 1, np.repeat(dtok[1:], n_ln) - 1)
+    s = gb[first]
+    e = gb[last] + len_b[last]
+    plen = gc_[last] + len_ch[last] - gc_[first]
+    # double 64-bit polynomial rolling hash over the joined buffer:
+    # span hash = (G[e]-G[s]) * B^s with G = cumsum(data * Binv^i),
+    # exact mod 2^64 (odd B => Binv exists); all-numpy, one pass per
+    # base, O(buffer) regardless of line length.
+    buf = " ".join(arr.to_pylist()).encode("utf-8")
+    data = np.frombuffer(buf, np.uint8).astype(np.uint64)
+    hs = []
+    with np.errstate(over="ignore"):
+        for b in (np.uint64(0x9E3779B97F4A7C15),
+                  np.uint64(0xC2B2AE3D27D4EB4F)):
+            binv = np.uint64(pow(int(b), -1, 1 << 64))
+            ipow = np.ones(len(data) + 1, np.uint64)
+            ipow[1:] = binv
+            np.multiply.accumulate(ipow, out=ipow)
+            bpow = np.ones(len(data) + 1, np.uint64)
+            bpow[1:] = b
+            np.multiply.accumulate(bpow, out=bpow)
+            g = np.zeros(len(data) + 1, np.uint64)
+            np.cumsum(data * ipow[:-1], out=g[1:])
+            hs.append(((g[e] - g[s]) * bpow[s]).view(np.int64))
+    df = pd.DataFrame({
+        "h1": hs[0], "h2": hs[1],
+        "doc_id": np.repeat(t["doc_id"].to_numpy(), n_ln),
+        "plen": plen})
+    g = (df.groupby(["h1", "h2", "doc_id"], sort=False)
+         .agg(c=("plen", "size"), plen=("plen", "first"))
+         .reset_index())
+    g["chars"] = g["c"].to_numpy() * g["plen"].to_numpy()
+    return pa.Table.from_pandas(
+        g[["h1", "h2", "doc_id", "c", "chars"]],
+        preserve_index=False).replace_schema_metadata(None)
+
+
+def line_dedup(sf_dir: str):
+    """CCNet-style line-level dedup, returned as the per-doc FILTERED
+    VIEW: split every doc into non-overlapping LINE_W-token lines
+    (the fixture corpus has no newlines, so the deterministic token
+    window stands in for the paragraph/line split), drop every line
+    whose text occurs in >= LINE_DUP_DOCS distinct docs, and report
+    per doc how much survives (n_lines / n_kept / kept_chars).
+    Differs from passage_dedup (corpus-level dup STATS per lang):
+    this is the join-back shape — the global line frequency feeds
+    back into a per-document transform, the primitive a corpus
+    cleaner actually runs.
+
+    Scale plan: line identity is a 128-bit double polynomial rolling
+    hash over one space-joined byte buffer per batch — O(buffer)
+    total regardless of line length, no per-occurrence Python string
+    (chance collision ~2^-128 on non-adversarial text; an adversarial
+    corpus would get the md5-per-unique-line fallback dup_spans
+    uses). Occurrences are pre-counted per (line, doc) inside the
+    batch, folded by ONE bounded groupby, and the boilerplate mark is
+    an inner JOIN against the ndocs>=2 keys — a 10^6-doc boilerplate
+    line never materializes as a single Python group (cf. dup_spans'
+    scale note). The (line, doc) table is checkpointed once because
+    both the per-doc totals and the dup mark fold from it; shuffles
+    carry 16-byte keys + 3 ints, never line text."""
+    from ray.data.aggregate import Count, Sum
+
+    base = (_docs(sf_dir, ("doc_id", "text"))
+            .map_batches(_line_dedup_explode, batch_format="pyarrow")
+            .groupby(["h1", "h2", "doc_id"])
+            .aggregate(Sum("c", alias_name="c"),
+                       Sum("chars", alias_name="chars"))
+            .materialize())     # feeds both folds below exactly once
+
+    dupkeys = (base.groupby(["h1", "h2"])
+               .aggregate(Count(alias_name="ndocs")))
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["ndocs"], LINE_DUP_DOCS)
+        f = t.filter(m)
+        return pa.table({"d1": f["h1"], "d2": f["h2"]})
+
+    dupkeys = dupkeys.map_batches(keep_dup, batch_format="pyarrow")
+
+    def tot_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_lines": t["c"],
+                         "n_kept": t["c"], "kept_chars": t["chars"]})
+
+    def neg_rows(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({
+            "doc_id": t["doc_id"], "n_lines": z,
+            "n_kept": pc.negate(t["c"]),
+            "kept_chars": pc.negate(t["chars"])})
+
+    dup = (base.join(dupkeys, join_type="inner",
+                     num_partitions=_JOIN_PARTS,
+                     on=("h1", "h2"), right_on=("d1", "d2"))
+           .map_batches(neg_rows, batch_format="pyarrow"))
+
+    return (base.map_batches(tot_rows, batch_format="pyarrow")
+            .union(dup)
+            .groupby("doc_id")
+            .aggregate(Sum("n_lines", alias_name="n_lines"),
+                       Sum("n_kept", alias_name="n_kept"),
+                       Sum("kept_chars", alias_name="kept_chars")))
+
+
+ZSCORE_K = 2        # flag |x - mean| > K * stddev
+
+
+def zscore_outliers(sf_dir: str):
+    """Grouped z-score anomaly detection (moment-based): per lang,
+    flag docs whose n_chars deviates from the lang mean by more than
+    ZSCORE_K standard deviations. Decided by PURE INTEGER comparison:
+    |x*n - S| > isqrt(K^2 * (n*Q - S^2)) on the driver-exact Python
+    ints (integers a > 0, b >= 0: a^2 > b <=> a > isqrt(b)), so the
+    result is bit-identical to the oracle's HUGEINT arithmetic — no
+    float sqrt anywhere.
+
+    Scale plan: pass 1 is the one-scan moment partial ((n, S, Q) per
+    lang per batch) folded by a tiny groupby — the classic broadcast
+    two-pass: the per-lang thresholds (a #langs-row frame) ship via
+    ray.put and pass 2 is a single vectorized merge+filter over the
+    corpus. int64 guard: the per-row |x*n - S| stays exact while
+    max|x| * n < 2^62 (asserted; beyond that the filter switches to
+    the hi/lo limb split corr_qty_price uses)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def moments(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        df = t.select(["lang", "n_chars"]).to_pandas()
+        x = df["n_chars"].to_numpy()
+        g = (df.assign(q=x * x).groupby("lang", sort=False)
+             .agg(n=("n_chars", "size"), s=("n_chars", "sum"),
+                  q=("q", "sum")).reset_index())
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    st = (_docs(sf_dir, ("lang", "n_chars"))
+          .map_batches(moments, batch_format="pyarrow")
+          .groupby("lang")
+          .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                     Sum("q", alias_name="q"))
+          .to_pandas())
+    rows = []
+    for lang, n, s, qq in st[["lang", "n", "s", "q"]].itertuples(
+            index=False):
+        n, s, qq = int(n), int(s), int(qq)      # exact bignum from here
+        thr = math.isqrt(ZSCORE_K * ZSCORE_K * (n * qq - s * s))
+        rows.append((lang, n, s, thr))
+    thr_df = pd.DataFrame(rows, columns=["lang", "n", "s", "t"])
+    assert (thr_df["n"].max() * 2 ** 13 < 2 ** 62
+            and thr_df["t"].max() < 2 ** 62), \
+        "zscore_outliers: int64 filter bound exceeded — switch pass 2 " \
+        "to the corr_qty_price limb split"
+    tref = ray.put(thr_df)
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "lang", "n_chars"]).to_pandas()
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())})
+        m = df.merge(ray.get(tref), on="lang", how="left")
+        x = m["n_chars"].to_numpy()
+        dev = np.abs(x * m["n"].to_numpy() - m["s"].to_numpy())
+        keep = dev > m["t"].to_numpy()
+        out = df.loc[keep, ["doc_id", "lang", "n_chars"]]
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    return (_docs(sf_dir, ("doc_id", "lang", "n_chars"))
+            .map_batches(flag, batch_format="pyarrow"))
+
+
+MAD_K = 2           # flag |x - median| > K * MAD
+
+
+def mad_outliers(sf_dir: str):
+    """Grouped ROBUST outliers (median absolute deviation): per lang,
+    flag docs with |n_chars - median| > MAD_K * MAD, both the median
+    and the MAD taken as exact PERCENTILE_DISC(0.5) (smallest value
+    whose doubled cumulative count reaches n — pure integer tests).
+    The robust twin of zscore_outliers: a few giant docs cannot drag
+    the threshold, which is why corpus QA uses MAD over stddev.
+
+    Scale plan: ONE distributed pass builds the bounded (lang,
+    n_chars) histogram (value-domain-sized, cf. value_percentiles);
+    a per-lang map_groups folds it to (median, MAD) — the |v - m|
+    histogram is derived inside the group from the value histogram,
+    so no second corpus scan is needed for the MAD; the #langs-row
+    threshold frame broadcasts and pass 2 is one vectorized
+    merge+filter."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hpart(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        g = (t.select(["lang", "n_chars"]).to_pandas()
+             .groupby(["lang", "n_chars"], sort=False)
+             .size().reset_index(name="c")
+             .rename(columns={"n_chars": "v"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (_docs(sf_dir, ("lang", "n_chars"))
+            .map_batches(hpart, batch_format="pyarrow")
+            .groupby(["lang", "v"])
+            .aggregate(Sum("c", alias_name="c")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        cc = np.cumsum(c)
+        n = int(cc[-1])
+        m = v[np.argmax(2 * cc >= n)]
+        d = np.abs(v - m)
+        order = np.argsort(d, kind="stable")
+        ccd = np.cumsum(c[order])
+        mad = d[order][np.argmax(2 * ccd >= n)]
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "m": np.array([m], np.int64),
+                             "mad": np.array([mad], np.int64)})
+
+    thr_df = (hist.groupby("lang")
+              .map_groups(pick, batch_format="pandas")
+              .to_pandas())
+    tref = ray.put(thr_df)
+
+    def flag(t: pa.Table) -> pa.Table:
+        df = t.select(["doc_id", "lang", "n_chars"]).to_pandas()
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())})
+        m = df.merge(ray.get(tref), on="lang", how="left")
+        keep = (np.abs(m["n_chars"].to_numpy() - m["m"].to_numpy())
+                > MAD_K * m["mad"].to_numpy())
+        out = df.loc[keep, ["doc_id", "lang", "n_chars"]]
+        return pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
+
+    return (_docs(sf_dir, ("doc_id", "lang", "n_chars"))
+            .map_batches(flag, batch_format="pyarrow"))
+
+
+def time_weighted_avg(sf_dir: str):
+    """Per-user TIME-WEIGHTED mean of the event value: each event's
+    milli-value is weighted by the whole seconds until the user's
+    next event (the last event carries no weight) — the standard
+    irregular-time-series average. Returned as the exact integer
+    (numerator, denominator) pair plus the event count, so the result
+    is division-free and bit-identical to the oracle's window-LEAD
+    formulation.
+
+    Scale plan: hash-partition on user_id, ONE vectorized lexsort +
+    shifted diff per partition (the events_cumsum idiom); the shuffle
+    carries 4 int64 columns. int64 headroom: |vm| <= 2^20 and
+    per-user dt sums < 2^40 s keep every product < 2^62."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pa.array(us, pa.int64()),
+            "vm": pa.array(np.floor(
+                t["value"].to_numpy() * 1000.0).astype(np.int64)),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        vm = g["vm"].to_numpy()
+        dt = np.zeros(len(u), np.int64)
+        if len(u) > 1:
+            same = u[1:] == u[:-1]
+            dt[:-1] = np.where(same, (ts[1:] - ts[:-1]) // 1_000_000, 0)
+        df = pd.DataFrame({"user_id": u, "num": vm * dt, "dt": dt})
+        out = (df.groupby("user_id", sort=False)
+               .agg(twa_num=("num", "sum"), twa_den=("dt", "sum"),
+                    n_events=("dt", "size")).reset_index())
+        return out
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def gini_by_source(sf_dir: str):
+    """Per-source Gini coefficient of doc length (the corpus
+    length-inequality profile), as the exact integer
+    (numerator, denominator) pair: G = sum_i((2i - n - 1) * x_(i)) /
+    (n * sum(x)). Ties are handled in closed form — a run of c equal
+    values v after p smaller ones contributes v*c*(2p + c - n) — so
+    the whole statistic folds from the bounded (source, n_chars)
+    histogram: the shuffle carries value-domain-sized partials, never
+    rows, and the per-source finish is one sorted cumulative scan
+    (the value_percentiles shape). int64 guard: |num| <= v_max * n^2
+    (asserted per group; the limb split is the escape hatch beyond
+    2^62)."""
+    from ray.data.aggregate import Sum
+
+    def hpart(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        g = (t.select(["source", "n_chars"]).to_pandas()
+             .groupby(["source", "n_chars"], sort=False)
+             .size().reset_index(name="c")
+             .rename(columns={"n_chars": "v"}))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hist = (_docs(sf_dir, ("source", "n_chars"))
+            .map_batches(hpart, batch_format="pyarrow")
+            .groupby(["source", "v"])
+            .aggregate(Sum("c", alias_name="c")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        cc = np.cumsum(c)
+        n = int(cc[-1])
+        assert int(v.max()) * n * n < 2 ** 62, \
+            "gini_by_source: int64 bound exceeded — use the limb split"
+        p = cc - c
+        num = int(np.sum(v * c * (2 * p + c - n)))
+        tot = int(np.sum(v * c))
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n": np.array([n], np.int64),
+                             "gini_num": np.array([num], np.int64),
+                             "gini_den": np.array([n * tot], np.int64)})
+
+    return hist.groupby("source").map_groups(pick, batch_format="pandas")
+
+
+def modality_transitions(sf_dir: str):
+    """Per-document modality TRANSITION bigram counts over the
+    interleaved spans table (text->text / text->media / media->text /
+    media->media between consecutive spans): the interleaving-shape
+    profile — how a doc alternates between prose and media — which a
+    multimodal-curriculum sampler stratifies on, complementing
+    modality_balance's volume profile.
+
+    Scale shape: a doc's spans derive in-batch, so the bigram fold is
+    ONE map_batches — transition flags are vectorized over the
+    flattened span arrays with last-span-of-doc masked out, folded by
+    np.add.reduceat at doc starts; no shuffle, one row per doc."""
+    from ..stages.docs import _flat_spans
+
+    def trans(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        if not len(ids):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_tt": z, "n_tm": z,
+                             "n_mt": z, "n_mm": z})
+        offsets, i_rep, j_flat = _flat_spans(ids)
+        starts = offsets[:-1].astype(np.int64)
+        is_text = ((i_rep + j_flat) % 3) == 0
+        total = len(is_text)
+        # position k pairs with k+1 unless k is its doc's last span
+        valid = np.ones(total, bool)
+        valid[offsets[1:] - 1] = False
+        a = is_text
+        b = np.zeros(total, bool)
+        b[:-1] = is_text[1:]
+        def fold(mask):
+            return pa.array(np.add.reduceat(
+                (mask & valid).astype(np.int64), starts))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tt": fold(a & b), "n_tm": fold(a & ~b),
+            "n_mt": fold(~a & b), "n_mm": fold(~a & ~b)})
+
+    return _docs(sf_dir).map_batches(trans, batch_format="pyarrow")
+
+
+def token_diversity(sf_dir: str):
+    """Per-source token diversity as the exact Simpson repeat index:
+    simpson_num / simpson_den = sum(c_t * (c_t - 1)) / (n * (n - 1))
+    over the source's token counts — the probability two tokens drawn
+    without replacement coincide (low = diverse, high = repetitive),
+    the integer-exact cousin of entropy-based corpus diversity
+    profiling (entropy needs logs; Simpson folds from counts alone).
+
+    Scale shape: per-batch (source, tok) partial counts -> one
+    vocabulary-bounded groupby -> per-source fold of c and c*(c-1)
+    sums (a second tiny groupby); the corpus is never shuffled, only
+    count partials. int64 guard: c^2 stays exact below c < 2^31
+    occurrences of one token per source (asserted)."""
+    from ray.data.aggregate import Sum
+
+    def tf(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        df = t.select(["source", "text"]).to_pandas()
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy().astype(np.int64)
+        g = (pd.DataFrame({
+                "source": np.repeat(df["source"].to_numpy(), n),
+                "tok": np.concatenate(toks.to_numpy())})
+             .groupby(["source", "tok"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    counts = (_docs(sf_dir, ("source", "text"))
+              .map_batches(tf, batch_format="pyarrow")
+              .groupby(["source", "tok"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def fold(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "num_part": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        c = df["c"].to_numpy()
+        assert c.max() < 2 ** 31, \
+            "token_diversity: c^2 int64 bound exceeded — limb split"
+        g = (df.assign(num=c * (c - 1)).groupby("source", sort=False)
+             .agg(n_tokens=("c", "sum"), num_part=("num", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy()
+        return pa.table({
+            "source": t["source"], "n_tokens": t["n_tokens"],
+            "simpson_num": t["num_part"],
+            "simpson_den": pa.array(n * (n - 1), pa.int64())})
+
+    return (counts.map_batches(fold, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                       Sum("num_part", alias_name="num_part"))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -25,7 +25,8 @@ def _canon(res) -> pd.DataFrame:
 @pytest.mark.parametrize("qname", ["events_cumsum", "events_rank",
                                    "user_first_last", "events_ntile",
                                    "events_range_frame",
-                                   "events_dedup_latest"])
+                                   "events_dedup_latest",
+                                   "time_weighted_avg"])
 def test_result_invariant_under_fanout(ray_session, qname, monkeypatch):
     from freemap_tiler_ray.pipelines import queries as q
 
