@@ -216,11 +216,11 @@ DRIVER_WINDOW = (
     "events_dedup_latest", "value_percentiles", "spans_fp",
     "pip_join_spans", "modality_balance",
     "ppjoin_pairs", "salted_type_stats",
-    "events_sliding", "events_asof", "events_range_join",
+    "events_sliding", "events_asof",
     "bfs_hops", "ann_filtered", "oov_rate", "events_range_frame",
     "line_dedup", "zscore_outliers", "mad_outliers",
     "time_weighted_avg", "gini_by_source",
-    "modality_transitions", "token_diversity",
+    "modality_transitions", "token_diversity", "grouped_topk_terms",
 )
 
 
@@ -263,7 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    133/133 registered queries with a driver row; all 133 also run
+    134/134 registered queries with a driver row; all 134 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -316,7 +316,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_type_stats": q.salted_type_stats,
         "events_sliding": q.events_sliding,
         "events_asof": q.events_asof,
-        "events_range_join": q.events_range_join,
         # round-4 continuation additions (driver-checked this round):
         "bfs_hops": q.bfs_hops,
         "ann_filtered": q.ann_filtered,
@@ -333,8 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_by_source": q.gini_by_source,
         "modality_transitions": q.modality_transitions,
         "token_diversity": q.token_diversity,
+        "grouped_topk_terms": q.grouped_topk_terms,
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
+        "events_range_join": q.events_range_join,
         "lang_quantiles": q.lang_quantiles,
         "tile_polygon_coverage": q.tile_polygon_coverage,
         "stratified_sample": q.stratified_sample,
@@ -1150,6 +1151,17 @@ SELECT doc_id,
   CAST(sum(CASE WHEN b IS NOT NULL AND NOT a AND NOT b THEN 1 ELSE 0
            END) AS BIGINT) AS n_mm
 FROM tr GROUP BY doc_id
+"""
+    sqls["grouped_topk_terms"] = """
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+c AS (SELECT lang, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+r AS (SELECT lang, tk AS tok, CAST(c AS BIGINT) AS tf,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, tk) AS rank
+      FROM c)
+SELECT lang, tok, tf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
 """
     sqls["token_diversity"] = """
 WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tk

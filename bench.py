@@ -147,28 +147,35 @@ def bench_dedup_ann() -> dict:
 DEDUP_SF1_DIR = "/tmp/ftr_dedup_sf1"
 
 
-def build_sf1_corpus() -> str:
+def build_sf1_corpus(replicas: int | None = None) -> str:
     """10x-sf0.1 documents corpus for the dedup/text stress bench
-    (VERDICT r3 next #10): each source doc is replicated 10 times with
-    disjoint doc_id ranges; replicas r>=1 have every 17th token
-    replaced by a replica marker, so they are NEAR-dups (high shingle
-    overlap, no exact dups) and the candidate/verify stages do real
-    work. Deterministic, built once, cached under /tmp."""
+    (VERDICT r3 next #10): each source doc is replicated `replicas`
+    times (default 10; FTR_DEDUP_REPLICAS overrides — the scaling mode
+    uses 40 so fixed pipeline latency amortizes, the same reason the
+    tile scaling uses a 4x point set) with disjoint doc_id ranges;
+    replicas r>=1 have every 17th token replaced by a replica marker,
+    so they are NEAR-dups (high shingle overlap, no exact dups) and
+    the candidate/verify stages do real work. Deterministic, built
+    once per size, cached under /tmp."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(DEDUP_SF1_DIR, "documents.parquet")
+    if replicas is None:
+        replicas = int(os.environ.get("FTR_DEDUP_REPLICAS", "10"))
+    base_dir = (DEDUP_SF1_DIR if replicas == 10
+                else f"{DEDUP_SF1_DIR}_r{replicas}")
+    out = os.path.join(base_dir, "documents.parquet")
     if os.path.exists(out):
-        return DEDUP_SF1_DIR
-    os.makedirs(DEDUP_SF1_DIR, exist_ok=True)
+        return base_dir
+    os.makedirs(base_dir, exist_ok=True)
     t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
     ids = t["doc_id"].to_numpy()
     texts = t["text"].to_pylist()
     langs = t["lang"].to_pylist()
     srcs = t["source"].to_pylist()
     all_ids, all_txt, all_lang, all_src, all_nc = [], [], [], [], []
-    for r in range(10):
+    for r in range(replicas):
         all_ids.append(ids + r * 10_000_000)
         all_lang.extend(langs)
         all_src.extend(srcs)
@@ -189,7 +196,7 @@ def build_sf1_corpus() -> str:
                   "source": pa.array(all_src, pa.string()),
                   "n_chars": pa.array(all_nc, pa.int64())}),
         out, row_group_size=4096)
-    return DEDUP_SF1_DIR
+    return base_dir
 
 
 def bench_dedup_sf1() -> dict:
@@ -208,9 +215,12 @@ def bench_dedup_sf1() -> dict:
     out = {}
     n_docs = None
     t_all = time.time()
-    for name in ["dedup_exact", "minhash_sigs", "lsh_pairs",
+    names = os.environ.get("FTR_DEDUP_QUERIES", "").split(",")
+    if not names or names == [""]:
+        names = ["dedup_exact", "minhash_sigs", "lsh_pairs",
                  "simhash_pairs", "ngram_pairs", "dup_spans",
-                 "edit_distance_pairs"]:
+                 "edit_distance_pairs"]
+    for name in names:
         t0 = time.time()
         n = getattr(q, name)(sf1).count()
         out[f"{name}_sec"] = round(time.time() - t0, 3)
@@ -468,6 +478,65 @@ def main():
         names = sys.argv[i + 1:] or ["lsh_pairs", "pip_join_spans",
                                      "q1_lineitem"]
         stats_report(names)
+        return
+    if "--dedup-scaling" in sys.argv:
+        # second scaling-evidence axis: the dedup/text family over the
+        # 50k-doc sf1 corpus at two parallelism levels (the tile+join
+        # headline has its own --scaling). Same interleaved
+        # max-of-reps protocol; the corpus is identical at both levels
+        # so time-ratio efficiency == throughput efficiency. The
+        # headline set is the four shuffle-heavy pipelines; the
+        # sub-second ones would only measure fixed startup cost.
+        import math
+        lo, hi = 4, 16
+        reps = int(os.environ.get("FTR_SCALING_REPS", "2"))
+        names = ["dedup_exact", "lsh_pairs", "dup_spans",
+                 "edit_distance_pairs"]
+        loads = [round(v, 2) for v in os.getloadavg()]
+        # 40x corpus (200k docs): the first run of this mode at the
+        # default 10x measured mostly FIXED pipeline latency (5-12 s
+        # walls; edit_distance 11.4 -> 11.3 s from 4 to 16 CPUs), not
+        # shuffle scaling — same remedy as the tile scaling's 4x point
+        # set: grow the work until startup cost is noise
+        replicas = os.environ.get("FTR_DEDUP_REPLICAS", "40")
+        os.environ["FTR_DEDUP_REPLICAS"] = replicas
+        build_sf1_corpus()          # cache once; subprocesses reuse it
+
+        def run(n: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       FTR_DEDUP_REPLICAS=replicas,
+                       FTR_DEDUP_QUERIES=",".join(names))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--dedup-sf1"], env=env, capture_output=True,
+                text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        runs_lo, runs_hi = [], []
+        for _ in range(reps):
+            runs_lo.append(run(lo))
+            runs_hi.append(run(hi))
+        res = {"metric": f"dedup-family scaling efficiency ({lo} -> "
+                         f"{hi} cpus, {replicas}x corpus)",
+               "reps": reps, "loadavg_at_start": loads,
+               "n_docs": runs_lo and runs_lo[0].get("n_docs"),
+               f"suite_sec_{lo}": min(r["value"] for r in runs_lo),
+               f"suite_sec_{hi}": min(r["value"] for r in runs_hi)}
+        eff_q = {}
+        for nm in names:
+            t_lo = min(r["queries"][f"{nm}_sec"] for r in runs_lo)
+            t_hi = min(r["queries"][f"{nm}_sec"] for r in runs_hi)
+            res[f"{nm}_sec_{lo}"] = t_lo
+            res[f"{nm}_sec_{hi}"] = t_hi
+            eff_q[nm] = round((t_lo / t_hi) / (hi / lo), 3)
+        res["eff_per_query"] = eff_q
+        res["scaling_efficiency"] = round(
+            math.prod(eff_q.values()) ** (1.0 / len(eff_q)), 3)
+        res["eff_suite_wall"] = round(
+            (res[f"suite_sec_{lo}"] / res[f"suite_sec_{hi}"]) / (hi / lo),
+            3)
+        print(json.dumps(res))
         return
     if "--scaling" in sys.argv:
         # north-rule criterion: throughput scaling efficiency between two

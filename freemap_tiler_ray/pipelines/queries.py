@@ -5562,3 +5562,67 @@ def token_diversity(sf_dir: str):
             .aggregate(Sum("n_tokens", alias_name="n_tokens"),
                        Sum("num_part", alias_name="num_part"))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+TOPK_TERMS_K = 3    # terms per language
+
+
+def grouped_topk_terms(sf_dir: str):
+    """Per-GROUP bounded top-k (top TOPK_TERMS_K terms per language by
+    corpus frequency, ties token-ascending, with dense 1-based rank):
+    the grouped companion of oov_rate's global top-V — the primitive
+    behind per-language vocabulary building and per-domain stopword
+    discovery.
+
+    Scale plan: per-batch (lang, tok) partials -> one
+    vocabulary-bounded groupby makes every (lang, tok) count final;
+    each BLOCK then keeps at most k rows per lang present (a global
+    top-k row beats everything in its own block, so the block filter
+    is lossless); the final per-lang merge folds <= #blocks * k rows
+    per group. The corpus is never shuffled — only count partials and
+    the bounded survivors."""
+    from ray.data.aggregate import Sum
+
+    K = TOPK_TERMS_K
+
+    def tf(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        df = t.select(["lang", "text"]).to_pandas()
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().to_numpy().astype(np.int64)
+        g = (pd.DataFrame({
+                "lang": np.repeat(df["lang"].to_numpy(), n),
+                "tok": np.concatenate(toks.to_numpy())})
+             .groupby(["lang", "tok"], sort=False)
+             .size().reset_index(name="c"))
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        df = (t.to_pandas()
+              .sort_values(["lang", "c", "tok"],
+                           ascending=[True, False, True]))
+        df = df.groupby("lang", sort=False).head(K)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["c", "tok"], ascending=[False, True])
+             .head(K).reset_index(drop=True))
+        return pd.DataFrame({
+            "lang": g["lang"], "tok": g["tok"],
+            "tf": g["c"].to_numpy().astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    return (_docs(sf_dir, ("lang", "text"))
+            .map_batches(tf, batch_format="pyarrow")
+            .groupby(["lang", "tok"])
+            .aggregate(Sum("c", alias_name="c"))
+            .map_batches(block_topk, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(final, batch_format="pandas"))
