@@ -216,11 +216,12 @@ DRIVER_WINDOW = (
     "events_dedup_latest", "value_percentiles", "spans_fp",
     "pip_join_spans", "modality_balance",
     "ppjoin_pairs", "salted_type_stats",
-    "events_sliding", "events_asof",
+    "events_asof",
     "bfs_hops", "ann_filtered", "oov_rate", "events_range_frame",
     "line_dedup", "zscore_outliers", "mad_outliers",
     "time_weighted_avg", "gini_by_source",
     "modality_transitions", "token_diversity", "grouped_topk_terms",
+    "interval_coverage",
 )
 
 
@@ -263,7 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    134/134 registered queries with a driver row; all 134 also run
+    135/135 registered queries with a driver row; all 135 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -314,7 +315,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modality_balance": q.modality_balance,
         "ppjoin_pairs": q.ppjoin_pairs,
         "salted_type_stats": q.salted_type_stats,
-        "events_sliding": q.events_sliding,
         "events_asof": q.events_asof,
         # round-4 continuation additions (driver-checked this round):
         "bfs_hops": q.bfs_hops,
@@ -333,8 +333,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modality_transitions": q.modality_transitions,
         "token_diversity": q.token_diversity,
         "grouped_topk_terms": q.grouped_topk_terms,
+        "interval_coverage": q.interval_coverage,
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
+        "events_sliding": q.events_sliding,
         "events_range_join": q.events_range_join,
         "lang_quantiles": q.lang_quantiles,
         "tile_polygon_coverage": q.tile_polygon_coverage,
@@ -1151,6 +1153,25 @@ SELECT doc_id,
   CAST(sum(CASE WHEN b IS NOT NULL AND NOT a AND NOT b THEN 1 ELSE 0
            END) AS BIGINT) AS n_mm
 FROM tr GROUP BY doc_id
+"""
+    sqls["interval_coverage"] = """
+WITH iv AS (SELECT user_id, event_id,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+                   CAST(epoch_us(ts) // 1000000
+                        + ((CAST(floor(value * 1000) AS BIGINT) % 3600)
+                           + 3600) % 3600 AS BIGINT) AS e
+            FROM events),
+w AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id
+                          ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev
+      FROM iv)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, coalesce(prev, -1)), 0))
+            AS BIGINT) AS covered_s,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM w GROUP BY user_id
 """
     sqls["grouped_topk_terms"] = """
 WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tk

@@ -5626,3 +5626,64 @@ def grouped_topk_terms(sf_dir: str):
             .map_batches(block_topk, batch_format="pyarrow")
             .groupby("lang")
             .map_groups(final, batch_format="pandas"))
+
+
+def interval_coverage(sf_dir: str):
+    """Per-user UNION-OF-INTERVALS coverage (the classic sweep-line
+    primitive behind session coverage, sensor uptime and speech/music
+    span accounting): each event opens an interval of
+    dur_s = vm mod 3600 whole seconds (vm = milli-value, mod made
+    non-negative — a deterministic duration derivation mirrored
+    verbatim in the oracle); overlapping intervals merge, and the
+    covered seconds + interval count are reported per user.
+
+    Scale shape: hash-partition on user_id, ONE lexsort per partition,
+    then the merge is a grouped shifted cummax (pandas C kernels) —
+    contribution = clip(e - max(s, prev running max e), 0) — summed
+    per user; pure integer arithmetic end to end, no per-row
+    Python."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        vm = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        s = us // 1_000_000
+        dur = ((vm % 3600) + 3600) % 3600
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + dur, pa.int64()),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "s", "e", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        e = g["e"].to_numpy()
+        # per-user running max(e) with ONE global accumulate: keys
+        # u*BIG + e are strictly ordered across users (0 <= e < 2^41),
+        # so the global cummax never crosses a user boundary backwards
+        BIG = np.int64(1) << 41
+        assert len(u) == 0 or (u.min() >= 0 and u.max() < (1 << 22)), \
+            "interval_coverage: dense-rank user ids beyond 4M " \
+            "(offset-cummax int64 bound)"
+        cm = np.maximum.accumulate(u * BIG + e) - u * BIG
+        prev = np.empty(len(u), np.int64)
+        if len(u):
+            prev[0] = -1
+            prev[1:] = cm[:-1]
+            prev[np.r_[True, u[1:] != u[:-1]]] = -1
+        contrib = np.maximum(e - np.maximum(s, prev), 0)
+        out = pd.DataFrame({"user_id": u, "covered": contrib,
+                            "n_iv": np.ones(len(u), np.int64)})
+        return (out.groupby("user_id", sort=False)
+                .agg(covered_s=("covered", "sum"),
+                     n_intervals=("n_iv", "sum")).reset_index())
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))

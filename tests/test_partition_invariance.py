@@ -26,7 +26,8 @@ def _canon(res) -> pd.DataFrame:
                                    "user_first_last", "events_ntile",
                                    "events_range_frame",
                                    "events_dedup_latest",
-                                   "time_weighted_avg"])
+                                   "time_weighted_avg",
+                                   "interval_coverage"])
 def test_result_invariant_under_fanout(ray_session, qname, monkeypatch):
     from freemap_tiler_ray.pipelines import queries as q
 
