@@ -503,8 +503,15 @@ def main():
         build_sf1_corpus()          # cache once; subprocesses reuse it
 
         def run(n: int) -> dict:
+            # per-arm fan-out sized to the arm's slot count — the
+            # sizing policy tuning.py prescribes for real clusters
+            # (join aggregator actors are the dedup family's fixed
+            # cost; a fan-out pinned to the small arm's sweet spot
+            # would understate the big arm)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                        FTR_DEDUP_REPLICAS=replicas,
+                       FTR_HASH_PARTS=str(4 * n),
+                       FTR_JOIN_PARTS=str(max(8, n)),
                        FTR_DEDUP_QUERIES=",".join(names))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
