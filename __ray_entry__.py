@@ -212,11 +212,10 @@ DRIVER_WINDOW = (
     "q17_small_qty", "pagerank", "dedup_clusters", "lsh_pairs",
     "dup_spans", "anti_join_customers", "q3_shipping",
     "q10_returned_items", "q13_order_counts", "q18_top_customers",
-    "nation_region_join",
-    "events_dedup_latest", "value_percentiles", "spans_fp",
+    "events_dedup_latest", "value_percentiles",
     "pip_join_spans", "modality_balance",
     "ppjoin_pairs", "salted_type_stats",
-    "events_asof",
+    "caption_pairs", "lang_regression", "sorted_neighbor_pairs",
     "bfs_hops", "ann_filtered", "oov_rate", "events_range_frame",
     "line_dedup", "zscore_outliers", "mad_outliers",
     "time_weighted_avg", "gini_by_source",
@@ -257,6 +256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
       (knn_ring shares knn's kernel and oracle shape; cell_counts is
       doc_cells' aggregate — all remain oracle-checked every pytest
       session);
+    - the 3 continuation-III additions (caption_pairs multimodal
+      alignment, lang_regression grouped OLS, sorted_neighbor_pairs
+      SNM blocking), which displaced the r1+r2-green spans_fp /
+      events_asof / nation_region_join rechecks to the tail;
     - 12 rotation-pool entries last driver-checked in round 2
       (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
       events_window yielded their slots to the late round-4 additions;
@@ -264,7 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
       every pytest run).
 
     Cross-round union after this round (if the window is green):
-    135/135 registered queries with a driver row; all 135 also run
+    138/138 registered queries with a driver row; all 138 also run
     against their oracles every pytest session
     (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
     the recorded multi-CPU sweeps (COVERAGE.md).
@@ -306,16 +309,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": q.q10_returned_items,
         "q13_order_counts": q.q13_order_counts,
         "q18_top_customers": q.q18_top_customers,
-        "nation_region_join": q.nation_region_join,
         # rotation pool: last driver-checked in round 2:
         "events_dedup_latest": q.events_dedup_latest,
         "value_percentiles": q.value_percentiles,
-        "spans_fp": q.spans_fp,
         "pip_join_spans": q.pip_join_spans,
         "modality_balance": q.modality_balance,
         "ppjoin_pairs": q.ppjoin_pairs,
         "salted_type_stats": q.salted_type_stats,
-        "events_asof": q.events_asof,
+        # round-4 continuation III additions (driver-checked this
+        # round; displaced the r1+r2-green spans_fp / events_asof /
+        # nation_region_join rechecks to the tail — all three remain
+        # oracle-checked every pytest session):
+        "caption_pairs": q.caption_pairs,
+        "lang_regression": q.lang_regression,
+        "sorted_neighbor_pairs": q.sorted_neighbor_pairs,
         # round-4 continuation additions (driver-checked this round):
         "bfs_hops": q.bfs_hops,
         "ann_filtered": q.ann_filtered,
@@ -336,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": q.interval_coverage,
         # --- tail: driver-green in round 2 or 3, still oracle-checked
         # every pytest session ---
+        "spans_fp": q.spans_fp,
+        "events_asof": q.events_asof,
+        "nation_region_join": q.nation_region_join,
         "events_sliding": q.events_sliding,
         "events_range_join": q.events_range_join,
         "lang_quantiles": q.lang_quantiles,
@@ -432,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from freemap_tiler_ray.fixtures import polygon_sql_values, query_sql_values
+    from freemap_tiler_ray.pipelines import queries as _q
 
     sqls: dict[str, str] = {}
 
@@ -1031,6 +1042,62 @@ SELECT doc_id,
                      THEN (doc_id * 31 + j * 17) % 4096 + 256
                      ELSE 0 END) AS BIGINT) AS media_bytes
 FROM spans GROUP BY doc_id
+"""
+    # nearest-preceding-text caption mining over the spans table:
+    # LOCF window (MAX of text-span j over the preceding frame)
+    sqls["caption_pairs"] = f"""
+WITH {_SPANS_CTE},
+locf AS (
+  SELECT doc_id, j, kind, media_ref,
+         MAX(CASE WHEN kind = 'text' THEN j END)
+           OVER (PARTITION BY doc_id ORDER BY j
+                 ROWS UNBOUNDED PRECEDING) AS cap_j
+  FROM spans)
+SELECT doc_id, CAST(j AS BIGINT) AS j, media_ref,
+       't-' || doc_id || '-' || cap_j AS caption,
+       CAST(j - cap_j AS BIGINT) AS gap
+FROM locf WHERE kind <> 'text' AND cap_j IS NOT NULL
+"""
+    # per-language OLS of n_chars on token count from integer-exact
+    # sufficient statistics; the float expression tree matches the Ray
+    # finish op-for-op (one rounding per int->double cast, identical
+    # division order), so the doubles are bit-identical
+    sqls["lang_regression"] = """
+WITH d AS (SELECT lang,
+                  CAST(length(text) - length(replace(text, ' ', '')) + 1
+                       AS BIGINT) AS x,
+                  CAST(n_chars AS BIGINT) AS y
+           FROM documents),
+s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM d GROUP BY lang)
+SELECT lang, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n * sxy - sx * sy AS DOUBLE)
+        * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+FROM s
+"""
+    # sorted-neighborhood blocking: every pair within SNM_W positions
+    # of the global (n_chars, doc_id) order
+    sqls["sorted_neighbor_pairs"] = f"""
+WITH r AS (SELECT doc_id, n_chars,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS BIGINT) AS gap,
+       CAST(b.n_chars - a.n_chars AS BIGINT) AS len_diff
+FROM r a JOIN r b
+  ON b.rn > a.rn AND b.rn <= a.rn + {_q.SNM_W}
 """
     sqls["events_dedup_latest"] = """
 WITH v AS (SELECT user_id, event_type, event_id, ts,

@@ -5687,3 +5687,222 @@ def interval_coverage(sf_dir: str):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(fold, batch_format="pandas"))
+
+
+def caption_pairs(sf_dir: str):
+    """Media-caption alignment over the interleaved spans table: for
+    every media span (image/audio) pair it with the nearest PRECEDING
+    text span in the same document, emitting (media_ref, caption,
+    span-index gap) — the caption-mining step a multimodal pretraining
+    pipeline runs to turn interleaved documents into paired
+    image-text examples (cf. the north-rule interleaved axis).
+
+    Scale shape: a doc's span sequence derives (and stays) in-batch,
+    so the whole op is ONE shuffle-free map_batches. The
+    last-text-span carry is a single global np.maximum.accumulate
+    over text-span flat positions; the per-doc reset falls out of
+    comparing the carried position to the doc's first-span offset
+    (flat positions increase monotonically across docs), so there is
+    no Python loop and no per-doc state."""
+    from ..stages.docs import _flat_spans
+
+    _OUT = {"doc_id": pa.int64(), "j": pa.int64(),
+            "media_ref": pa.string(), "caption": pa.string(),
+            "gap": pa.int64()}
+
+    def pair(t: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], v) for k, v in _OUT.items()})
+        ids = t["doc_id"].to_numpy()
+        if not len(ids):
+            return empty
+        offsets, i_rep, j_flat = _flat_spans(ids)
+        total = len(i_rep)
+        is_text = ((i_rep + j_flat) % 3) == 0
+        pos = np.arange(total, dtype=np.int64)
+        carried = np.maximum.accumulate(np.where(is_text, pos, -1))
+        doc_start = np.repeat(offsets[:-1].astype(np.int64),
+                              np.diff(offsets))
+        hit = (~is_text) & (carried >= doc_start)
+        if not hit.any():
+            return empty
+        mi = i_rep[hit]
+        mj = j_flat[hit]
+        cj = j_flat[carried[hit]]
+        mi_s = mi.astype(str)
+        media = np.char.add(np.char.add(
+            np.char.add("m://", mi_s), "/"), mj.astype(str))
+        cap = np.char.add(np.char.add(
+            np.char.add("t-", mi_s), "-"), cj.astype(str))
+        return pa.table({"doc_id": pa.array(mi, pa.int64()),
+                         "j": pa.array(mj, pa.int64()),
+                         "media_ref": pa.array(media, pa.string()),
+                         "caption": pa.array(cap, pa.string()),
+                         "gap": pa.array(mj - cj, pa.int64())})
+
+    return _docs(sf_dir).map_batches(pair, batch_format="pyarrow")
+
+
+def lang_regression(sf_dir: str):
+    """Per-language closed-form OLS fit of doc length (n_chars) on
+    token count: slope, intercept, r2 from integer-exact sufficient
+    statistics — (n, Σx, Σy, Σxx, Σyy, Σxy) folded as int64 partials
+    inside map_batches, ONE language-bounded groupby-sum, then a tiny
+    driver-side finish whose float expression tree matches the oracle
+    op-for-op (products in exact integers, a single rounding per
+    int->double conversion, identical division order), so the doubles
+    are bit-identical.
+
+    Scale shape: the corpus never shuffles — only one partial row per
+    (batch, lang). int64 guard: the finish asserts every integer
+    product < 2^62 before converting (documents are < 2^21 chars, so
+    this holds to ~10^9 rows per language; beyond that the hi/lo limb
+    split corr_qty_price uses applies)."""
+    from ray.data.aggregate import Sum
+
+    _P = {"lang": pa.string(), "n": pa.int64(), "sx": pa.int64(),
+          "sy": pa.int64(), "sxx": pa.int64(), "syy": pa.int64(),
+          "sxy": pa.int64()}
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({k: pa.array([], v) for k, v in _P.items()})
+        x = pc.list_value_length(pc.split_pattern(
+            t["text"].combine_chunks(), " ")).to_numpy().astype(np.int64)
+        y = t["n_chars"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(), "n": 1,
+                           "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                           "sxy": x * y})
+        g = df.groupby("lang", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    sums = (_docs(sf_dir, ("lang", "text", "n_chars"))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()   # <= one row per language
+        out = {"lang": [], "n": [], "slope": [], "intercept": [], "r2": []}
+        for r in rows:
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+            num = n * sxy - sx * sy
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            assert max(abs(num), denx, deny) < (1 << 62), \
+                "lang_regression: sufficient statistics exceed the " \
+                "int64-exact window; use the corr_qty_price limb split"
+            slope = float(num) / float(denx)
+            out["lang"].append(r["lang"])
+            out["n"].append(n)
+            out["slope"].append(slope)
+            out["intercept"].append(
+                (float(sy) - slope * float(sx)) / float(n))
+            out["r2"].append(
+                (float(num) * float(num)) / (float(denx) * float(deny)))
+        return pa.table({"lang": pa.array(out["lang"], pa.string()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "slope": pa.array(out["slope"], pa.float64()),
+                         "intercept": pa.array(out["intercept"],
+                                               pa.float64()),
+                         "r2": pa.array(out["r2"], pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
+
+
+SNM_W = 3           # sorted-neighborhood window (ranks)
+SNM_BUCKET = 4096   # ranks per shuffle bucket (>> W)
+
+
+def sorted_neighbor_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking (the classic record-linkage /
+    dedup candidate generator, Hernandez-Stolfo): order the corpus by
+    a blocking key (n_chars, doc_id) and emit every pair within SNM_W
+    positions of each other in that global order.
+
+    Scale shape — global ranks WITHOUT a global sort: n_chars is a
+    value-bounded key, so a small histogram groupby gives exact
+    cumulative offsets per value (the events_ntile idiom); per-value
+    groups (bounded by the count of equal-length docs) assign
+    in-value ranks by doc_id, making every global rank exact. Pairing
+    then shuffles each row ONCE to rank-bucket r // SNM_BUCKET (rows
+    with r % SNM_BUCKET < SNM_W also carry to the previous bucket, so
+    a pair always meets in the bucket of its SMALLER rank, exactly
+    once — the embedding_pairs meets-once discipline); inside a
+    bucket ranks are contiguous, so the W pairings are pure slices.
+    Shuffle volume is (1 + W/SNM_BUCKET) x corpus keys; no stage sees
+    more than a bucket."""
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"n_chars": t["n_chars"].to_numpy()})
+             .groupby("n_chars", as_index=False).size())
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    counts = (_docs(sf_dir, ("n_chars",))
+              .map_batches(hist, batch_format="pyarrow")
+              .groupby("n_chars").aggregate(Sum("c", alias_name="c"))
+              .to_pandas())    # bounded: one row per distinct length
+    counts = counts.sort_values("n_chars").reset_index(drop=True)
+    vals = counts["n_chars"].to_numpy().astype(np.int64)
+    offs = np.zeros(len(vals) + 1, np.int64)
+    np.cumsum(counts["c"].to_numpy().astype(np.int64), out=offs[1:])
+    n_total = int(offs[-1])
+
+    import ray
+    base_ref = ray.put((vals, offs[:-1]))
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        vals_b, base_b = ray.get(base_ref)
+        df = df.sort_values("doc_id", kind="mergesort").reset_index(
+            drop=True)
+        v = int(df["n_chars"].iloc[0])
+        r0 = int(base_b[np.searchsorted(vals_b, v)])
+        r = r0 + np.arange(len(df), dtype=np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "n_chars": df["n_chars"].to_numpy(),
+                            "r": r})
+        # meets-once replication: primary bucket + carry to previous
+        b = r // SNM_BUCKET
+        carry = (r % SNM_BUCKET < SNM_W) & (b > 0)
+        rep = pd.concat([out.assign(bucket=b),
+                         out.loc[carry].assign(bucket=b[carry] - 1)],
+                        ignore_index=True)
+        return rep
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("r", kind="mergesort").reset_index(drop=True)
+        bkt = int(df["bucket"].iloc[0])
+        r = df["r"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        nc = df["n_chars"].to_numpy()
+        lo, hi = bkt * SNM_BUCKET, (bkt + 1) * SNM_BUCKET
+        outs = []
+        for d in range(1, SNM_W + 1):
+            if len(r) <= d:
+                break
+            a = slice(None, -d)
+            bslc = slice(d, None)
+            keep = (r[a] >= lo) & (r[a] < hi) & (r[bslc] == r[a] + d)
+            outs.append(pd.DataFrame({
+                "doc_a": ids[a][keep], "doc_b": ids[bslc][keep],
+                "gap": np.int64(d),
+                "len_diff": (nc[bslc][keep] - nc[a][keep])}))
+        if not outs:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "gap": pd.Series([], dtype=np.int64),
+                                 "len_diff": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    assert n_total < (1 << 62)
+    return (_docs(sf_dir, ("doc_id", "n_chars"))
+            .groupby("n_chars")
+            .map_groups(rank_group, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(pair_bucket, batch_format="pandas"))
