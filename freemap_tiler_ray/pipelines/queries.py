@@ -3993,24 +3993,47 @@ def _lev_block(A: np.ndarray, la: np.ndarray,
     pair axis — no per-row Python. Rows are captured at each pair's
     own (la, lb) so ragged lengths stay exact."""
     P, L = A.shape
+    W = 2 * band + 1
     res = np.full(P, _LEV_INF, np.int64)
-    prev = np.broadcast_to(
-        np.minimum(np.arange(L + 1), _LEV_INF), (P, L + 1)).copy()
     done = la == 0
-    res[done] = lb[done]
+    res[done] = np.minimum(lb[done], _LEV_INF)
+    # band-relative storage: column k of row i holds DP cell
+    # (i, j = i - band + k) — the working set is (P, 2*band+1), not
+    # (P, L+1), so per-row memory traffic drops ~(L+1)/(2*band+1)x
+    # (the DP is memory-bandwidth bound; the full-width version's
+    # np.full((P, L+1)) alone moved more bytes than the whole banded
+    # compute). Recurrence offsets in band coords: substitution
+    # prev[k], deletion prev[k+1], insertion cur[k-1]. uint8 cells are
+    # safe: a cell grows by at most +1 per row from the INF sentinel,
+    # so max value is _LEV_INF + L = 99 + 40 = 139 < 255 (no wrap);
+    # L > 155 would need a wider dtype (asserted).
+    assert int(_LEV_INF) + L < 256, "uint8 DP cells would wrap"
+    k0 = np.arange(W, dtype=np.uint8)
+    prev = np.broadcast_to(
+        np.where(k0 >= band, k0 - band, _LEV_INF).astype(np.uint8),
+        (P, W)).copy()
+    cur = np.empty((P, W), np.uint8)
+    t = np.empty(P, np.uint8)
+    # pairs whose length gap exceeds the band can never extract an
+    # in-band cell (lev >= |la-lb| > band); leave them at INF
+    in_band = np.abs(la - lb) <= band
     for i in range(1, L + 1):
-        cur = np.full((P, L + 1), _LEV_INF, np.int32)
-        if i - band <= 0:
-            cur[:, 0] = i
+        cur.fill(_LEV_INF)
+        if i <= band:
+            cur[:, band - i] = i          # the j = 0 column
         ai = A[:, i - 1]
         for j in range(max(1, i - band), min(L, i + band) + 1):
-            cur[:, j] = np.minimum(
-                np.minimum(prev[:, j], cur[:, j - 1]) + 1,
-                prev[:, j - 1] + (ai != B[:, j - 1]))
-        hit = la == i
+            k = j - i + band
+            np.add(prev[:, k], (ai != B[:, j - 1]), out=t)
+            if k + 1 < W:
+                np.minimum(t, prev[:, k + 1] + 1, out=t)
+            if k >= 1:
+                np.minimum(t, cur[:, k - 1] + 1, out=t)
+            cur[:, k] = t
+        hit = (la == i) & in_band
         if hit.any():
-            res[hit] = cur[hit, lb[hit]]
-        prev = cur
+            res[hit] = cur[hit, (lb[hit] - i + band)]
+        prev, cur = cur, prev
     return np.minimum(res, _LEV_INF)
 
 
