@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_tile": q.docs_per_tile,
         "media_frames": q.media_frames,
         "text_stats": q.text_stats,
+        # round-4 continuation IV (oracle-checked locally every pytest
+        # session; rotates into the driver window next round):
+        "gap_fill_locf": q.gap_fill_locf,
     }
     head = list(reg)[:len(DRIVER_WINDOW)]
     assert head == list(DRIVER_WINDOW), (
@@ -2214,5 +2217,23 @@ FROM v
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL {RANGE_FRAME_US // 1_000_000} SECONDS
                    PRECEDING AND CURRENT ROW)
+"""
+    # per-user hourly LOCF gap-fill: densify each user's hour span,
+    # carry the latest (ts, event_id) observation forward
+    sqls["gap_fill_locf"] = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+           FROM events),
+b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e
+      GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM b),
+lph AS (SELECT user_id, h, vm,
+               row_number() OVER (PARTITION BY user_id, h
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e),
+lh AS (SELECT user_id, h, vm FROM lph WHERE rn = 1)
+SELECT g.user_id, CAST(g.h AS BIGINT) AS hour, lh.vm AS vm
+FROM grid g ASOF JOIN lh ON g.user_id = lh.user_id AND g.h >= lh.h
 """
     return sqls

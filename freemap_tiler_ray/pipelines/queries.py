@@ -5929,3 +5929,73 @@ def sorted_neighbor_pairs(sf_dir: str):
             .map_groups(rank_group, batch_format="pandas")
             .groupby("bucket")
             .map_groups(pair_bucket, batch_format="pandas"))
+
+
+def gap_fill_locf(sf_dir: str):
+    """Per-user hourly gap-fill with last-observation-carried-forward
+    (the time-series regularization step a sensor / telemetry corpus
+    needs before windowed training): bucket each user's events into
+    hours, keep the latest (ts, event_id) observation per (user, hour),
+    densify each user's [first_hour, last_hour] grid, and fill missing
+    hours with the most recent prior hour's milli-value.
+
+    Scale shape: one partial per batch (per-batch latest-per-(user,h)
+    dedup keeps shuffle rows bounded by touched hours, not events),
+    hash-partition on user_id, then per partition ONE lexsort + a
+    composite-key searchsorted as-of (u*2^41 + h keys are strictly
+    ordered across users, so a single searchsorted serves every user's
+    grid at once — no per-user loop). Grid rows are generated with
+    repeat/cumsum arithmetic, never Python. Hot-key note: a user's
+    grid is bounded by its own hour span, so skew tracks per-user
+    history length, not corpus size."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts = (t["ts"].to_numpy().astype("datetime64[us]")
+              .view("int64"))
+        vm = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        h = ts // 3_600_000_000
+        df = pd.DataFrame({"user_id": u, "h": h, "ts_us": ts,
+                           "event_id": t["event_id"].to_numpy(),
+                           "vm": vm})
+        df = df.sort_values(["user_id", "h", "ts_us", "event_id"],
+                            kind="mergesort")
+        df = df.drop_duplicates(["user_id", "h"], keep="last")
+        df["_part"] = (df["user_id"].to_numpy()
+                       % _HASH_PARTS).astype(np.int64)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "h", "ts_us", "event_id"],
+                          kind="mergesort")
+        g = g.drop_duplicates(["user_id", "h"], keep="last")
+        u = g["user_id"].to_numpy()
+        h = g["h"].to_numpy()
+        vm = g["vm"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(u)] - 1
+        h0, h1 = h[starts], h[ends]
+        n_g = h1 - h0 + 1
+        gu = np.repeat(u[starts], n_g)
+        off = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(n_g, out=off[1:])
+        gh = (np.arange(int(off[-1]), dtype=np.int64)
+              - np.repeat(off[:-1], n_g) + np.repeat(h0, n_g))
+        BIG = np.int64(1) << 41
+        assert len(u) == 0 or (u.min() >= 0 and u.max() < (1 << 22)), \
+            "gap_fill_locf: dense-rank user ids beyond 4M " \
+            "(composite-key as-of int64 bound)"
+        assert len(h) == 0 or (h.min() >= 0 and h.max() < BIG), \
+            "gap_fill_locf: hour bucket outside [0, 2^41)"
+        idx = np.searchsorted(u * BIG + h, gu * BIG + gh,
+                              side="right") - 1
+        return pd.DataFrame({"user_id": gu, "hour": gh,
+                             "vm": vm[idx]})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
