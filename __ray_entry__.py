@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 continuation IV (oracle-checked locally every pytest
         # session; rotates into the driver window next round):
         "gap_fill_locf": q.gap_fill_locf,
+        "quantile_normalize": q.quantile_normalize,
     }
     head = list(reg)[:len(DRIVER_WINDOW)]
     assert head == list(DRIVER_WINDOW), (
@@ -2235,5 +2236,19 @@ lph AS (SELECT user_id, h, vm,
 lh AS (SELECT user_id, h, vm FROM lph WHERE rn = 1)
 SELECT g.user_id, CAST(g.h AS BIGINT) AS hour, lh.vm AS vm
 FROM grid g ASOF JOIN lh ON g.user_id = lh.user_id AND g.h >= lh.h
+"""
+    # PERCENT_RANK quantile normalization per event_type, integer-exact
+    # via (rank-1)*1000 // (n-1)
+    sqls["quantile_normalize"] = """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+r AS (SELECT event_id, event_type, vm,
+             rank() OVER (PARTITION BY event_type ORDER BY vm) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT event_id, event_type, vm AS value_milli,
+       CAST(CASE WHEN n <= 1 THEN 0
+                 ELSE (rk - 1) * 1000 // (n - 1) END AS BIGINT) AS pr_milli
+FROM r
 """
     return sqls

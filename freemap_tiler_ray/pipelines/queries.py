@@ -5999,3 +5999,61 @@ def gap_fill_locf(sf_dir: str):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(fold, batch_format="pandas"))
+
+
+def quantile_normalize(sf_dir: str):
+    """Quantile normalization (PERCENT_RANK) of event values within
+    each event_type — the per-feature rank-normalize step used to make
+    heterogeneous quality signals comparable before filtering/mixing.
+    pr_milli = (rank_min - 1) * 1000 // (n - 1), exact integer
+    arithmetic (mirrored verbatim in the oracle's `//`).
+
+    Scale shape: same bounded-histogram CDF trick as events_ntile —
+    event_type is a HOT key (a handful of types over the whole corpus)
+    so a per-type sort would serialise; instead pass 1 aggregates a
+    (event_type, value_milli) -> count histogram (bounded by value
+    cardinality, not corpus size), the driver folds it into per-type
+    cumulative counts, and pass 2 is an embarrassingly parallel
+    map_batches doing a searchsorted lookup against the ray.put
+    broadcast — no shuffle at all on the big side."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def milli(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "value_milli": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64))})
+
+    src = (_rp(f"{sf_dir}/events.parquet",
+               columns=["event_id", "event_type", "value"])
+           .map_batches(milli, batch_format="pyarrow"))
+
+    hist = (src.groupby(["event_type", "value_milli"]).aggregate(Count())
+            .to_pandas().sort_values(["event_type", "value_milli"]))
+    cdf = {}
+    for et, g in hist.groupby("event_type", sort=False):
+        c = g["count()"].to_numpy().astype(np.int64)
+        cdf[et] = (g["value_milli"].to_numpy(),
+                   np.concatenate(([0], np.cumsum(c)[:-1])),
+                   int(c.sum()))
+    cdf_ref = ray.put(cdf)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        import ray as _r
+        lut = _r.get(cdf_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vm = t["value_milli"].to_numpy()
+        pr = np.zeros(len(vm), np.int64)
+        for typ in np.unique(et):
+            m = et == typ
+            vms, cb, n = lut[typ]
+            rank0 = cb[np.searchsorted(vms, vm[m])]
+            pr[m] = 0 if n <= 1 else rank0 * 1000 // (n - 1)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "value_milli": t["value_milli"],
+                         "pr_milli": pa.array(pr, pa.int64())})
+
+    return src.map_batches(normalize, batch_format="pyarrow")
