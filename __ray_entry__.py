@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session; rotates into the driver window next round):
         "gap_fill_locf": q.gap_fill_locf,
         "quantile_normalize": q.quantile_normalize,
+        "cell_smooth": q.cell_smooth,
+        "mixture_sample": q.mixture_sample,
     }
     head = list(reg)[:len(DRIVER_WINDOW)]
     assert head == list(DRIVER_WINDOW), (
@@ -467,6 +469,23 @@ cells AS (
     sqls["cell_counts"] = (f"WITH {_PTS_CTE}, {cell_expr} "
                            "SELECT cell_x, cell_y, count(*) AS n_docs "
                            "FROM cells GROUP BY cell_x, cell_y")
+    # 3x3 focal sum over the occupied cell grid (border neighbors
+    # outside [0,63] dropped; occupied-only via HAVING on the center)
+    sqls["cell_smooth"] = f"""
+WITH {_PTS_CTE}, {cell_expr},
+cc AS (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY 1, 2),
+nb AS (SELECT cc.cell_x + dx.d AS tx, cc.cell_y + dy.d AS ty, cc.n,
+              CASE WHEN dx.d = 0 AND dy.d = 0 THEN cc.n ELSE 0 END
+                AS self_n
+       FROM cc, (VALUES (-1), (0), (1)) dx(d),
+            (VALUES (-1), (0), (1)) dy(d)
+       WHERE cc.cell_x + dx.d BETWEEN 0 AND 63
+         AND cc.cell_y + dy.d BETWEEN 0 AND 63)
+SELECT tx AS cell_x, ty AS cell_y,
+       CAST(sum(self_n) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS smooth_docs
+FROM nb GROUP BY tx, ty HAVING sum(self_n) > 0
+"""
 
     sqls["docs_per_tile"] = f"""
 WITH {_PTS_CTE},
@@ -2250,5 +2269,29 @@ SELECT event_id, event_type, vm AS value_milli,
        CAST(CASE WHEN n <= 1 THEN 0
                  ELSE (rk - 1) * 1000 // (n - 1) END AS BIGINT) AS pr_milli
 FROM r
+"""
+    # alpha=0.5 temperature-smoothed language-mixture sample: quota
+    # n_l = min(c_l, (total // FRAC) * isqrt(c_l) // sum isqrt), keep
+    # the n_l smallest (mix32 hash, doc_id) per lang
+    from freemap_tiler_ray.pipelines.queries import MIXTURE_FRAC
+    sqls["mixture_sample"] = f"""
+WITH h0 AS (SELECT doc_id, lang,
+                   (doc_id % 4294967296 + 777) % 4294967296 AS v0
+            FROM documents),
+h1 AS (SELECT doc_id, lang,
+              (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM h0),
+h2 AS (SELECT doc_id, lang,
+              (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM h1),
+hh AS (SELECT doc_id, lang, xor(v2 >> 16, v2) AS hv FROM h2),
+c AS (SELECT lang, count(*) AS cl FROM documents GROUP BY lang),
+s AS (SELECT lang, cl,
+             CAST(floor(sqrt(CAST(cl AS DOUBLE))) AS BIGINT) AS sl FROM c),
+t AS (SELECT sum(cl) AS total, sum(sl) AS ssum FROM s),
+q AS (SELECT lang, LEAST(cl, (total // {MIXTURE_FRAC}) * sl // ssum)
+        AS nl FROM s, t),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS rn FROM hh)
+SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rn <= nl
 """
     return sqls

@@ -6057,3 +6057,163 @@ def quantile_normalize(sf_dir: str):
                          "pr_milli": pa.array(pr, pa.int64())})
 
     return src.map_batches(normalize, batch_format="pyarrow")
+
+
+def cell_smooth(sf_dir: str):
+    """3x3 neighborhood smoothing over the sparse doc-density cell grid
+    (the raster-style focal sum a geo pipeline runs to de-noise density
+    before thresholding hot regions): every occupied cell reports its
+    own doc count plus the summed count of its 8 grid neighbors.
+
+    Scale shape: the corpus-sized side is the SAME pre-aggregated
+    cell_counts partial (bounded by grid cells, not docs); the focal
+    sum then fans each occupied cell out 9x (constant fan-out, border
+    replicas outside [0, 2^res) dropped) and ONE groupby-sum folds
+    contributions. Occupied-only output needs no join: the center
+    replica carries its count in a second column whose sum is nonzero
+    exactly for occupied targets — additive flag instead of a semi
+    join."""
+    from ray.data.aggregate import Sum
+
+    grid_max = (1 << CELL_RES) - 1
+
+    def fan9(t: pa.Table) -> pa.Table:
+        cx = t["cell_x"].to_numpy()
+        cy = t["cell_y"].to_numpy()
+        n = t["n_docs"].to_numpy()
+        txs, tys, cons, selfs = [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = cx + dx, cy + dy
+                keep = ((tx >= 0) & (tx <= grid_max)
+                        & (ty >= 0) & (ty <= grid_max))
+                txs.append(tx[keep])
+                tys.append(ty[keep])
+                cons.append(n[keep])
+                selfs.append(n[keep] if dx == 0 and dy == 0
+                             else np.zeros(keep.sum(), np.int64))
+        return pa.table({
+            "cell_x": pa.array(np.concatenate(txs), pa.int64()),
+            "cell_y": pa.array(np.concatenate(tys), pa.int64()),
+            "contrib": pa.array(np.concatenate(cons), pa.int64()),
+            "self_n": pa.array(np.concatenate(selfs), pa.int64())})
+
+    def occupied_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater(t["self_n"], 0))
+        return pa.table({"cell_x": t["cell_x"], "cell_y": t["cell_y"],
+                         "n_docs": t["self_n"],
+                         "smooth_docs": t["smooth_docs"]})
+
+    return (cell_counts(sf_dir)
+            .map_batches(fan9, batch_format="pyarrow")
+            .groupby(["cell_x", "cell_y"])
+            .aggregate(Sum("contrib", alias_name="smooth_docs"),
+                       Sum("self_n", alias_name="self_n"))
+            .map_batches(occupied_only, batch_format="pyarrow"))
+
+
+MIXTURE_FRAC = 10        # overall target = total_docs // MIXTURE_FRAC
+MIXTURE_HIST_SHIFT = 24  # pass-1 selection histogram: hash >> 24 (256 bins)
+
+
+def mixture_sample(sf_dir: str):
+    """Temperature-smoothed language-mixture sampling (the mT5/XLM-R
+    alpha-sampling step that up-weights low-resource languages): each
+    language's quota is n_l = min(c_l, N_target * isqrt(c_l) // sum
+    isqrt(c)) — alpha = 0.5 applied in exact integer arithmetic — and
+    the n_l docs with the smallest (hash, doc_id) key are kept, so the
+    draw is reproducible on any cluster size or partitioning.
+
+    Scale shape: distributed per-group k-th order statistic WITHOUT a
+    per-language sort (lang is a hot key). Pass 1 aggregates per-lang
+    (hash >> 24) histograms (<= 256 * n_langs partial rows — bounded);
+    the driver locates each quota's boundary bin, collects ONLY that
+    bin's rows (~c_l/256), and computes the exact (hash, doc_id)
+    cutoff pair; pass 2 is an embarrassingly parallel filter against
+    the broadcast cutoffs. Three read passes, each pruned to
+    (doc_id, lang)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..geo import _mix32
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        hv = _mix32((ids.astype(np.uint64) + np.uint64(777))
+                    & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "hv": pa.array(hv, pa.int64())})
+
+    src = _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        keyed, batch_format="pyarrow")
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "bin": t["hv"].to_numpy() >> MIXTURE_HIST_SHIFT})
+        g = df.groupby(["lang", "bin"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    hist = (src.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["lang", "bin"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values(["lang", "bin"]))
+
+    counts = hist.groupby("lang")["n"].sum()
+    total = int(counts.sum())
+    target = total // MIXTURE_FRAC
+    sl = {lang: math.isqrt(int(c)) for lang, c in counts.items()}
+    ssum = sum(sl.values())
+    quota = {lang: min(int(counts[lang]), target * sl[lang] // ssum)
+             for lang in counts.index}
+
+    # boundary bin per lang: first bin where cumulative count >= quota
+    boundary, below = {}, {}
+    for lang, g in hist.groupby("lang", sort=False):
+        nl = quota[lang]
+        if nl <= 0:
+            continue
+        cum = g["n"].cumsum().to_numpy()
+        i = int(np.searchsorted(cum, nl))
+        boundary[lang] = int(g["bin"].iloc[i])
+        below[lang] = int(cum[i - 1]) if i else 0
+
+    def in_boundary(t: pa.Table) -> pa.Table:
+        lg = t["lang"].to_numpy(zero_copy_only=False)
+        bn = t["hv"].to_numpy() >> MIXTURE_HIST_SHIFT
+        keep = np.zeros(len(lg), bool)
+        for lang, b in boundary.items():
+            keep |= (lg == lang) & (bn == b)
+        return t.filter(pa.array(keep))
+
+    edge = src.map_batches(in_boundary, batch_format="pyarrow").to_pandas()
+    cutoff = {}
+    for lang, g in edge.groupby("lang", sort=False):
+        k = quota[lang] - below[lang]
+        assert 1 <= k <= len(g), (lang, k, len(g))
+        g = g.sort_values(["hv", "doc_id"], kind="mergesort")
+        row = g.iloc[k - 1]
+        cutoff[lang] = (int(row["hv"]), int(row["doc_id"]))
+    cut_ref = ray.put((boundary, cutoff))
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        import ray as _r
+        bnd, cut = _r.get(cut_ref)
+        lg = t["lang"].to_numpy(zero_copy_only=False)
+        hv = t["hv"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        bn = hv >> MIXTURE_HIST_SHIFT
+        keep = np.zeros(len(lg), bool)
+        for lang, b in bnd.items():
+            ch, cid = cut[lang]
+            m = lg == lang
+            keep |= m & ((bn < b) | ((hv < ch) | ((hv == ch) & (ids <= cid)))
+                         & (bn == b))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]}).filter(
+            pa.array(keep))
+
+    return src.map_batches(final_filter, batch_format="pyarrow")
