@@ -210,8 +210,9 @@ DRIVER_WINDOW = (
     "q2_min_cost_supp", "q20_excess_stock", "triangle_count",
     "lineitem_melt", "order_lines_concat", "embedding_unnest",
     "q17_small_qty", "pagerank", "dedup_clusters", "lsh_pairs",
-    "dup_spans", "anti_join_customers", "q3_shipping",
-    "q10_returned_items", "q13_order_counts", "q18_top_customers",
+    "dup_spans", "anti_join_customers",
+    "gap_fill_locf", "quantile_normalize", "cell_smooth",
+    "mixture_sample",
     "events_dedup_latest", "value_percentiles",
     "pip_join_spans", "modality_balance",
     "ppjoin_pairs", "salted_type_stats",
@@ -305,10 +306,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_pairs": q.lsh_pairs,
         "dup_spans": q.dup_spans,
         "anti_join_customers": q.anti_join_customers,
-        "q3_shipping": q.q3_shipping,
-        "q10_returned_items": q.q10_returned_items,
-        "q13_order_counts": q.q13_order_counts,
-        "q18_top_customers": q.q18_top_customers,
+        # round-4 continuation IV additions (never driver-checked;
+        # displaced the r1/r2/r3-green q3/q10/q13/q18 join rechecks to
+        # the tail — 6 join-heavy sentinels remain in-window):
+        "gap_fill_locf": q.gap_fill_locf,
+        "quantile_normalize": q.quantile_normalize,
+        "cell_smooth": q.cell_smooth,
+        "mixture_sample": q.mixture_sample,
         # rotation pool: last driver-checked in round 2:
         "events_dedup_latest": q.events_dedup_latest,
         "value_percentiles": q.value_percentiles,
@@ -431,12 +435,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_tile": q.docs_per_tile,
         "media_frames": q.media_frames,
         "text_stats": q.text_stats,
-        # round-4 continuation IV (oracle-checked locally every pytest
-        # session; rotates into the driver window next round):
-        "gap_fill_locf": q.gap_fill_locf,
-        "quantile_normalize": q.quantile_normalize,
-        "cell_smooth": q.cell_smooth,
-        "mixture_sample": q.mixture_sample,
+        # displaced join sentinels (driver-green r1/r2/r3, still
+        # oracle-checked every pytest session):
+        "q3_shipping": q.q3_shipping,
+        "q10_returned_items": q.q10_returned_items,
+        "q13_order_counts": q.q13_order_counts,
+        "q18_top_customers": q.q18_top_customers,
     }
     head = list(reg)[:len(DRIVER_WINDOW)]
     assert head == list(DRIVER_WINDOW), (
