@@ -209,10 +209,11 @@ DRIVER_WINDOW = (
     "pareto_front", "retention_cohorts",
     "q2_min_cost_supp", "q20_excess_stock", "triangle_count",
     "lineitem_melt", "order_lines_concat", "embedding_unnest",
-    "q17_small_qty", "pagerank", "dedup_clusters", "lsh_pairs",
-    "dup_spans", "anti_join_customers",
+    "lsh_pairs",
+    "dup_spans",
     "gap_fill_locf", "quantile_normalize", "cell_smooth",
-    "mixture_sample",
+    "mixture_sample", "bloom_semi_join", "dataset_split",
+    "cell_pyramid", "weighted_median",
     "events_dedup_latest", "value_percentiles",
     "pip_join_spans", "modality_balance",
     "ppjoin_pairs", "salted_type_stats",
@@ -244,10 +245,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     - the 11 round-4 additions (q21/q22/q2/q20 shapes, triangle census,
       UNPIVOT melt, ordered string_agg, UNNEST explode, edit-distance
       near-dup, pareto skyline, retention cohorts);
-    - 11 join-heavy sentinels kept in-window because this round touched
+    - 2 join-heavy sentinels kept in-window because this round touched
       join internals again (_JOIN_PARTS fan-out routing + ray_patches
-      hardening): q17, pagerank, dedup_clusters, lsh_pairs, dup_spans,
-      anti_join, q3, q10, q13, q18, nation_region_join;
+      hardening): lsh_pairs, dup_spans (the other 9 — q17, pagerank,
+      dedup_clusters, anti_join, q3, q10, q13, q18,
+      nation_region_join — were displaced to the tail late in the
+      round to make room for the 8 continuation-IV additions; all
+      stay oracle-checked every pytest session);
     - the 9 round-4 continuation additions (bfs_hops, ann_filtered,
       oov_rate, events_range_frame, ppjoin_pairs, salted_type_stats,
       modality_balance, events_dedup_latest, value_percentiles), which
@@ -300,19 +304,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lines_concat": q.order_lines_concat,
         "embedding_unnest": q.embedding_unnest,
         # join-heavy sentinels (join fan-out + patches changed this round):
-        "q17_small_qty": q.q17_small_qty,
-        "pagerank": q.pagerank,
-        "dedup_clusters": q.dedup_clusters,
         "lsh_pairs": q.lsh_pairs,
         "dup_spans": q.dup_spans,
-        "anti_join_customers": q.anti_join_customers,
         # round-4 continuation IV additions (never driver-checked;
-        # displaced the r1/r2/r3-green q3/q10/q13/q18 join rechecks to
-        # the tail — 6 join-heavy sentinels remain in-window):
+        # displaced the r1/r2/r3-green q3/q10/q13/q18/q17/anti_join/
+        # pagerank/dedup_clusters join rechecks to the tail — the two
+        # join sentinels above remain in-window):
         "gap_fill_locf": q.gap_fill_locf,
         "quantile_normalize": q.quantile_normalize,
         "cell_smooth": q.cell_smooth,
         "mixture_sample": q.mixture_sample,
+        "bloom_semi_join": q.bloom_semi_join,
+        "dataset_split": q.dataset_split,
+        "cell_pyramid": q.cell_pyramid,
+        "weighted_median": q.weighted_median,
         # rotation pool: last driver-checked in round 2:
         "events_dedup_latest": q.events_dedup_latest,
         "value_percentiles": q.value_percentiles,
@@ -437,6 +442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q.text_stats,
         # displaced join sentinels (driver-green r1/r2/r3, still
         # oracle-checked every pytest session):
+        "anti_join_customers": q.anti_join_customers,
+        "q17_small_qty": q.q17_small_qty,
+        "pagerank": q.pagerank,
+        "dedup_clusters": q.dedup_clusters,
         "q3_shipping": q.q3_shipping,
         "q10_returned_items": q.q10_returned_items,
         "q13_order_counts": q.q13_order_counts,
@@ -2297,5 +2306,57 @@ r AS (SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
                                 ORDER BY hv, doc_id) AS rn FROM hh)
 SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rn <= nl
+"""
+    from freemap_tiler_ray.pipelines.queries import BLOOM_JOIN_THRESH
+    sqls["bloom_semi_join"] = f"""
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > {BLOOM_JOIN_THRESH})
+GROUP BY l_returnflag
+"""
+    from freemap_tiler_ray.pipelines.queries import (SPLIT_SALT,
+                                                     SPLIT_TRAIN_PCT,
+                                                     SPLIT_VAL_PCT)
+    sqls["dataset_split"] = f"""
+WITH h0 AS (SELECT doc_id, lang,
+                   (doc_id % 4294967296 + {SPLIT_SALT}) % 4294967296 AS v0
+            FROM documents),
+h1 AS (SELECT doc_id, lang,
+              (xor(v0 >> 16, v0) * 73244475) % 4294967296 AS v1 FROM h0),
+h2 AS (SELECT doc_id, lang,
+              (xor(v1 >> 16, v1) * 73244475) % 4294967296 AS v2 FROM h1),
+hh AS (SELECT doc_id, lang, xor(v2 >> 16, v2) % 100 AS b FROM h2)
+SELECT doc_id, lang,
+       CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM hh
+"""
+    sqls["cell_pyramid"] = f"""
+WITH {_PTS_CTE}, {cell_expr},
+cc AS (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY 1, 2)
+SELECT r.res,
+       cc.cell_x >> (6 - r.res) AS cell_x,
+       cc.cell_y >> (6 - r.res) AS cell_y,
+       CAST(sum(n) AS BIGINT) AS n_docs
+FROM cc, generate_series(0, 6) r(res)
+GROUP BY 1, 2, 3
+"""
+    sqls["weighted_median"] = """
+WITH h AS (SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 1000) AS BIGINT) AS vm,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+c AS (SELECT l_returnflag, vm, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY vm) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total FROM h)
+SELECT l_returnflag,
+       CAST(max(total) AS BIGINT) AS total_qty,
+       CAST(min(vm) AS BIGINT) AS median_price_milli
+FROM c WHERE 2 * cum >= total
+GROUP BY l_returnflag
 """
     return sqls

@@ -6235,3 +6235,198 @@ def mixture_sample(sf_dir: str):
             pa.array(keep))
 
     return src.map_batches(final_filter, batch_format="pyarrow")
+
+
+BLOOM_JOIN_THRESH = 475000.0   # ~top-5% orders by total price
+BLOOM_JOIN_BITS = 1 << 20      # 128 KiB bitmap, broadcast once
+
+
+def bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered exact semi join: lineitem rows whose order is
+    a high-value order (o_totalprice > BLOOM_JOIN_THRESH, ~5% of
+    orders), folded to per-returnflag line counts + quantity sums.
+
+    Scale shape — THE standard big-data join optimization: the build
+    side's keys are summarized into a fixed-size Bloom bitmap by a
+    streaming per-batch OR-fold (128 KiB regardless of corpus size,
+    `ray.put` once), the probe side is prefiltered in map_batches
+    against the broadcast bitmap (cuts ~95% of the probe rows BEFORE
+    any shuffle), and only the surviving candidates pay the exact hash
+    join that removes Bloom false positives. The result is exact at
+    any scale while the all-to-all join moves ~5% of the lineitem
+    table. Quantities are cast to int64 pre-sum so the fold is
+    order-independent (bit-exact vs the SQL oracle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _bloom_hashes
+
+    bits = BLOOM_JOIN_BITS
+
+    def hi_orders(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.greater(t["o_totalprice"], BLOOM_JOIN_THRESH))
+                .select(["o_orderkey"]))
+
+    keys = (_rp(f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_totalprice"])
+            .map_batches(hi_orders, batch_format="pyarrow"))
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(bits // 64, np.uint64)
+        k = t["o_orderkey"].to_numpy()
+        for h in _bloom_hashes(k, bits):
+            np.bitwise_or.at(bm, (h >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (h & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.binary())})
+
+    bm = np.zeros(bits // 64, np.uint64)
+    for row in (keys.map_batches(bloom_partial, batch_format="pyarrow")
+                .iter_rows()):
+        bm |= np.frombuffer(row["bloom"], np.uint64)
+    bref = ray.put(bm)
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        k = t["l_orderkey"].to_numpy()
+        h1, h2 = _bloom_hashes(k, bits)
+        hit = (((b[(h1 >> np.uint64(6)).astype(np.int64)]
+                 >> (h1 & np.uint64(63))) & np.uint64(1))
+               & ((b[(h2 >> np.uint64(6)).astype(np.int64)]
+                   >> (h2 & np.uint64(63))) & np.uint64(1))).astype(bool)
+        return t.filter(pa.array(hit))
+
+    cand = (_rp(f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_returnflag", "l_quantity"])
+            .map_batches(probe, batch_format="pyarrow"))
+
+    joined = cand.join(keys, join_type="inner",
+                       num_partitions=_JOIN_PARTS,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "qty": pc.cast(t["l_quantity"], pa.int64())})
+             .group_by(["l_returnflag"])
+             .aggregate([("qty", "count"), ("qty", "sum")]))
+        return g.rename_columns(["l_returnflag", "n_lines", "sum_qty"])
+
+    return (joined.map_batches(agg_partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n_lines", alias_name="n_lines"),
+                       Sum("sum_qty", alias_name="sum_qty")))
+
+
+SPLIT_SALT = 1234567         # dataset_split hash salt
+SPLIT_TRAIN_PCT = 80         # train < 80, val < 90, test otherwise
+SPLIT_VAL_PCT = 90
+
+
+def dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment (the standard
+    hash-based split a training pipeline runs so the partition is
+    reproducible on any cluster size, any partitioning, and any
+    re-run): split = mix32(doc_id + salt) % 100, bucketed 80/10/10.
+
+    Scale shape: embarrassingly parallel — one pruned-column read and
+    one vectorized map_batches; no shuffle, no driver state. The mix32
+    hash keeps every intermediate below 2^63, so the DuckDB oracle
+    mirrors it exactly in BIGINT arithmetic."""
+    from ..geo import _mix32
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        hv = _mix32((ids.astype(np.uint64) + np.uint64(SPLIT_SALT))
+                    & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        bucket = hv % 100
+        split = np.where(bucket < SPLIT_TRAIN_PCT, "train",
+                         np.where(bucket < SPLIT_VAL_PCT, "val", "test"))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "split": pa.array(split, pa.string())})
+
+    return _docs(sf_dir, ("doc_id", "lang")).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def cell_pyramid(sf_dir: str):
+    """Multi-resolution density pyramid over the doc cell grid (the
+    tile-pyramid rollup a map pipeline runs over point density: every
+    zoom level's counts from one pass): per resolution r in [0,
+    CELL_RES], the doc count of each occupied cell at that resolution.
+
+    Scale shape: the corpus collapses to the bounded res-CELL_RES cell
+    partial first (cell_counts); each cell then fans out once per
+    resolution (constant CELL_RES+1 fan-out via bit shifts — the
+    z-order parent arithmetic, no joins) and ONE groupby-sum folds all
+    levels simultaneously. The same single-shuffle span idiom the tile
+    pyramid's compose stage uses (stages/compose.py)."""
+    from ray.data.aggregate import Sum
+
+    def fan(t: pa.Table) -> pa.Table:
+        cx = t["cell_x"].to_numpy()
+        cy = t["cell_y"].to_numpy()
+        n = t["n_docs"].to_numpy()
+        res, xs, ys, ns = [], [], [], []
+        for r in range(CELL_RES + 1):
+            sh = CELL_RES - r
+            res.append(np.full(len(cx), r, np.int64))
+            xs.append(cx >> sh)
+            ys.append(cy >> sh)
+            ns.append(n)
+        return pa.table({
+            "res": pa.array(np.concatenate(res), pa.int64()),
+            "cell_x": pa.array(np.concatenate(xs), pa.int64()),
+            "cell_y": pa.array(np.concatenate(ys), pa.int64()),
+            "n": pa.array(np.concatenate(ns), pa.int64())})
+
+    return (cell_counts(sf_dir)
+            .map_batches(fan, batch_format="pyarrow")
+            .groupby(["res", "cell_x", "cell_y"])
+            .aggregate(Sum("n", alias_name="n_docs")))
+
+
+def weighted_median(sf_dir: str):
+    """Exact per-group weighted median: per return flag, the smallest
+    extended price (integer milli-units) at which half the shipped
+    QUANTITY sits at-or-below — the quantity-weighted p50 price (the
+    robust center of a metric weighted by a second column, which a
+    plain median ignores).
+
+    Scale shape: the lang_quantiles bounded-histogram idiom — the
+    per-batch partial collapses rows to (flag, price_milli) ->
+    sum(qty) histogram cells, the only wide op is a groupby over that
+    bounded key space, and the per-flag cumulative scan runs over one
+    histogram (never the raw rows). Integer 2*cum >= total compare —
+    no float boundary ambiguity."""
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        vm = np.round(t["l_extendedprice"].to_numpy()
+                      * 1000).astype(np.int64)
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "price_milli": pa.array(vm, pa.int64()),
+                       "qty": pc.cast(t["l_quantity"], pa.int64())})
+             .group_by(["l_returnflag", "price_milli"])
+             .aggregate([("qty", "sum")]))
+        return g.rename_columns(["l_returnflag", "price_milli", "w"])
+
+    agg = (_split(_rp(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_returnflag", "l_extendedprice",
+                               "l_quantity"]))
+           .map_batches(hist, batch_format="pyarrow")
+           .groupby(["l_returnflag", "price_milli"])
+           .aggregate(Sum("w", alias_name="w")))
+
+    def median(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_milli")
+        w = g["w"].to_numpy()
+        cum = np.cumsum(w)
+        i = int(np.searchsorted(2 * cum, cum[-1], side="left"))
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "total_qty": np.array([cum[-1]], np.int64),
+            "median_price_milli": np.array(
+                [g["price_milli"].iloc[i]], np.int64)})
+
+    return agg.groupby("l_returnflag").map_groups(
+        median, batch_format="pandas")
