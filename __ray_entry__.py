@@ -213,8 +213,8 @@ DRIVER_WINDOW = (
     "dup_spans",
     "gap_fill_locf", "quantile_normalize", "cell_smooth",
     "mixture_sample", "bloom_semi_join", "dataset_split",
-    "cell_pyramid", "weighted_median",
-    "events_dedup_latest", "value_percentiles",
+    "cell_pyramid", "weighted_median", "running_distinct",
+    "normalize_text",
     "pip_join_spans", "modality_balance",
     "ppjoin_pairs", "salted_type_stats",
     "caption_pairs", "lang_regression", "sorted_neighbor_pairs",
@@ -318,9 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": q.dataset_split,
         "cell_pyramid": q.cell_pyramid,
         "weighted_median": q.weighted_median,
+        "running_distinct": q.running_distinct,
+        "normalize_text": q.normalize_text,
         # rotation pool: last driver-checked in round 2:
-        "events_dedup_latest": q.events_dedup_latest,
-        "value_percentiles": q.value_percentiles,
         "pip_join_spans": q.pip_join_spans,
         "modality_balance": q.modality_balance,
         "ppjoin_pairs": q.ppjoin_pairs,
@@ -444,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked every pytest session):
         "anti_join_customers": q.anti_join_customers,
         "q17_small_qty": q.q17_small_qty,
+        "events_dedup_latest": q.events_dedup_latest,
+        "value_percentiles": q.value_percentiles,
         "pagerank": q.pagerank,
         "dedup_clusters": q.dedup_clusters,
         "q3_shipping": q.q3_shipping,
@@ -2358,5 +2360,28 @@ SELECT l_returnflag,
        CAST(min(vm) AS BIGINT) AS median_price_milli
 FROM c WHERE 2 * cum >= total
 GROUP BY l_returnflag
+"""
+    sqls["running_distinct"] = """
+WITH f AS (SELECT event_id, user_id, ts,
+                  CASE WHEN row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+                       THEN 1 ELSE 0 END AS first
+           FROM events)
+SELECT event_id, user_id,
+       CAST(sum(first) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS BIGINT)
+         AS n_distinct
+FROM f
+"""
+    sqls["normalize_text"] = """
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'),
+                       ' ') AS norm_text
+           FROM documents)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS n_norm_chars
+FROM n
 """
     return sqls

@@ -6430,3 +6430,77 @@ def weighted_median(sf_dir: str):
 
     return agg.groupby("l_returnflag").map_groups(
         median, batch_format="pandas")
+
+
+def running_distinct(sf_dir: str):
+    """Per-user running distinct-type count (the streaming-analytics
+    window COUNT(DISTINCT ...) OVER (PARTITION BY user ORDER BY ts)
+    that SQL engines can't express directly): for every event, how
+    many distinct event_types its user has produced up to and
+    including it.
+
+    Scale shape: hash-partition on user_id (events_cumsum idiom), then
+    per partition ONE lexsort on (user, type, ts) marks first
+    occurrences, a second lexsort order on (user, ts) turns the flags
+    into a per-user cumulative sum via one np.cumsum with per-user
+    offset subtraction — no per-user Python loop, partitions bounded
+    by N/HASH_PARTS."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts_us": pa.array(us, pa.int64()),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ty = pd.factorize(g["event_type"])[0]
+        # first occurrence of (user, type) in (ts, event_id) order:
+        o1 = np.lexsort((eid, ts, ty, u))
+        first = np.zeros(len(u), bool)
+        first[o1] = np.r_[True, (u[o1][1:] != u[o1][:-1])
+                          | (ty[o1][1:] != ty[o1][:-1])]
+        # running sum of flags in (user, ts, event_id) order:
+        o2 = np.lexsort((eid, ts, u))
+        f2 = first[o2].astype(np.int64)
+        cum = np.cumsum(f2)
+        ustart = np.r_[True, u[o2][1:] != u[o2][:-1]]
+        base = np.repeat(cum[ustart] - f2[ustart],
+                         np.diff(np.r_[np.flatnonzero(ustart), len(u)]))
+        return pd.DataFrame({
+            "event_id": eid[o2], "user_id": u[o2],
+            "n_distinct": cum - base})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def normalize_text(sf_dir: str):
+    """Text normalization (the cleaning pass before dedup/tokenize:
+    lowercase, strip non-alphanumerics, collapse whitespace, trim) —
+    entirely RE2-vectorized: pc.utf8_lower + two
+    pc.replace_substring_regex kernels per batch, zero Python strings.
+    DuckDB's regexp_replace(..., 'g') is RE2 as well, so the oracle
+    matches byte-for-byte. Embarrassingly parallel: one pruned read,
+    one map_batches, no shuffle."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"].combine_chunks())
+        s = pc.replace_substring_regex(s, r"[^a-z0-9 ]+", "")
+        s = pc.replace_substring_regex(s, r" +", " ")
+        s = pc.utf8_trim(s, " ")
+        return pa.table({"doc_id": t["doc_id"], "norm_text": s,
+                         "n_norm_chars": pc.cast(pc.utf8_length(s),
+                                                 pa.int64())})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        norm, batch_format="pyarrow")
