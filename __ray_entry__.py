@@ -210,12 +210,11 @@ DRIVER_WINDOW = (
     "q2_min_cost_supp", "q20_excess_stock", "triangle_count",
     "lineitem_melt", "order_lines_concat", "embedding_unnest",
     "lsh_pairs",
-    "dup_spans",
     "gap_fill_locf", "quantile_normalize", "cell_smooth",
     "mixture_sample", "bloom_semi_join", "dataset_split",
     "cell_pyramid", "weighted_median", "running_distinct",
-    "normalize_text",
-    "pip_join_spans", "modality_balance",
+    "normalize_text", "pii_redact", "kcore_nodes",
+    "modality_balance",
     "ppjoin_pairs", "salted_type_stats",
     "caption_pairs", "lang_regression", "sorted_neighbor_pairs",
     "bfs_hops", "ann_filtered", "oov_rate", "events_range_frame",
@@ -303,13 +302,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q.lineitem_melt,
         "order_lines_concat": q.order_lines_concat,
         "embedding_unnest": q.embedding_unnest,
-        # join-heavy sentinels (join fan-out + patches changed this round):
+        # join-heavy sentinel (join fan-out + patches changed this round):
         "lsh_pairs": q.lsh_pairs,
-        "dup_spans": q.dup_spans,
         # round-4 continuation IV additions (never driver-checked;
         # displaced the r1/r2/r3-green q3/q10/q13/q18/q17/anti_join/
-        # pagerank/dedup_clusters join rechecks to the tail — the two
-        # join sentinels above remain in-window):
+        # pagerank/dedup_clusters/dup_spans/pip_join_spans join
+        # rechecks to the tail — lsh_pairs above stays as the join
+        # sentinel, and the new bloom_semi_join/kcore_nodes below are
+        # join-heavy fresh coverage of the same internals):
         "gap_fill_locf": q.gap_fill_locf,
         "quantile_normalize": q.quantile_normalize,
         "cell_smooth": q.cell_smooth,
@@ -320,8 +320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q.weighted_median,
         "running_distinct": q.running_distinct,
         "normalize_text": q.normalize_text,
+        "pii_redact": q.pii_redact,
+        "kcore_nodes": q.kcore_nodes,
         # rotation pool: last driver-checked in round 2:
-        "pip_join_spans": q.pip_join_spans,
         "modality_balance": q.modality_balance,
         "ppjoin_pairs": q.ppjoin_pairs,
         "salted_type_stats": q.salted_type_stats,
@@ -444,6 +445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked every pytest session):
         "anti_join_customers": q.anti_join_customers,
         "q17_small_qty": q.q17_small_qty,
+        "dup_spans": q.dup_spans,
+        "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
         "value_percentiles": q.value_percentiles,
         "pagerank": q.pagerank,
@@ -2383,5 +2386,38 @@ WITH n AS (SELECT doc_id,
 SELECT doc_id, norm_text,
        CAST(length(norm_text) AS BIGINT) AS n_norm_chars
 FROM n
+"""
+    from freemap_tiler_ray.pipelines.queries import PII_REDACT_STEPS
+    (p1, r1), (p2, r2) = PII_REDACT_STEPS
+    sqls["pii_redact"] = f"""
+WITH s1 AS (SELECT doc_id,
+                   len(regexp_extract_all(text, '{p1}')) AS c1,
+                   regexp_replace(text, '{p1}', '{r1}', 'g') AS t
+            FROM documents),
+s2 AS (SELECT doc_id, c1,
+              len(regexp_extract_all(t, '{p2}')) AS c2,
+              regexp_replace(t, '{p2}', '{r2}', 'g') AS t
+       FROM s1)
+SELECT doc_id, t AS redacted, CAST(c1 + c2 AS BIGINT) AS n_redactions
+FROM s2
+"""
+    from freemap_tiler_ray.pipelines.queries import KCORE_K
+    sqls["kcore_nodes"] = f"""
+WITH j AS (SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT u, v FROM j UNION ALL SELECT v AS u, u AS v FROM j),
+a1 AS (SELECT u AS node FROM e GROUP BY u HAVING count(*) >= {KCORE_K}),
+e1 AS (SELECT e.u, e.v FROM e
+       JOIN a1 x ON e.u = x.node JOIN a1 y ON e.v = y.node),
+a2 AS (SELECT u AS node FROM e1 GROUP BY u HAVING count(*) >= {KCORE_K}),
+e2 AS (SELECT e1.u, e1.v FROM e1
+       JOIN a2 x ON e1.u = x.node JOIN a2 y ON e1.v = y.node),
+a3 AS (SELECT u AS node FROM e2 GROUP BY u HAVING count(*) >= {KCORE_K}),
+e3 AS (SELECT e2.u, e2.v FROM e2
+       JOIN a3 x ON e2.u = x.node JOIN a3 y ON e2.v = y.node),
+a4 AS (SELECT u AS node FROM e3 GROUP BY u HAVING count(*) >= {KCORE_K}),
+e4 AS (SELECT e3.u, e3.v FROM e3
+       JOIN a4 x ON e3.u = x.node JOIN a4 y ON e3.v = y.node)
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e4 GROUP BY u
 """
     return sqls

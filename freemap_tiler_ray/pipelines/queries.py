@@ -6504,3 +6504,114 @@ def normalize_text(sf_dir: str):
 
     return _docs(sf_dir, ("doc_id", "text")).map_batches(
         norm, batch_format="pyarrow")
+
+
+# pii_redact: applied strictly in order (later counts see earlier
+# redactions), mirrored by the oracle's nested CTE chain.
+PII_REDACT_STEPS = (
+    (r"[a-z0-9]+@[a-z0-9]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"\b(?:key|hash)\b", "<TERM>"),
+)
+
+
+def pii_redact(sf_dir: str):
+    """PII redaction (the write-side sibling of pii_scan): replace
+    every email-shaped match, then every term-list match, with a
+    sentinel token, and report the per-doc redaction count. Both
+    engines run RE2 (pyarrow replace_substring_regex / DuckDB
+    regexp_replace 'g'), applied in the same order so the redacted
+    bytes match exactly. Embarrassingly parallel single map_batches;
+    counts via pc.count_substring_regex on the same intermediate
+    text each step sees."""
+
+    def redact(t: pa.Table) -> pa.Table:
+        s = t["text"].combine_chunks()
+        total = np.zeros(len(s), np.int64)
+        for pat, repl in PII_REDACT_STEPS:
+            total += pc.count_substring_regex(s, pat).to_numpy()
+            s = pc.replace_substring_regex(s, pat, repl)
+        return pa.table({"doc_id": t["doc_id"], "redacted": s,
+                         "n_redactions": pa.array(total, pa.int64())})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        redact, batch_format="pyarrow")
+
+
+KCORE_K = 8        # degree threshold
+KCORE_ROUNDS = 4   # fixed peel rounds (mirrored by the SQL unroll)
+
+
+def kcore_nodes(sf_dir: str):
+    """k-core peeling over the customer—supplier co-occurrence graph
+    (the pagerank graph): KCORE_ROUNDS rounds of "drop every node
+    whose degree within the surviving subgraph is < KCORE_K". The
+    round count is FIXED (not to-fixpoint) so the DuckDB oracle is the
+    same computation unrolled as chained CTEs — the kmeans_clusters
+    pattern for iterative algorithms.
+
+    Scale shape: the deduped edge list is materialized once
+    (checkpoint-between-iterations, cf. pagerank); each round is two
+    hash semi joins (edges against the alive set on u then v) + one
+    groupby-count + one filter. The alive set only shrinks; no driver
+    state beyond the lazy plan, nodes never collected."""
+    from ray.data.aggregate import Count
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_suppkey"])
+    j = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def uv(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t["o_custkey"].to_numpy().astype(np.int64) * 2,
+            "v": t["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def both(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        return pa.table({"u": pa.array(np.r_[u, v], pa.int64()),
+                         "v": pa.array(np.r_[v, u], pa.int64())})
+
+    edges = (j.map_batches(uv, batch_format="pyarrow")
+             .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+             .map_batches(lambda t: t.select(["u", "v"]),
+                          batch_format="pyarrow")
+             .map_batches(both, batch_format="pyarrow")
+             .materialize())
+
+    deg = edges.groupby("u").aggregate(Count(alias_name="deg"))
+    alive = (deg.filter(expr=f"deg >= {KCORE_K}")
+             .select_columns(["u"])
+             .map_batches(lambda t: t.rename_columns(["node"]),
+                          batch_format="pyarrow")
+             .materialize())
+
+    for _ in range(KCORE_ROUNDS - 1):
+        e = (edges.join(alive, join_type="inner",
+                        num_partitions=_JOIN_PARTS,
+                        on=("u",), right_on=("node",))
+             .join(alive, join_type="inner",
+                   num_partitions=_JOIN_PARTS,
+                   on=("v",), right_on=("node",)))
+        deg = (e.select_columns(["u"])
+               .groupby("u").aggregate(Count(alias_name="deg")))
+        alive = (deg.filter(expr=f"deg >= {KCORE_K}")
+                 .select_columns(["u"])
+                 .map_batches(lambda t: t.rename_columns(["node"]),
+                              batch_format="pyarrow")
+                 .materialize())
+
+    # final degrees within the surviving subgraph
+    e = (edges.join(alive, join_type="inner", num_partitions=_JOIN_PARTS,
+                    on=("u",), right_on=("node",))
+         .join(alive, join_type="inner", num_partitions=_JOIN_PARTS,
+               on=("v",), right_on=("node",)))
+    return (e.select_columns(["u"])
+            .groupby("u").aggregate(Count(alias_name="deg"))
+            .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                         batch_format="pyarrow"))
