@@ -445,6 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked every pytest session):
         "anti_join_customers": q.anti_join_customers,
         "q17_small_qty": q.q17_small_qty,
+        # round-4 tail additions (window saturated with 48 first-row
+        # entries; these rotate into the round-5 window):
+        "time_rollup": q.time_rollup,
+        "vocab_coverage": q.vocab_coverage,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2419,5 +2423,40 @@ a4 AS (SELECT u AS node FROM e3 GROUP BY u HAVING count(*) >= {KCORE_K}),
 e4 AS (SELECT e3.u, e3.v FROM e3
        JOIN a4 x ON e3.u = x.node JOIN a4 y ON e3.v = y.node)
 SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e4 GROUP BY u
+"""
+    sqls["time_rollup"] = """
+WITH b AS (SELECT
+    CAST(epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+      AS day_s,
+    CAST(epoch(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS BIGINT)
+      AS week_s,
+    CAST(epoch(CAST(date_trunc('month', ts) AS TIMESTAMP)) AS BIGINT)
+      AS month_s,
+    CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT 'day' AS level, day_s AS bucket_s, count(*) AS n_events,
+       CAST(sum(vm) AS BIGINT) AS sum_milli FROM b GROUP BY day_s
+UNION ALL
+SELECT 'week', week_s, count(*), CAST(sum(vm) AS BIGINT)
+FROM b GROUP BY week_s
+UNION ALL
+SELECT 'month', month_s, count(*), CAST(sum(vm) AS BIGINT)
+FROM b GROUP BY month_s
+"""
+    from freemap_tiler_ray.pipelines.queries import VOCAB_COVERAGE_KS
+    ks_values = ", ".join(f"({k})" for k in VOCAB_COVERAGE_KS)
+    sqls["vocab_coverage"] = f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, tok) AS rn
+      FROM tf),
+t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+SELECT k.k, CAST(sum(r.tf) AS BIGINT) AS top_tf,
+       t.total AS total_tf,
+       CAST(sum(r.tf) * 1000000 // t.total AS BIGINT) AS cov_ppm
+FROM r, t, (VALUES {ks_values}) k(k)
+WHERE r.rn <= k.k
+GROUP BY k.k, t.total
 """
     return sqls

@@ -6615,3 +6615,96 @@ def kcore_nodes(sf_dir: str):
             .groupby("u").aggregate(Count(alias_name="deg"))
             .map_batches(lambda t: t.rename_columns(["node", "deg"]),
                          batch_format="pyarrow"))
+
+
+def time_rollup(sf_dir: str):
+    """Calendar pyramid (the temporal twin of cell_pyramid): event
+    count + value sum at day, ISO-week and month granularity from ONE
+    pass. Each batch pre-aggregates all three levels locally (output
+    bounded by the calendar span, not the event count), then a single
+    (level, bucket) groupby folds partials. Buckets are integer epoch
+    seconds of the truncated timestamp; values fold as floor-milli
+    ints (order-independent, bit-exact vs SQL)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]")
+        vm = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        day = us.astype("datetime64[D]")
+        d_i = day.view("int64")                      # days since epoch
+        week = (d_i - (d_i + 3) % 7)                 # Monday-truncated
+        month = us.astype("datetime64[M]").astype("datetime64[D]")
+        levels = (("day", d_i), ("week", week),
+                  ("month", month.view("int64")))
+        out_lv, out_b, out_n, out_s = [], [], [], []
+        for name, days in levels:
+            tbl = (pa.table({"b": pa.array(days * 86400, pa.int64()),
+                             "vm": pa.array(vm, pa.int64())})
+                   .group_by(["b"])
+                   .aggregate([("vm", "count"), ("vm", "sum")]))
+            out_lv.append(np.full(tbl.num_rows, name, object))
+            out_b.append(tbl["b"].to_numpy())
+            out_n.append(tbl["vm_count"].to_numpy().astype(np.int64))
+            out_s.append(tbl["vm_sum"].to_numpy().astype(np.int64))
+        return pa.table({
+            "level": pa.array(np.concatenate(out_lv), pa.string()),
+            "bucket_s": pa.array(np.concatenate(out_b), pa.int64()),
+            "n_events": pa.array(np.concatenate(out_n), pa.int64()),
+            "sum_milli": pa.array(np.concatenate(out_s), pa.int64())})
+
+    return (_split(_rp(f"{sf_dir}/events.parquet",
+                       columns=["ts", "value"]))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["level", "bucket_s"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_milli", alias_name="sum_milli")))
+
+
+VOCAB_COVERAGE_KS = (100, 1000, 10000)
+
+
+def vocab_coverage(sf_dir: str):
+    """Tokenizer-design statistic: what share of the corpus token
+    stream is covered by the top-k vocabulary, for k in
+    VOCAB_COVERAGE_KS (the curve that sizes a vocab / filters OOV
+    costs). Share in exact integer ppm.
+
+    Scale shape: the corpus collapses to (tok, tf) count partials
+    (shared _tok_count_partial kernel) and one vocabulary groupby;
+    each block then keeps only its own top max(K) rows by (tf desc,
+    tok) — lossless for the global top-k (a global top-k row beats
+    everything in its block) — so the driver merge folds <= blocks *
+    max(K) rows plus one scalar total."""
+    from ray.data.aggregate import Sum
+
+    kmax = max(VOCAB_COVERAGE_KS)
+
+    def tf(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return _tok_count_partial(t, None)
+
+    agg = (_docs(sf_dir, ("text",))
+           .map_batches(tf, batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("c", alias_name="tf")))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()
+              .sort_values(["tf", "tok"], ascending=[False, True])
+              .head(kmax))
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    total = int(agg.aggregate(Sum("tf"))["sum(tf)"])
+    cand = (agg.map_batches(block_topk, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["tf", "tok"], ascending=[False, True]))
+    tf_sorted = cand["tf"].to_numpy()
+    cum = np.cumsum(tf_sorted)
+    rows = []
+    for k in VOCAB_COVERAGE_KS:
+        top = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append((k, top, total, top * 1_000_000 // total))
+    return pd.DataFrame(rows, columns=["k", "top_tf", "total_tf",
+                                       "cov_ppm"]).astype(np.int64)
