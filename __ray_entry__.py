@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entries; these rotate into the round-5 window):
         "time_rollup": q.time_rollup,
         "vocab_coverage": q.vocab_coverage,
+        "bigram_novelty": q.bigram_novelty,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2458,5 +2459,20 @@ SELECT k.k, CAST(sum(r.tf) AS BIGINT) AS top_tf,
 FROM r, t, (VALUES {ks_values}) k(k)
 WHERE r.rn <= k.k
 GROUP BY k.k, t.total
+"""
+    sqls["bigram_novelty"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+             FROM documents),
+bg0 AS (SELECT doc_id,
+               unnest([ts[i] || ' ' || ts[i + 1]
+                       FOR i IN generate_series(1, len(ts) - 1)]) AS bg
+        FROM tok),
+bg AS (SELECT DISTINCT doc_id, bg FROM bg0),
+mn AS (SELECT bg, min(doc_id) AS mdoc FROM bg GROUP BY bg),
+nb AS (SELECT doc_id, count(*) AS n_bigrams FROM bg GROUP BY doc_id),
+nv AS (SELECT mdoc AS doc_id, count(*) AS n_novel FROM mn GROUP BY mdoc)
+SELECT nb.doc_id, nb.n_bigrams,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel
+FROM nb LEFT JOIN nv USING (doc_id)
 """
     return sqls

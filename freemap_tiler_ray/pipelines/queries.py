@@ -6708,3 +6708,88 @@ def vocab_coverage(sf_dir: str):
         rows.append((k, top, total, top * 1_000_000 // total))
     return pd.DataFrame(rows, columns=["k", "top_tf", "total_tf",
                                        "cov_ppm"]).astype(np.int64)
+
+
+def bigram_novelty(sf_dir: str):
+    """Per-doc novelty profile (the dedup-adjacent statistic behind
+    "how much of this doc is new text?"): of a doc's DISTINCT word
+    bigrams, how many are globally first-seen in this doc (novel =
+    the doc owns the corpus-wide minimum doc_id for that bigram).
+
+    Scale shape: the dup_spans gram idiom at L=2 — bigram identity is
+    a 120-bit md5 computed once per unique bigram per batch (tokens
+    dictionary-encoded, dedup on packed int64 code pairs); the
+    shuffle carries 24-byte (h1, h2, doc_id) rows. One groupby-min
+    assigns each bigram its owner, so novel counts are a groupby-count
+    over the OWNER table (no join back to occurrences); distinct
+    counts are a groupby-count over the pair table; one final doc-
+    keyed left join stitches the two bounded per-doc aggregates."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h1": pa.array([], pa.int64()),
+                          "h2": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        splits = pc.split_pattern(t["text"].combine_chunks(), " ")
+        n = pc.list_value_length(splits).to_numpy().astype(np.int64)
+        dd = pc.dictionary_encode(pc.list_flatten(splits))
+        codes = dd.indices.to_numpy().astype(np.int64)
+        ids = t["doc_id"].to_numpy()
+        offs = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=offs[1:])
+        li = np.ones(len(codes), bool)
+        li[offs[1:] - 1] = False
+        li = np.flatnonzero(li)
+        if not len(li):
+            return empty
+        K = np.int64(len(dd.dictionary))
+        doc_idx = np.repeat(np.arange(len(n)), np.maximum(n - 1, 0))
+        big = codes[li] * K + codes[li + 1]
+        order = np.lexsort((big, doc_idx))
+        d, b = doc_idx[order], big[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (b[1:] != b[:-1])]
+        d, b = d[keep], b[keep]                  # distinct (doc, bigram)
+        u_pack, inv = np.unique(b, return_inverse=True)
+        toks = dd.dictionary
+        bgs = pc.binary_join_element_wise(
+            toks.take(pa.array(u_pack // K, pa.int64())),
+            toks.take(pa.array(u_pack % K, pa.int64())), " ").to_pylist()
+        u1 = np.empty(len(bgs), np.int64)
+        u2 = np.empty(len(bgs), np.int64)
+        for k, s in enumerate(bgs):
+            dig = hashlib.md5(s.encode()).digest()
+            u1[k] = int.from_bytes(dig[:8], "big") >> 4
+            u2[k] = int.from_bytes(dig[8:], "big") >> 4
+        return pa.table({"h1": pa.array(u1[inv]),
+                         "h2": pa.array(u2[inv]),
+                         "doc_id": pa.array(ids[d], pa.int64())})
+
+    occ = (_docs(sf_dir, ("doc_id", "text"))
+           .map_batches(pairs, batch_format="pyarrow")
+           .materialize())   # diamond: feeds owner-min and per-doc count
+
+    owners = (occ.groupby(["h1", "h2"])
+              .aggregate(Min("doc_id", alias_name="mdoc")))
+    novel = (owners.select_columns(["mdoc"])
+             .groupby("mdoc").aggregate(Count(alias_name="n_novel"))
+             .map_batches(lambda t: t.rename_columns(["ndoc", "n_novel"]),
+                          batch_format="pyarrow"))
+    nb = (occ.select_columns(["doc_id"])
+          .groupby("doc_id").aggregate(Count(alias_name="n_bigrams")))
+
+    j = nb.join(novel, join_type="left_outer",
+                num_partitions=_JOIN_PARTS,
+                on=("doc_id",), right_on=("ndoc",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": t["n_bigrams"],
+            "n_novel": pc.cast(pc.fill_null(t["n_novel"], 0),
+                               pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
