@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_rollup": q.time_rollup,
         "vocab_coverage": q.vocab_coverage,
         "bigram_novelty": q.bigram_novelty,
+        "quality_audit": q.quality_audit,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2474,5 +2475,24 @@ nv AS (SELECT mdoc AS doc_id, count(*) AS n_novel FROM mn GROUP BY mdoc)
 SELECT nb.doc_id, nb.n_bigrams,
        CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel
 FROM nb LEFT JOIN nv USING (doc_id)
+"""
+    sqls["quality_audit"] = """
+SELECT 'orphan_lineitem' AS rule, CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'ship_before_order', CAST(count(*) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+UNION ALL
+SELECT 'orphan_order', CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'neg_acctbal', CAST(count(*) AS BIGINT)
+FROM customer WHERE c_acctbal < 0
+UNION ALL
+SELECT 'zero_qty', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_quantity <= 0
 """
     return sqls

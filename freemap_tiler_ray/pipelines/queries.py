@@ -6793,3 +6793,95 @@ def bigram_novelty(sf_dir: str):
                                pa.int64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_audit(sf_dir: str):
+    """Data-quality audit (the conformance gate a pipeline runs before
+    training ingestion): exact violation counts for five rules —
+    orphan lineitems, orphan orders, negative balances, lineitems
+    shipped before their order date, and non-positive quantities.
+
+    Scale shape: the two referential rules share ONE left-outer hash
+    join each (the miss count and the date-order count read the same
+    joined stream — no second pass); the value rules are pure
+    vectorized filter-count partials folded by Sum. Every rule reduces
+    to one scalar; only five numbers ever reach the driver."""
+    from ray.data.aggregate import Sum
+
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_shipdate", "l_quantity"])
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_acctbal"])
+
+    def mark(col: str):
+        # Ray's join drops the right key column; a constant marker
+        # survives and its null flags the outer-join miss exactly.
+        def _m(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_present", pa.array(np.ones(t.num_rows, np.int8)))
+        return _m
+
+    j1 = li.join(orders.select_columns(["o_orderkey", "o_orderdate"])
+                 .map_batches(mark("o"), batch_format="pyarrow"),
+                 join_type="left_outer", num_partitions=_JOIN_PARTS,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def li_rules(t: pa.Table) -> pa.Table:
+        miss = pc.is_null(t["_present"])
+        ship = t["l_shipdate"].to_numpy().astype("datetime64[us]")
+        odt = t["o_orderdate"].to_numpy().astype("datetime64[us]")
+        hit = ~miss.to_numpy(zero_copy_only=False)
+        early = int(np.sum(hit & (ship < odt)))
+        return pa.table({
+            "orphan_lineitem": pa.array(
+                [int(pc.sum(miss).as_py() or 0)], pa.int64()),
+            "ship_before_order": pa.array([early], pa.int64())})
+
+    a1 = (j1.map_batches(li_rules, batch_format="pyarrow")
+          .aggregate(Sum("orphan_lineitem", alias_name="orphan_lineitem"),
+                     Sum("ship_before_order",
+                         alias_name="ship_before_order")))
+
+    j2 = (orders.select_columns(["o_orderkey", "o_custkey"])
+          .join(cust.select_columns(["c_custkey"])
+                .map_batches(mark("c"), batch_format="pyarrow"),
+                join_type="left_outer", num_partitions=_JOIN_PARTS,
+                on=("o_custkey",), right_on=("c_custkey",)))
+
+    def o_rules(t: pa.Table) -> pa.Table:
+        miss = pc.is_null(t["_present"])
+        return pa.table({"orphan_order": pa.array(
+            [int(pc.sum(miss).as_py() or 0)], pa.int64())})
+
+    a2 = (j2.map_batches(o_rules, batch_format="pyarrow")
+          .aggregate(Sum("orphan_order", alias_name="orphan_order")))
+
+    def c_rules(t: pa.Table) -> pa.Table:
+        neg = pc.less(t["c_acctbal"], pa.scalar(0.0))
+        return pa.table({"neg_acctbal": pa.array(
+            [int(pc.sum(neg).as_py() or 0)], pa.int64())})
+
+    a3 = (cust.map_batches(c_rules, batch_format="pyarrow")
+          .aggregate(Sum("neg_acctbal", alias_name="neg_acctbal")))
+
+    def q_rules(t: pa.Table) -> pa.Table:
+        z = pc.less_equal(t["l_quantity"], pa.scalar(0.0))
+        return pa.table({"zero_qty": pa.array(
+            [int(pc.sum(z).as_py() or 0)], pa.int64())})
+
+    a4 = (li.select_columns(["l_quantity"])
+          .map_batches(q_rules, batch_format="pyarrow")
+          .aggregate(Sum("zero_qty", alias_name="zero_qty")))
+
+    rows = [
+        ("orphan_lineitem", int(a1["orphan_lineitem"])),
+        ("ship_before_order", int(a1["ship_before_order"])),
+        ("orphan_order", int(a2["orphan_order"])),
+        ("neg_acctbal", int(a3["neg_acctbal"])),
+        ("zero_qty", int(a4["zero_qty"])),
+    ]
+    df = pd.DataFrame(rows, columns=["rule", "n_violations"])
+    df["n_violations"] = df["n_violations"].astype(np.int64)
+    return df
