@@ -451,6 +451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q.vocab_coverage,
         "bigram_novelty": q.bigram_novelty,
         "quality_audit": q.quality_audit,
+        "max_drawdown": q.max_drawdown,
+        "ks_distance": q.ks_distance,
+        "term_pmi": q.term_pmi,
+        "link_predict": q.link_predict,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2494,5 +2498,77 @@ FROM customer WHERE c_acctbal < 0
 UNION ALL
 SELECT 'zero_qty', CAST(count(*) AS BIGINT)
 FROM lineitem WHERE l_quantity <= 0
+"""
+    sqls["max_drawdown"] = """
+WITH v AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+c AS (SELECT user_id, ts, event_id,
+             SUM(vm) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS cs FROM v),
+d AS (SELECT user_id,
+             MAX(cs) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) - cs AS dd FROM c)
+SELECT user_id, CAST(MAX(dd) AS BIGINT) AS max_drawdown_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM d GROUP BY user_id
+"""
+    sqls["ks_distance"] = """
+WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS vm
+           FROM events),
+h AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+grid AS (SELECT DISTINCT vm FROM h),
+fh AS (SELECT t.event_type, g.vm, COALESCE(h.c, 0) AS c
+       FROM grid g CROSS JOIN tot t
+       LEFT JOIN h ON h.event_type = t.event_type AND h.vm = g.vm),
+cum AS (SELECT event_type, vm,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY vm) AS ct
+        FROM fh),
+av AS (SELECT vm, CAST(sum(c) AS BIGINT) AS c FROM h GROUP BY vm),
+ca AS (SELECT vm, SUM(c) OVER (ORDER BY vm) AS call FROM av),
+d AS (SELECT c.event_type, t.n AS n_type, na.n - t.n AS n_rest,
+             ABS(c.ct * (na.n - t.n) - (ca.call - c.ct) * t.n) AS dn
+      FROM cum c JOIN ca ON ca.vm = c.vm
+      JOIN tot t ON t.event_type = c.event_type CROSS JOIN na)
+SELECT event_type, CAST(n_type AS BIGINT) AS n_type,
+       CAST(n_rest AS BIGINT) AS n_rest,
+       CAST(MAX(dn) AS BIGINT) AS d_num,
+       CAST(MAX(dn) * 1000000 // (n_type * n_rest) AS BIGINT) AS ks_ppm
+FROM d GROUP BY event_type, n_type, n_rest
+"""
+    from freemap_tiler_ray.pipelines.queries import (LINK_MIN_CN,
+                                                     LINK_POP_CAP,
+                                                     PMI_MIN_COUNT,
+                                                     PMI_SCALE)
+    sqls["term_pmi"] = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS tok FROM tok),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+bg0 AS (SELECT unnest([ts[i] || ' ' || ts[i + 1]
+                       FOR i IN generate_series(1, len(ts) - 1)]) AS bg
+        FROM tok),
+bg AS (SELECT string_split(bg, ' ')[1] AS tok1,
+              string_split(bg, ' ')[2] AS tok2,
+              CAST(count(*) AS BIGINT) AS c_xy
+       FROM bg0 GROUP BY 1, 2),
+bt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS b FROM bg)
+SELECT bg.tok1, bg.tok2, bg.c_xy, u1.c AS c1, u2.c AS c2,
+       CAST(({PMI_SCALE}::HUGEINT * bg.c_xy * nt.n * nt.n)
+            // (u1.c::HUGEINT * u2.c * bt.b) AS BIGINT) AS pmi_milli
+FROM bg JOIN uc u1 ON u1.tok = bg.tok1
+        JOIN uc u2 ON u2.tok = bg.tok2, nt, bt
+WHERE bg.c_xy >= {PMI_MIN_COUNT}
+"""
+    sqls["link_predict"] = f"""
+WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+pd AS (SELECT p FROM cp GROUP BY p
+       HAVING count(*) <= {LINK_POP_CAP} AND count(*) >= 2)
+SELECT a.c AS cust1, b.c AS cust2, CAST(count(*) AS BIGINT) AS cn
+FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c JOIN pd ON pd.p = a.p
+GROUP BY 1, 2 HAVING count(*) >= {LINK_MIN_CN}
 """
     return sqls

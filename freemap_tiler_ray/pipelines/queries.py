@@ -6885,3 +6885,254 @@ def quality_audit(sf_dir: str):
     df = pd.DataFrame(rows, columns=["rule", "n_violations"])
     df["n_violations"] = df["n_violations"].astype(np.int64)
     return df
+
+
+def max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown of the running value balance (the
+    risk statistic max over time of (peak-so-far - balance)): order a
+    user's events by (ts, event_id), cumsum floor-milli values, track
+    the prefix max, report the largest gap. All arithmetic is int64
+    milli-units so the fold is association-free and bit-exact vs the
+    nested-window SQL.
+
+    Scale shape: identical to events_cumsum — ONE hash partition on
+    user_id % FTR_HASH_PARTS, then a single vectorized sort + pandas
+    grouped cumsum/cummax per partition; output is one row per user
+    (bounded by the user universe, not the event count)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pa.array(us, pa.int64()),
+            "vm": pa.array(
+                np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        by = g.groupby("user_id", sort=False)
+        cs = by["vm"].cumsum()
+        cm = cs.groupby(g["user_id"], sort=False).cummax()
+        g = g.assign(_dd=cm - cs)
+        out = g.groupby("user_id", sort=False).agg(
+            max_drawdown_milli=("_dd", "max"), n_events=("_dd", "size"))
+        return out.reset_index()
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+KS_MIN_BIN = 1.0  # unit-value bins: histogram bounded by the value range
+
+
+def ks_distance(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov drift statistic per event_type
+    (each type's value distribution vs the pooled rest) — the gate a
+    training pipeline runs to detect a source drifting from the
+    corpus. Values are binned at unit granularity (floor(value)), so
+    the statistic is exact over the binned distribution and the
+    histogram is bounded by the VALUE RANGE (a few hundred bins here),
+    not the event count.
+
+    D is reported as an exact integer: d_num = max over the bin grid
+    of |cum_type * n_rest - cum_rest * n_type| (the KS sup scaled by
+    n_type * n_rest), plus ks_ppm = floor(1e6 * d_num / (n_type *
+    n_rest)). int64 holds to ~1e6 events per arm (cum*n <= N^2, then
+    *1e6 in Python bignum for the ppm), mirroring the DuckDB HUGEINT
+    oracle exactly.
+
+    Scale shape: per-batch (event_type, bin) count partials -> one
+    small groupby-sum -> a driver fold over the bounded histogram."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = np.floor(t["value"].to_numpy()).astype(np.int64)
+        g = (pa.table({"event_type": t["event_type"], "vm": pa.array(vm)})
+             .group_by(["event_type", "vm"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "vm", "c"])
+
+    hist = (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "vm"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())  # bounded: |types| x |value range| rows
+
+    grid = np.sort(hist["vm"].unique())
+    pos = {v: i for i, v in enumerate(grid)}
+    types = sorted(hist["event_type"].unique())
+    cum = np.zeros((len(types), len(grid)), np.int64)
+    for r, ty in enumerate(types):
+        sub = hist[hist["event_type"] == ty]
+        row = np.zeros(len(grid), np.int64)
+        row[[pos[v] for v in sub["vm"]]] = sub["c"].to_numpy()
+        cum[r] = np.cumsum(row)
+    cum_all = cum.sum(axis=0)
+    n_all = int(cum_all[-1])
+    rows = []
+    for r, ty in enumerate(types):
+        n_t = int(cum[r, -1])
+        n_r = n_all - n_t
+        dn = int(np.abs(cum[r] * n_r - (cum_all - cum[r]) * n_t).max())
+        rows.append((ty, n_t, n_r, dn, dn * 1_000_000 // (n_t * n_r)))
+    df = pd.DataFrame(rows, columns=["event_type", "n_type", "n_rest",
+                                     "d_num", "ks_ppm"])
+    for c in df.columns[1:]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+PMI_MIN_COUNT = 5     # collocation support threshold
+PMI_SCALE = 1000      # pmi_milli = floor(SCALE * c_xy*N^2 / (c1*c2*B))
+
+
+def term_pmi(sf_dir: str):
+    """Collocation extraction: score every adjacent word bigram with
+    support >= PMI_MIN_COUNT by (scaled, exact-integer) pointwise
+    mutual information. True PMI = log of r = (c_xy/B)/((c1/N)(c2/N));
+    we report floor(PMI_SCALE * r) — monotone in PMI, so ranking is
+    identical — computed in Python bignum (c_xy*N^2 overflows int64 at
+    corpus scale), mirroring the DuckDB HUGEINT oracle bit-for-bit.
+
+    Scale shape: unigram and bigram count partials are batch-bounded
+    Arrow group_bys (shared _tok_count_partial kernel; bigrams packed
+    as int64 dictionary-code pairs, decoded to strings only once per
+    unique batch bigram); two small groupby-sums; the support
+    threshold bounds the candidate table BEFORE the two unigram joins,
+    and the bignum finish runs only over that bounded table."""
+    from ray.data.aggregate import Sum
+
+    def bg_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tok1": pa.array([], pa.string()),
+                          "tok2": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        splits = pc.split_pattern(t["text"].combine_chunks(), " ")
+        n = pc.list_value_length(splits).to_numpy().astype(np.int64)
+        dd = pc.dictionary_encode(pc.list_flatten(splits))
+        codes = dd.indices.to_numpy().astype(np.int64)
+        offs = np.zeros(len(n) + 1, np.int64)
+        np.cumsum(n, out=offs[1:])
+        li = np.ones(len(codes), bool)
+        li[offs[1:] - 1] = False          # last token of each doc
+        li = np.flatnonzero(li)
+        if not len(li):
+            return empty
+        K = np.int64(len(dd.dictionary))
+        big = codes[li] * K + codes[li + 1]
+        g = (pa.table({"b": pa.array(big)})
+             .group_by(["b"]).aggregate([([], "count_all")])
+             .rename_columns(["b", "c"]))
+        ub = g["b"].to_numpy()
+        return pa.table({
+            "tok1": dd.dictionary.take(pa.array(ub // K, pa.int64())),
+            "tok2": dd.dictionary.take(pa.array(ub % K, pa.int64())),
+            "c": pc.cast(g["c"], pa.int64())})
+
+    docs = _docs(sf_dir, ("text",))
+    uni = (docs.map_batches(
+               lambda t: _tok_count_partial(t, None) if t.num_rows
+               else pa.table({"tok": pa.array([], pa.string()),
+                              "c": pa.array([], pa.int64())}),
+               batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("c", alias_name="cu"))
+           .materialize())  # diamond: N scalar + two join probes
+    bg = (docs.map_batches(bg_partial, batch_format="pyarrow")
+          .groupby(["tok1", "tok2"]).aggregate(Sum("c", alias_name="c_xy"))
+          .materialize())   # diamond: B scalar + candidate filter
+
+    n_tot = int(uni.aggregate(Sum("cu"))["sum(cu)"])
+    b_tot = int(bg.aggregate(Sum("c_xy"))["sum(c_xy)"])
+
+    cand = bg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_xy"],
+                                            pa.scalar(PMI_MIN_COUNT))),
+        batch_format="pyarrow")
+    j1 = cand.join(uni, join_type="inner", num_partitions=_JOIN_PARTS,
+                   on=("tok1",), right_on=("tok",))
+    u2 = uni.map_batches(
+        lambda t: t.rename_columns(["tokb", "cu2"]), batch_format="pyarrow")
+    j2 = j1.join(u2, join_type="inner", num_partitions=_JOIN_PARTS,
+                 on=("tok2",), right_on=("tokb",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        # bounded candidate table (support >= PMI_MIN_COUNT): Python
+        # bignum division for exactness vs the HUGEINT oracle
+        cxy = t["c_xy"].to_pylist()
+        c1 = t["cu"].to_pylist()
+        c2 = t["cu2"].to_pylist()
+        pmi = [PMI_SCALE * x * n_tot * n_tot // (a * b * b_tot)
+               for x, a, b in zip(cxy, c1, c2)]
+        return pa.table({
+            "tok1": t["tok1"], "tok2": t["tok2"],
+            "c_xy": pc.cast(t["c_xy"], pa.int64()),
+            "c1": pc.cast(t["cu"], pa.int64()),
+            "c2": pc.cast(t["cu2"], pa.int64()),
+            "pmi_milli": pa.array(pmi, pa.int64())})
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+LINK_POP_CAP = 100    # drop hub parts (> CAP distinct buyers)
+LINK_MIN_CN = 3       # report pairs sharing >= 3 parts
+
+
+def link_predict(sf_dir: str):
+    """Common-neighbor link prediction over the customer—part
+    co-purchase bipartite graph: for each customer pair, count the
+    distinct parts both bought; report pairs with >= LINK_MIN_CN
+    shared parts. Hub parts (> LINK_POP_CAP distinct buyers) are
+    excluded — the standard degree cap that keeps the pair expansion
+    per neighbor bounded by CAP^2/2 regardless of corpus size (TPC-H
+    part fan-out is ~30 buyers at every sf, so the cap is headroom,
+    not a result filter; the oracle mirrors it exactly).
+
+    Scale shape: one lineitem |X| orders hash join, a (cust, part)
+    distinct groupby, then per-part pair emission inside map_groups
+    (vectorized triu_indices, bounded by the cap) into a final
+    (cust1, cust2) groupby-count."""
+    from ray.data.aggregate import Count
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_partkey"])
+    j = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cp_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c": t["o_custkey"].to_numpy().astype(np.int64),
+            "p": t["l_partkey"].to_numpy().astype(np.int64)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    cp = (j.map_batches(cp_partial, batch_format="pyarrow")
+          .groupby(["c", "p"]).aggregate(Count(alias_name="_n")))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cs = np.sort(g["c"].unique())
+        if len(cs) < 2 or len(cs) > LINK_POP_CAP:
+            return pd.DataFrame({"cust1": np.array([], np.int64),
+                                 "cust2": np.array([], np.int64)})
+        i, k = np.triu_indices(len(cs), 1)
+        return pd.DataFrame({"cust1": cs[i], "cust2": cs[k]})
+
+    pr = (cp.groupby("p").map_groups(pairs, batch_format="pandas")
+          .groupby(["cust1", "cust2"]).aggregate(Count(alias_name="cn")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["cn"], pa.scalar(LINK_MIN_CN)))
+        return pa.table({"cust1": t["cust1"], "cust2": t["cust2"],
+                         "cn": pc.cast(t["cn"], pa.int64())})
+
+    return pr.map_batches(keep, batch_format="pyarrow")
