@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_distance": q.ks_distance,
         "term_pmi": q.term_pmi,
         "link_predict": q.link_predict,
+        "containment_pairs": q.containment_pairs,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2570,5 +2571,23 @@ pd AS (SELECT p FROM cp GROUP BY p
 SELECT a.c AS cust1, b.c AS cust2, CAST(count(*) AS BIGINT) AS cn
 FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c JOIN pd ON pd.p = a.p
 GROUP BY 1, 2 HAVING count(*) >= {LINK_MIN_CN}
+"""
+    from freemap_tiler_ray.stages.dedup import CONT_TAU_PPM
+    sqls["containment_pairs"] = f"""
+WITH {_SH_CTE},
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.doc_a
+          JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
+       CAST(ca.n AS BIGINT) AS sz_a, CAST(cb.n AS BIGINT) AS sz_b,
+       CAST(i.i * 1000000 // LEAST(ca.n, cb.n) AS BIGINT) AS cont_ppm
+FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+             JOIN cnt cb ON cb.doc_id = i.doc_b
+WHERE i.i * 1000000 >= {CONT_TAU_PPM} * LEAST(ca.n, cb.n)
 """
     return sqls

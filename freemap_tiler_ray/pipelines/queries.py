@@ -7136,3 +7136,12 @@ def link_predict(sf_dir: str):
                          "cn": pc.cast(t["cn"], pa.int64())})
 
     return pr.map_batches(keep, batch_format="pyarrow")
+
+
+def containment_pairs(sf_dir: str):
+    """Subset-duplicate detection: doc pairs whose smaller 3-gram
+    shingle set is >= 80% contained in the larger (exact integer ppm;
+    catches truncations and boilerplate-wrapped copies that symmetric
+    Jaccard misses). Shares ngram_pairs' count-based shuffle core."""
+    from ..stages import dedup
+    return dedup.containment_pairs(_shingled(sf_dir))

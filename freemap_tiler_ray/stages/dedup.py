@@ -562,19 +562,13 @@ def simhash_pairs(sig_ds):
             .groupby("_ppart").map_groups(part_min, batch_format="pandas"))
 
 
-def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
-    """n-gram Jaccard pairs, COUNT-based exact semantics: shingle sets
-    are unique per doc, so the number of shingle buckets in which a
-    pair co-occurs IS |A intersect B|; the union follows from per-doc
-    set sizes carried on the exploded rows. No candidate set, no
-    hash join shipping shingle sets (at tau this low most pairs are
-    candidates, so the old join moved ~|pairs| * |set| bytes), no
-    verify pass: explode (shingle, doc_id, sz) -> Bloom singleton
-    prefilter -> per-bucket pair emission -> per-pair count sum ->
-    jaccard = n / (sz_a + sz_b - n) >= NGRAM_JACCARD_TAU. (docs_ds /
-    shingle_fn accepted for API compatibility; the count path never
-    needs to reshingle.)"""
-    tau = NGRAM_JACCARD_TAU
+def _pair_intersections(shingled_ds, finish):
+    """Shared count-based pair-intersection core (see ngram_pairs):
+    explode (shingle, doc_id, sz) -> Bloom singleton prefilter ->
+    per-bucket pair emission -> per-pair count sum -> `finish`
+    (a map_groups callable over (doc_a, doc_b, sz_a, sz_b, n) partial
+    rows grouped by pair-hash partition; it receives exact
+    |A intersect B| per pair after its own reduceat fold)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = batch["shingles"]
@@ -641,34 +635,90 @@ def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
                                 % np.uint64(N_PAIR_PARTS))
                                .astype(np.int64))})
 
-    def part_jaccard(g: pd.DataFrame) -> pa.Table:
-        a = g["doc_a"].to_numpy()
-        b = g["doc_b"].to_numpy()
-        sa = g["sz_a"].to_numpy()
-        sb = g["sz_b"].to_numpy()
-        n = g["n"].to_numpy()
-        order = np.lexsort((b, a))
-        a, b, sa, sb, n = (a[order], b[order], sa[order], sb[order],
-                           n[order])
-        first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        starts = np.flatnonzero(first)
-        inter = np.add.reduceat(n, starts)
-        a, b, sa, sb = a[starts], b[starts], sa[starts], sb[starts]
-        jac = inter.astype(np.float64) / (sa + sb - inter).astype(
-            np.float64)
-        keep = jac >= tau
-        return pa.table({"doc_a": pa.array(np.asarray(a[keep], np.int64)),
-                             "doc_b": pa.array(np.asarray(b[keep], np.int64)),
-                             "jaccard": pa.array(np.asarray(jac[keep], np.float64))})
-
     ex = shingled_ds.map_batches(explode, batch_format="pyarrow")
     ex = _keep_multi_keys(ex, "shingle")
     return (ex.map_batches(part, batch_format="pyarrow")
             .groupby("_part").map_groups(bucket_pairs,
                                          batch_format="pandas")
             .map_batches(local_count, batch_format="pyarrow")
-            .groupby("_ppart").map_groups(part_jaccard,
+            .groupby("_ppart").map_groups(finish,
                                           batch_format="pandas"))
+
+
+def _fold_pair_counts(g: pd.DataFrame):
+    """Fold per-block pair-count partials to one exact row per pair:
+    (doc_a, doc_b, sz_a, sz_b, inter) numpy arrays."""
+    a = g["doc_a"].to_numpy()
+    b = g["doc_b"].to_numpy()
+    sa = g["sz_a"].to_numpy()
+    sb = g["sz_b"].to_numpy()
+    n = g["n"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b, sa, sb, n = (a[order], b[order], sa[order], sb[order],
+                       n[order])
+    first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    starts = np.flatnonzero(first)
+    inter = np.add.reduceat(n, starts)
+    return a[starts], b[starts], sa[starts], sb[starts], inter
+
+
+def ngram_pairs(shingled_ds, docs_ds=None, shingle_fn=None):
+    """n-gram Jaccard pairs, COUNT-based exact semantics: shingle sets
+    are unique per doc, so the number of shingle buckets in which a
+    pair co-occurs IS |A intersect B|; the union follows from per-doc
+    set sizes carried on the exploded rows. No candidate set, no
+    hash join shipping shingle sets (at tau this low most pairs are
+    candidates, so the old join moved ~|pairs| * |set| bytes), no
+    verify pass: explode (shingle, doc_id, sz) -> Bloom singleton
+    prefilter -> per-bucket pair emission -> per-pair count sum ->
+    jaccard = n / (sz_a + sz_b - n) >= NGRAM_JACCARD_TAU. (docs_ds /
+    shingle_fn accepted for API compatibility; the count path never
+    needs to reshingle.)"""
+    tau = NGRAM_JACCARD_TAU
+
+    def part_jaccard(g: pd.DataFrame) -> pa.Table:
+        a, b, sa, sb, inter = _fold_pair_counts(g)
+        jac = inter.astype(np.float64) / (sa + sb - inter).astype(
+            np.float64)
+        keep = jac >= tau
+        return pa.table({"doc_a": pa.array(np.asarray(a[keep], np.int64)),
+                         "doc_b": pa.array(np.asarray(b[keep], np.int64)),
+                         "jaccard": pa.array(np.asarray(jac[keep],
+                                                        np.float64))})
+
+    return _pair_intersections(shingled_ds, part_jaccard)
+
+
+CONT_TAU_PPM = 800_000   # containment threshold: floor(1e6*i/min) >= tau
+
+
+def containment_pairs(shingled_ds):
+    """Asymmetric containment dedup (detects SUBSET duplicates —
+    truncations, quote-with-commentary, boilerplate-wrapped copies —
+    that symmetric Jaccard misses): pairs where the smaller shingle
+    set is >= CONT_TAU_PPM/1e6 contained in the larger,
+    containment = |A intersect B| / min(|A|, |B|), reported as exact
+    integer ppm. Shares the count-based pair-intersection core with
+    ngram_pairs (same explode/prefilter/bucket/fold shuffles); only
+    the finish differs, and the threshold compares i * 1e6 >=
+    tau * min(szs) in integers so the filter is float-free."""
+
+    def part_containment(g: pd.DataFrame) -> pa.Table:
+        a, b, sa, sb, inter = _fold_pair_counts(g)
+        mn = np.minimum(sa, sb)
+        keep = inter * 1_000_000 >= CONT_TAU_PPM * mn
+        a, b, sa, sb, inter, mn = (a[keep], b[keep], sa[keep], sb[keep],
+                                   inter[keep], mn[keep])
+        return pa.table({
+            "doc_a": pa.array(np.asarray(a, np.int64)),
+            "doc_b": pa.array(np.asarray(b, np.int64)),
+            "n_common": pa.array(np.asarray(inter, np.int64)),
+            "sz_a": pa.array(np.asarray(sa, np.int64)),
+            "sz_b": pa.array(np.asarray(sb, np.int64)),
+            "cont_ppm": pa.array(
+                np.asarray(inter * 1_000_000 // mn, np.int64))})
+
+    return _pair_intersections(shingled_ds, part_containment)
 
 
 PPJOIN_TAU = 0.5                 # = PPJOIN_NUM / PPJOIN_DEN exactly
