@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pmi": q.term_pmi,
         "link_predict": q.link_predict,
         "containment_pairs": q.containment_pairs,
+        "chi2_drift": q.chi2_drift,
+        "digit_profile": q.digit_profile,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2589,5 +2591,36 @@ SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
 FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
              JOIN cnt cb ON cb.doc_id = i.doc_b
 WHERE i.i * 1000000 >= {CONT_TAU_PPM} * LEAST(ca.n, cb.n)
+"""
+    sqls["chi2_drift"] = """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000 + 3) % 7 AS dow
+           FROM events),
+h AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      FROM e GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rn FROM h GROUP BY 1),
+c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cn FROM h GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
+cells AS (SELECT r.event_type, c.dow, COALESCE(h.o, 0) AS o, r.rn, c.cn
+          FROM r CROSS JOIN c
+          LEFT JOIN h ON h.event_type = r.event_type AND h.dow = c.dow)
+SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_events,
+       CAST(SUM((1000000::HUGEINT * (nn * o - rn * cn) * (nn * o - rn * cn))
+                // (nn::HUGEINT * nn * rn * cn)) AS BIGINT) AS chi2_ppm
+FROM cells, n GROUP BY event_type
+"""
+    sqls["digit_profile"] = """
+WITH v AS (SELECT event_type,
+                  GREATEST(CAST(floor(value * 1000) AS BIGINT), 1) AS vm
+           FROM events),
+d AS (SELECT event_type,
+             CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v),
+h AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1)
+SELECT h.event_type, h.digit, h.n,
+       CAST(h.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM h JOIN t ON t.event_type = h.event_type
 """
     return sqls

@@ -7145,3 +7145,90 @@ def containment_pairs(sf_dir: str):
     Jaccard misses). Shares ngram_pairs' count-based shuffle core."""
     from ..stages import dedup
     return dedup.containment_pairs(_shingled(sf_dir))
+
+
+def chi2_drift(sf_dir: str):
+    """Chi-squared independence audit over the (event_type, day-of-week)
+    contingency table — the categorical complement of ks_distance for
+    drift detection. Per-cell contribution is reported as an exact
+    scaled integer: cell_ppm = floor(1e6 * (N*o - r*c)^2 / (N^2 * r * c))
+    (the classic (o - e)^2/e statistic times N/1e-6, kept rational:
+    (N*o - r*c)^2 / (N * r * c) = N * (o-e)^2/e), summed per
+    event_type. Python bignum in the finish — (N*o)^2 overflows int64
+    at corpus scale — mirroring the HUGEINT oracle bit-for-bit.
+
+    Scale shape: per-batch (event_type, dow) count partials -> one
+    groupby-sum over a 5x7-bounded table -> driver fold."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]")
+        d_i = us.astype("datetime64[D]").view("int64")
+        dow = (d_i + 3) % 7            # epoch 1970-01-01 was a Thursday
+        g = (pa.table({"event_type": t["event_type"],
+                       "dow": pa.array(dow, pa.int64())})
+             .group_by(["event_type", "dow"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "dow", "c"])
+
+    ct = (_rp(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["event_type", "dow"])
+          .aggregate(Sum("c", alias_name="c"))
+          .to_pandas())  # bounded: |types| x 7 cells
+
+    piv = ct.pivot_table(index="event_type", columns="dow", values="c",
+                         fill_value=0, aggfunc="sum").astype(np.int64)
+    piv = piv.reindex(columns=range(7), fill_value=0)
+    o = piv.to_numpy()
+    r = o.sum(axis=1)
+    c = o.sum(axis=0)
+    n = int(o.sum())
+    rows = []
+    for i, ty in enumerate(piv.index):
+        chi = 0
+        for j in range(7):
+            if c[j] == 0:
+                continue
+            num = n * int(o[i, j]) - int(r[i]) * int(c[j])
+            chi += 1_000_000 * num * num // (n * n * int(r[i]) * int(c[j]))
+        rows.append((ty, int(r[i]), chi))
+    df = pd.DataFrame(rows, columns=["event_type", "n_events", "chi2_ppm"])
+    df["n_events"] = df["n_events"].astype(np.int64)
+    df["chi2_ppm"] = df["chi2_ppm"].astype(np.int64)
+    return df
+
+
+def digit_profile(sf_dir: str):
+    """Benford-style first-significant-digit audit of event values per
+    event_type (the fraud/corruption screen a data gate runs on numeric
+    columns): count and exact-ppm share of each leading digit 1-9.
+
+    Scale shape: the leading digit is vectorized per batch (digits of
+    floor(value*1000), killing leading zeros by integer log10), count
+    partials fold through one (event_type, digit)-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vm = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        d = np.maximum(vm, 1)
+        # exact leading digit: integer divisions only (float log10 can
+        # misround at powers of 10); <= 19 passes for int64
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        g = (pa.table({"event_type": t["event_type"],
+                       "digit": pa.array(d, pa.int64())})
+             .group_by(["event_type", "digit"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "digit", "c"])
+
+    ct = (_rp(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["event_type", "digit"])
+          .aggregate(Sum("c", alias_name="n"))
+          .to_pandas())  # bounded: |types| x 9 rows
+
+    tot = ct.groupby("event_type")["n"].transform("sum")
+    ct["share_ppm"] = (ct["n"] * 1_000_000 // tot).astype(np.int64)
+    ct["n"] = ct["n"].astype(np.int64)
+    return ct[["event_type", "digit", "n", "share_ppm"]]
