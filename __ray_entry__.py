@@ -458,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q.containment_pairs,
         "chi2_drift": q.chi2_drift,
         "digit_profile": q.digit_profile,
+        "event_markov": q.event_markov,
+        "centroid_sims": q.centroid_sims,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2622,5 +2624,35 @@ t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1)
 SELECT h.event_type, h.digit, h.n,
        CAST(h.n * 1000000 // t.tot AS BIGINT) AS share_ppm
 FROM h JOIN t ON t.event_type = h.event_type
+"""
+    sqls["event_markov"] = """
+WITH s AS (SELECT user_id, event_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events),
+h AS (SELECT event_type AS from_type, nxt AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1)
+SELECT h.from_type, h.to_type, h.n,
+       CAST(h.n * 1000000 // t.tot AS BIGINT) AS row_ppm
+FROM h JOIN t USING (from_type)
+"""
+    sqls["centroid_sims"] = """
+WITH q0 AS (SELECT vec_id, label, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) AS i FROM embeddings),
+vmx AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS mx
+        FROM q0 GROUP BY vec_id),
+q AS (SELECT q0.label, CAST(q0.i AS BIGINT) AS i,
+             CAST(floor(CAST(q0.x AS DOUBLE) * 127.0 / vmx.mx)
+                  AS BIGINT) AS q8
+      FROM q0 JOIN vmx ON q0.vec_id = vmx.vec_id),
+s AS (SELECT CAST(label AS BIGINT) AS label, i,
+             CAST(sum(q8) AS BIGINT) AS v
+      FROM q GROUP BY label, i)
+SELECT a.label AS label_a, b.label AS label_b,
+       CAST(sum(a.v * b.v) AS BIGINT) AS dot
+FROM s a JOIN s b ON a.i = b.i AND a.label <= b.label
+GROUP BY 1, 2
 """
     return sqls

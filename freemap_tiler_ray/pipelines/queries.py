@@ -7232,3 +7232,100 @@ def digit_profile(sf_dir: str):
     ct["share_ppm"] = (ct["n"] * 1_000_000 // tot).astype(np.int64)
     ct["n"] = ct["n"].astype(np.int64)
     return ct[["event_type", "digit", "n", "share_ppm"]]
+
+
+def event_markov(sf_dir: str):
+    """First-order Markov transition profile of user event streams
+    (the sequence-mining statistic behind next-action models): count
+    each (from_type, to_type) adjacency within a user's time-ordered
+    events, plus the exact ppm row share (transition probability).
+
+    Scale shape: hash-partition on user_id, ONE vectorized sort per
+    partition, transitions read off adjacent rows where the user id
+    repeats; per-partition output is the |types|^2-bounded count
+    table, so the final groupby-sum and the driver ppm fold touch a
+    constant-size frame."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": pa.array(us, pa.int64()),
+            "event_type": t["event_type"],
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"from_type": et[:-1][same],
+                           "to_type": et[1:][same]})
+        out = df.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    h = (_rp(f"{sf_dir}/events.parquet",
+             columns=["event_id", "ts", "user_id", "event_type"])
+         .map_batches(prep, batch_format="pyarrow")
+         .groupby("_part").map_groups(fold, batch_format="pandas")
+         .groupby(["from_type", "to_type"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())  # bounded: |types|^2 rows
+
+    tot = h.groupby("from_type")["n"].transform("sum")
+    h["row_ppm"] = (h["n"] * 1_000_000 // tot).astype(np.int64)
+    h["n"] = h["n"].astype(np.int64)
+    return h[["from_type", "to_type", "n", "row_ppm"]]
+
+
+def centroid_sims(sf_dir: str):
+    """Label-centroid similarity structure over the embedding table
+    (the confusion-geometry check a labeling pipeline runs): per-label
+    sums of per-vector int8-quantized embeddings (the same
+    max-abs/127 quantizer as embedding_quantize), then every pairwise
+    integer dot product label_a <= label_b — self rows carry the
+    squared norms, so cosine is derivable exactly downstream.
+
+    Scale shape: per-batch (label, dim) partial sums (bounded
+    |labels| x d per batch, zero-copy list_flatten matrix) -> one
+    groupby-sum -> driver (|labels| x d) matmul. int64 holds to ~1e9
+    vectors per label (|q8| <= 127, dot <= d * (127 n)^2)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.ann import _matrix
+        m = _matrix(t["embedding"])          # (n, d) float64, zero-copy
+        d = m.shape[1]
+        mx = np.abs(m).max(axis=1)
+        # same float op order as embedding_quantize / its oracle:
+        # floor((x * 127.0) / mx)
+        q = np.floor(m * 127.0 / mx[:, None]).astype(np.int64)
+        lab = t["label"].to_numpy().astype(np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        s = np.zeros((len(ul), d), np.int64)
+        np.add.at(s, inv, q)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d), pa.int64()),
+            "i": pa.array(np.tile(np.arange(1, d + 1), len(ul)),
+                          pa.int64()),
+            "v": pa.array(s.ravel(), pa.int64())})
+
+    s = (_split(_rp(f"{sf_dir}/embeddings.parquet",
+                    columns=["embedding", "label"]))
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["label", "i"]).aggregate(Sum("v", alias_name="v"))
+         .to_pandas())  # bounded: |labels| x d rows
+
+    piv = s.pivot_table(index="label", columns="i", values="v",
+                        fill_value=0, aggfunc="sum").astype(np.int64)
+    labs = piv.index.to_numpy().astype(np.int64)
+    m = piv.to_numpy()
+    dots = m @ m.T
+    ia, ib = np.triu_indices(len(labs), 0)
+    return pd.DataFrame({
+        "label_a": labs[ia].astype(np.int64),
+        "label_b": labs[ib].astype(np.int64),
+        "dot": dots[ia, ib].astype(np.int64)})
