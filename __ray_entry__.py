@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "digit_profile": q.digit_profile,
         "event_markov": q.event_markov,
         "centroid_sims": q.centroid_sims,
+        "partition_balance": q.partition_balance,
+        "dedup_survivorship": q.dedup_survivorship,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2654,5 +2656,46 @@ SELECT a.label AS label_a, b.label AS label_b,
        CAST(sum(a.v * b.v) AS BIGINT) AS dot
 FROM s a JOIN s b ON a.i = b.i AND a.label <= b.label
 GROUP BY 1, 2
+"""
+    from freemap_tiler_ray.pipelines.queries import PB_PARTS
+    sqls["partition_balance"] = f"""
+WITH k AS (
+  SELECT 'user_id_mod' AS key_name, user_id % {PB_PARTS} AS part
+  FROM events
+  UNION ALL
+  SELECT 'event_id_mod', event_id % {PB_PARTS} FROM events
+  UNION ALL
+  SELECT 'event_type_md5',
+         ('0x' || substr(md5(event_type), 1, 15))::BIGINT % {PB_PARTS}
+  FROM events),
+h AS (SELECT key_name, part, CAST(count(*) AS BIGINT) AS n
+      FROM k GROUP BY 1, 2),
+t AS (SELECT key_name, CAST(count(*) AS BIGINT) AS parts_hit,
+             CAST(max(n) AS BIGINT) AS max_n,
+             CAST(min(n) AS BIGINT) AS min_n,
+             CAST(sum(n) AS BIGINT) AS tot
+      FROM h GROUP BY 1)
+SELECT key_name, parts_hit, max_n, min_n,
+       CAST(max_n * {PB_PARTS} * 1000000 // tot AS BIGINT)
+         AS imbalance_ppm
+FROM t
+"""
+    sqls["dedup_survivorship"] = """
+WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+                   lang, source, n_chars
+            FROM documents),
+base AS (SELECT fingerprint,
+                CAST(min(doc_id) AS BIGINT) AS survivor_doc,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM fp GROUP BY fingerprint),
+nl AS (SELECT fingerprint,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       FROM fp GROUP BY fingerprint),
+ns AS (SELECT fingerprint,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       FROM fp GROUP BY fingerprint)
+SELECT b.survivor_doc, b.n_docs, nl.n_langs, ns.n_sources, b.total_chars
+FROM base b JOIN nl USING (fingerprint) JOIN ns USING (fingerprint)
 """
     return sqls

@@ -7329,3 +7329,138 @@ def centroid_sims(sf_dir: str):
         "label_a": labs[ia].astype(np.int64),
         "label_b": labs[ib].astype(np.int64),
         "dot": dots[ia, ib].astype(np.int64)})
+
+
+PB_PARTS = 64   # fixed diagnostic fan-out (mirrored in the oracle)
+
+
+def partition_balance(sf_dir: str):
+    """Partitioning-skew diagnostic (the pre-flight check behind every
+    'partitioning / shuffle / skew handled explicitly' decision in
+    this repo): hash the events table into PB_PARTS buckets under
+    three candidate keys — user_id modulo, event_id modulo, and the
+    60-bit md5 of event_type — and report per-key partition-load
+    shape: parts hit, max/min loads, and imbalance_ppm =
+    1e6 * max_load * P / N (1e6 = perfectly uniform; the event_type
+    key reports ~P/|types| * 1e6, which is exactly why low-cardinality
+    keys must be salted).
+
+    Scale shape: per-batch (key_name, part) count partials (bounded
+    3 x PB_PARTS), one groupby-sum, driver fold over <= 3*P rows."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy() % PB_PARTS
+        eid = t["event_id"].to_numpy() % PB_PARTS
+        et = pc.dictionary_encode(t["event_type"].combine_chunks())
+        hmap = np.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % PB_PARTS
+             for s in et.dictionary.to_pylist()], np.int64)
+        ep = hmap[et.indices.to_numpy()]
+        names, parts, ns = [], [], []
+        for name, arr in (("user_id_mod", u), ("event_id_mod", eid),
+                          ("event_type_md5", ep)):
+            cnt = np.bincount(arr, minlength=PB_PARTS)
+            hit = np.flatnonzero(cnt)
+            names.append(np.full(len(hit), name, object))
+            parts.append(hit.astype(np.int64))
+            ns.append(cnt[hit].astype(np.int64))
+        return pa.table({
+            "key_name": pa.array(np.concatenate(names), pa.string()),
+            "part": pa.array(np.concatenate(parts)),
+            "n": pa.array(np.concatenate(ns))})
+
+    h = (_rp(f"{sf_dir}/events.parquet",
+             columns=["user_id", "event_id", "event_type"])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["key_name", "part"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())  # bounded: 3 x PB_PARTS rows
+
+    g = h.groupby("key_name")["n"]
+    out = pd.DataFrame({
+        "key_name": g.max().index,
+        "parts_hit": g.size().to_numpy(),
+        "max_n": g.max().to_numpy(),
+        "min_n": g.min().to_numpy(),
+        "imbalance_ppm": (g.max().to_numpy() * PB_PARTS * 1_000_000
+                          // g.sum().to_numpy())})
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def dedup_survivorship(sf_dir: str):
+    """Survivorship merge after exact dedup (the record-linkage step
+    that FOLDS duplicate groups into one golden record instead of just
+    dropping rows): per content fingerprint, keep the min doc_id as
+    the survivor and merge metadata — doc count, distinct languages,
+    distinct sources, total chars (singleton groups survive as
+    themselves, so the output is the full golden-record table).
+
+    Scale shape: fingerprints from the shared text stage; distinct
+    (fp, lang)/(fp, source) counts fold through two-level groupbys
+    (partial distinct inside batches first), all keyed on the same
+    fingerprint so the three aggregates co-partition."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..stages.text import fingerprint
+
+    def fp_keep_meta(batch: pa.Table) -> pa.Table:
+        # shared fingerprint kernel, metadata columns carried through
+        f = fingerprint(batch)
+        return pa.table({
+            "doc_id": f["doc_id"], "fingerprint": f["fingerprint"],
+            "lang": batch["lang"], "source": batch["source"],
+            "n_chars": batch["n_chars"]})
+
+    fp = (_docs(sf_dir, ("doc_id", "text", "lang", "source", "n_chars"))
+          .map_batches(fp_keep_meta, batch_format="pyarrow")
+          .materialize())   # diamond: base aggregate + two distincts
+
+    base = fp.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="survivor_doc"),
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+
+    def dl(t: pa.Table) -> pa.Table:
+        df = (t.select(["fingerprint", "lang"]).to_pandas()
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def ds_(t: pa.Table) -> pa.Table:
+        df = (t.select(["fingerprint", "source"]).to_pandas()
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    langs = (fp.map_batches(dl, batch_format="pyarrow")
+             .groupby(["fingerprint", "lang"]).aggregate(Count())
+             .groupby("fingerprint").aggregate(
+                 Count(alias_name="n_langs"))
+             .map_batches(lambda t: t.rename_columns(["fpl", "n_langs"]),
+                          batch_format="pyarrow"))
+    srcs = (fp.map_batches(ds_, batch_format="pyarrow")
+            .groupby(["fingerprint", "source"]).aggregate(Count())
+            .groupby("fingerprint").aggregate(
+                Count(alias_name="n_sources"))
+            .map_batches(lambda t: t.rename_columns(["fps", "n_sources"]),
+                         batch_format="pyarrow"))
+
+    j = (base.join(langs, join_type="inner", num_partitions=_JOIN_PARTS,
+                   on=("fingerprint",), right_on=("fpl",))
+         .join(srcs, join_type="inner", num_partitions=_JOIN_PARTS,
+               on=("fingerprint",), right_on=("fps",)))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "survivor_doc": pc.cast(t["survivor_doc"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_langs": pc.cast(t["n_langs"], pa.int64()),
+            "n_sources": pc.cast(t["n_sources"], pa.int64()),
+            "total_chars": pc.cast(t["total_chars"], pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
