@@ -462,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_sims": q.centroid_sims,
         "partition_balance": q.partition_balance,
         "dedup_survivorship": q.dedup_survivorship,
+        "langid_confusion": q.langid_confusion,
+        "degree_hist": q.degree_hist,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2697,5 +2699,32 @@ ns AS (SELECT fingerprint,
        FROM fp GROUP BY fingerprint)
 SELECT b.survivor_doc, b.n_docs, nl.n_langs, ns.n_sources, b.total_chars
 FROM base b JOIN nl USING (fingerprint) JOIN ns USING (fingerprint)
+"""
+    sqls["langid_confusion"] = f"""
+WITH s AS (
+  SELECT d.doc_id, d.lang AS lang_true,
+    length(list_filter({_TOKS}, t -> t IN {_MK['en']})) AS en_score,
+    length(list_filter({_TOKS}, t -> t IN {_MK['de']})) AS de_score,
+    length(list_filter({_TOKS}, t -> t IN {_MK['fr']})) AS fr_score
+  FROM documents d),
+p AS (SELECT lang_true,
+  CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score > 0
+       THEN 'en'
+       WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+       WHEN fr_score > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+  FROM s),
+h AS (SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+t AS (SELECT lang_true, CAST(sum(n) AS BIGINT) AS tot FROM h GROUP BY 1)
+SELECT h.lang_true, h.lang_pred, h.n,
+       CAST(h.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM h JOIN t USING (lang_true)
+"""
+    sqls["degree_hist"] = """
+WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT c, CAST(count(*) AS BIGINT) AS degree FROM cp GROUP BY c)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_customers
+FROM deg GROUP BY degree
 """
     return sqls

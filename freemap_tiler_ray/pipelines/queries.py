@@ -7464,3 +7464,76 @@ def dedup_survivorship(sf_dir: str):
             "total_chars": pc.cast(t["total_chars"], pa.int64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def langid_confusion(sf_dir: str):
+    """Model-evaluation confusion matrix for the lang_id heuristic
+    against the metadata lang column (the eval table an ML pipeline
+    materializes after every classifier change): (lang_true,
+    lang_pred, n) plus the exact ppm share of each predicted label
+    within its true class. The metadata lang is synthetic and
+    unrelated to the text, so the matrix is near-uniform here — the
+    OPERATOR (bounded contingency from a model stage's output joined
+    to ground truth) is the point.
+
+    Scale shape: the lang_id stage runs with the truth column carried
+    through the batch, so the contingency needs NO join; per-batch
+    (true, pred) count partials fold through one bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import lang_id as _lang
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = _lang(t)["lang_pred"]
+        g = (pa.table({"lang_true": t["lang"], "lang_pred": pred})
+             .group_by(["lang_true", "lang_pred"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["lang_true", "lang_pred", "n"])
+
+    h = (_docs(sf_dir, ("doc_id", "text", "lang"))
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["lang_true", "lang_pred"])
+         .aggregate(Sum("n", alias_name="n"))
+         .to_pandas())  # bounded: |langs| x |preds| rows
+
+    tot = h.groupby("lang_true")["n"].transform("sum")
+    h["share_ppm"] = (h["n"] * 1_000_000 // tot).astype(np.int64)
+    h["n"] = h["n"].astype(np.int64)
+    return h[["lang_true", "lang_pred", "n", "share_ppm"]]
+
+
+def degree_hist(sf_dir: str):
+    """Degree-distribution histogram of the customer—part co-purchase
+    graph (the first plot of any graph-data audit, and the input to
+    link_predict's degree-cap choice): how many customers bought
+    exactly k distinct parts, for each observed k.
+
+    Scale shape: the same lineitem |X| orders join and (cust, part)
+    distinct groupby as link_predict, one per-customer degree count,
+    then a bounded (degree -> n) fold."""
+    from ray.data.aggregate import Count
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_custkey"])
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_partkey"])
+    j = li.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cp_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c": t["o_custkey"].to_numpy().astype(np.int64),
+            "p": t["l_partkey"].to_numpy().astype(np.int64)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    deg = (j.map_batches(cp_partial, batch_format="pyarrow")
+           .groupby(["c", "p"]).aggregate(Count(alias_name="_n"))
+           .groupby("c").aggregate(Count(alias_name="degree")))
+
+    return (deg.groupby("degree").aggregate(Count(alias_name="n_customers"))
+            .map_batches(lambda t: pa.table({
+                "degree": pc.cast(t["degree"], pa.int64()),
+                "n_customers": pc.cast(t["n_customers"], pa.int64())}),
+                batch_format="pyarrow"))
