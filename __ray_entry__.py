@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivorship": q.dedup_survivorship,
         "langid_confusion": q.langid_confusion,
         "degree_hist": q.degree_hist,
+        "doc_commonness": q.doc_commonness,
+        "dedup_eval": q.dedup_eval,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2726,5 +2728,48 @@ WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
 deg AS (SELECT c, CAST(count(*) AS BIGINT) AS degree FROM cp GROUP BY c)
 SELECT degree, CAST(count(*) AS BIGINT) AS n_customers
 FROM deg GROUP BY degree
+"""
+    sqls["doc_commonness"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+d AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2)
+SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_tokens,
+       CAST(sum(d.c * uc.tf) AS BIGINT) AS sum_tf,
+       CAST(sum(d.c * uc.tf) * 1000 // sum(d.c) AS BIGINT)
+         AS mean_tf_milli
+FROM d JOIN uc USING (tok) GROUP BY d.doc_id
+"""
+    sqls["dedup_eval"] = f"""
+WITH {_SIMHASH_CTE},
+{_SH_CTE},
+pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash))
+               <= {SIMHASH_MAX_HAMMING}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM sh x JOIN sh y ON x.h = y.h AND x.doc_id < y.doc_id),
+{_JACCARD_TAIL},
+truth AS (SELECT doc_a, doc_b FROM jac
+          WHERE jaccard >= {NGRAM_JACCARD_TAU!r}),
+m AS (SELECT p.doc_a IS NOT NULL AS in_p, t.doc_a IS NOT NULL AS in_t
+      FROM pred p FULL OUTER JOIN truth t
+      ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+c AS (SELECT CAST(sum(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM m)
+SELECT tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+            ELSE 0 END AS precision_ppm,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+            ELSE 0 END AS recall_ppm
+FROM c
 """
     return sqls

@@ -7537,3 +7537,112 @@ def degree_hist(sf_dir: str):
                 "degree": pc.cast(t["degree"], pa.int64()),
                 "n_customers": pc.cast(t["n_customers"], pa.int64())}),
                 batch_format="pyarrow"))
+
+
+def doc_commonness(sf_dir: str):
+    """Corpus-commonness quality signal per doc (the integer-exact
+    stand-in for LM-perplexity filtering: docs made of globally rare
+    tokens are noise candidates, docs of ultra-common tokens are
+    boilerplate candidates): per doc, the sum and floor-milli mean of
+    its tokens' GLOBAL term frequencies.
+
+    Scale shape: the shared (tok -> tf) vocabulary aggregate, then
+    per-batch (doc_id, tok, c) partials (bounded by per-doc batch
+    vocabulary) hash-joined to tf and folded by one doc-keyed
+    groupby. int64 holds to ~1e14 total tokens (sum <= len_doc * N)."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+    uni = (docs.map_batches(
+               lambda t: _tok_count_partial(t, None) if t.num_rows
+               else pa.table({"tok": pa.array([], pa.string()),
+                              "c": pa.array([], pa.int64())}),
+               batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("c", alias_name="tf")))
+
+    def dt(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return _tok_count_partial(t, "doc_id")
+
+    d = docs.map_batches(dt, batch_format="pyarrow")
+    j = d.join(uni, join_type="inner", num_partitions=_JOIN_PARTS,
+               on=("tok",), right_on=("tok",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        tf = t["tf"].to_numpy()
+        g = (pa.table({"doc_id": t["doc_id"],
+                       "n": pa.array(c, pa.int64()),
+                       "s": pa.array(c * tf, pa.int64())})
+             .group_by(["doc_id"])
+             .aggregate([("n", "sum"), ("s", "sum")]))
+        return g.rename_columns(["doc_id", "n", "s"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("n", alias_name="n_tokens"),
+                      Sum("s", alias_name="sum_tf")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy()
+        s = t["sum_tf"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "sum_tf": pc.cast(t["sum_tf"], pa.int64()),
+            "mean_tf_milli": pa.array(s * 1000 // n, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_eval(sf_dir: str):
+    """Dedup-pipeline evaluation (the measurement a corpus team runs
+    before swapping a cheap candidate generator for an expensive one):
+    treat exact n-gram Jaccard >= tau (ngram_pairs) as ground truth
+    and score the SimHash pair generator (simhash_pairs) against it —
+    tp/fp/fn counts plus exact-integer precision/recall ppm, one row.
+
+    Scale shape: both pair pipelines are the existing bucketed
+    shuffles; the comparison is ONE (doc_a, doc_b)-keyed full outer
+    hash join over two pair tables (each far smaller than the corpus),
+    folded to three scalars."""
+    from ray.data.aggregate import Sum
+
+    pred = (simhash_pairs(sf_dir)
+            .map_batches(lambda t: pa.table({
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "in_p": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"))
+    truth = (ngram_pairs(sf_dir)
+             .map_batches(lambda t: pa.table({
+                 "ta": pc.cast(t["doc_a"], pa.int64()),
+                 "tb": pc.cast(t["doc_b"], pa.int64()),
+                 "in_t": pa.array(np.ones(t.num_rows, np.int64))}),
+                 batch_format="pyarrow"))
+
+    j = pred.join(truth, join_type="full_outer",
+                  num_partitions=_JOIN_PARTS,
+                  on=("doc_a", "doc_b"), right_on=("ta", "tb"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        p = pc.fill_null(t["in_p"], 0).to_numpy().astype(bool)
+        tr = pc.fill_null(t["in_t"], 0).to_numpy().astype(bool)
+        return pa.table({
+            "tp": pa.array([int((p & tr).sum())], pa.int64()),
+            "fp": pa.array([int((p & ~tr).sum())], pa.int64()),
+            "fn": pa.array([int((~p & tr).sum())], pa.int64())})
+
+    a = (j.map_batches(counts, batch_format="pyarrow")
+         .aggregate(Sum("tp", alias_name="tp"),
+                    Sum("fp", alias_name="fp"),
+                    Sum("fn", alias_name="fn")))
+    tp, fp, fn = int(a["tp"] or 0), int(a["fp"] or 0), int(a["fn"] or 0)
+    prec = tp * 1_000_000 // (tp + fp) if tp + fp else 0
+    rec = tp * 1_000_000 // (tp + fn) if tp + fn else 0
+    return pd.DataFrame({
+        "tp": [tp], "fp": [fp], "fn": [fn],
+        "precision_ppm": [prec], "recall_ppm": [rec]}).astype(np.int64)
