@@ -7606,37 +7606,43 @@ def dedup_eval(sf_dir: str):
     tp/fp/fn counts plus exact-integer precision/recall ppm, one row.
 
     Scale shape: both pair pipelines are the existing bucketed
-    shuffles; the comparison is ONE (doc_a, doc_b)-keyed full outer
-    hash join over two pair tables (each far smaller than the corpus),
-    folded to three scalars."""
+    shuffles; the comparison is a UNION of the two pair tables (each
+    far smaller than the corpus) tagged with (p, t) flags, one
+    (doc_a, doc_b)-keyed groupby-sum, and a scalar fold. (A full-outer
+    join expresses the same thing, but Ray 2.49's join finalize breaks
+    on the mixed empty-schema blocks that map_groups pair stages emit;
+    the union+groupby path rides the hash-shuffle schema fix that the
+    other pair consumers already use.)"""
     from ray.data.aggregate import Sum
 
     pred = (simhash_pairs(sf_dir)
             .map_batches(lambda t: pa.table({
                 "doc_a": pc.cast(t["doc_a"], pa.int64()),
                 "doc_b": pc.cast(t["doc_b"], pa.int64()),
-                "in_p": pa.array(np.ones(t.num_rows, np.int64))}),
+                "p": pa.array(np.ones(t.num_rows, np.int64)),
+                "t": pa.array(np.zeros(t.num_rows, np.int64))}),
                 batch_format="pyarrow"))
     truth = (ngram_pairs(sf_dir)
              .map_batches(lambda t: pa.table({
-                 "ta": pc.cast(t["doc_a"], pa.int64()),
-                 "tb": pc.cast(t["doc_b"], pa.int64()),
-                 "in_t": pa.array(np.ones(t.num_rows, np.int64))}),
+                 "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                 "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                 "p": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "t": pa.array(np.ones(t.num_rows, np.int64))}),
                  batch_format="pyarrow"))
 
-    j = pred.join(truth, join_type="full_outer",
-                  num_partitions=_JOIN_PARTS,
-                  on=("doc_a", "doc_b"), right_on=("ta", "tb"))
+    u = (pred.union(truth)
+         .groupby(["doc_a", "doc_b"])
+         .aggregate(Sum("p", alias_name="p"), Sum("t", alias_name="t")))
 
     def counts(t: pa.Table) -> pa.Table:
-        p = pc.fill_null(t["in_p"], 0).to_numpy().astype(bool)
-        tr = pc.fill_null(t["in_t"], 0).to_numpy().astype(bool)
+        p = t["p"].to_numpy().astype(bool)
+        tr = t["t"].to_numpy().astype(bool)
         return pa.table({
             "tp": pa.array([int((p & tr).sum())], pa.int64()),
             "fp": pa.array([int((p & ~tr).sum())], pa.int64()),
             "fn": pa.array([int((~p & tr).sum())], pa.int64())})
 
-    a = (j.map_batches(counts, batch_format="pyarrow")
+    a = (u.map_batches(counts, batch_format="pyarrow")
          .aggregate(Sum("tp", alias_name="tp"),
                     Sum("fp", alias_name="fp"),
                     Sum("fn", alias_name="fn")))

@@ -27,7 +27,9 @@ def _canon(res) -> pd.DataFrame:
                                    "events_range_frame",
                                    "events_dedup_latest",
                                    "time_weighted_avg",
-                                   "interval_coverage"])
+                                   "interval_coverage",
+                                   "max_drawdown",
+                                   "event_markov"])
 def test_result_invariant_under_fanout(ray_session, qname, monkeypatch):
     from freemap_tiler_ray.pipelines import queries as q
 
