@@ -7609,10 +7609,12 @@ def dedup_eval(sf_dir: str):
     shuffles; the comparison is a UNION of the two pair tables (each
     far smaller than the corpus) tagged with (p, t) flags, one
     (doc_a, doc_b)-keyed groupby-sum, and a scalar fold. (A full-outer
-    join expresses the same thing, but Ray 2.49's join finalize breaks
-    on the mixed empty-schema blocks that map_groups pair stages emit;
-    the union+groupby path rides the hash-shuffle schema fix that the
-    other pair consumers already use.)"""
+    join expresses the same thing, but with a SPARSE side — SimHash
+    finds only a handful of pairs — whole join-aggregator actors see
+    no row-bearing shard of that side, its schema is locally
+    unknowable, and Ray 2.49's outer-join finalize cannot type the
+    null columns; union+groupby has no such failure mode and is one
+    shuffle cheaper.)"""
     from ray.data.aggregate import Sum
 
     pred = (simhash_pairs(sf_dir)

@@ -189,6 +189,13 @@ def _build_join_subclass():
                         seen[input_seq_id] = partition_shard.schema
             except Exception:
                 pass
+            # Known residual (documented, not patched): an OUTER join
+            # whose sparse side sends NO row-bearing shard to a given
+            # aggregator ACTOR leaves that side's schema unknowable
+            # there — null columns for the outer result cannot be
+            # typed, so finalize falls through to the upstream error.
+            # Pipelines joining a very sparse table outer-style should
+            # use union+groupby instead (see queries.dedup_eval).
             return super().accept(input_seq_id, partition_id, partition_shard)
 
         def finalize(self, partition_id):

@@ -158,3 +158,42 @@ def test_join_subclass_importable_without_apply():
                          capture_output=True, text=True, timeout=120,
                          cwd="/root/repo")
     assert out.returncode == 0 and "ok" in out.stdout, out.stderr
+
+
+def test_full_outer_join_after_map_groups_empty_partitions(ray_session):
+    """Canary for the map_groups -> two-key full_outer join shape
+    (round-4 session-IV find): a groupby().map_groups stage whose hash
+    partitions are mostly EMPTY emits zero-column blocks downstream.
+    This small case passes because every join-aggregator actor still
+    sees a row-bearing shard of each side; the KNOWN RESIDUAL (see
+    ray_patches) is the sparse-side outer join where an actor sees no
+    row-bearing shard of one side at all — its schema is then locally
+    unknowable and finalize must fail (queries.dedup_eval was moved to
+    union+groupby for exactly that reason). If a Ray upgrade changes
+    either behavior, this canary and test_ray_patches' guards fire."""
+    import pandas as pd
+
+    def mk(tag):
+        t = pa.table({
+            "doc_a": pa.array([1, 2, 3], pa.int64()),
+            "doc_b": pa.array([10, 20, 30], pa.int64()),
+            tag: pa.array([1, 1, 1], pa.int64()),
+            "_part": pa.array([0, 0, 0], pa.int64())})
+
+        def ident(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop(columns=["_part"])
+
+        # 32 hash partitions, rows only in one -> 31 empty partitions
+        # emit zero-column blocks downstream of map_groups
+        return (ray.data.from_arrow(t).groupby("_part")
+                .map_groups(ident, batch_format="pandas"))
+
+    left = mk("p")
+    right = (mk("t").map_batches(
+        lambda b: b.rename_columns(["ta", "tb", "t"]),
+        batch_format="pyarrow"))
+    j = left.join(right, join_type="full_outer", num_partitions=8,
+                  on=("doc_a", "doc_b"), right_on=("ta", "tb"))
+    out = j.to_pandas()
+    assert len(out) == 3
+    assert sorted(out["p"].fillna(0).astype(int)) == [1, 1, 1]
