@@ -466,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": q.degree_hist,
         "doc_commonness": q.doc_commonness,
         "dedup_eval": q.dedup_eval,
+        "span_lang_stats": q.span_lang_stats,
+        "assoc_rules": q.assoc_rules,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2771,5 +2773,30 @@ SELECT tp, fp, fn,
             THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
             ELSE 0 END AS recall_ppm
 FROM c
+"""
+    sqls["span_lang_stats"] = f"""
+WITH {_SPANS_CTE}
+SELECT d.lang, s.kind, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(length(s.text)) AS BIGINT) AS total_text_chars
+FROM spans s JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+    sqls["assoc_rules"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
+ta AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       FROM ut GROUP BY 1),
+pb AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              CAST(count(*) AS BIGINT) AS n_both
+       FROM ut a JOIN ut b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT pb.type_a, pb.type_b, pb.n_both, x.n AS n_a, y.n AS n_b,
+       CAST(pb.n_both * 1000000 // n.nu AS BIGINT) AS support_ppm,
+       CAST(pb.n_both * 1000000 // x.n AS BIGINT) AS conf_ppm,
+       CAST((1000::HUGEINT * pb.n_both * n.nu)
+            // (x.n::HUGEINT * y.n) AS BIGINT) AS lift_milli
+FROM pb JOIN ta x ON x.event_type = pb.type_a
+        JOIN ta y ON y.event_type = pb.type_b, n
 """
     return sqls

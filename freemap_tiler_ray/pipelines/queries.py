@@ -7654,3 +7654,101 @@ def dedup_eval(sf_dir: str):
     return pd.DataFrame({
         "tp": [tp], "fp": [fp], "fn": [fn],
         "precision_ppm": [prec], "recall_ppm": [rec]}).astype(np.int64)
+
+
+def span_lang_stats(sf_dir: str):
+    """Interleaved-axis x metadata rollup: span counts and total text
+    chars per (document language, span kind) — the modality-by-slice
+    profile a mixture designer reads before setting sampling quotas.
+
+    Scale shape: spans are derived in-batch with the lang column
+    repeated along the flattened span arrays (no join — the spans
+    table is doc-aligned by construction), so each batch emits a
+    (|langs| x 3)-bounded partial into one small groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.docs import _flat_spans, spans_struct_arrays
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        offsets, i_rep, j_flat = _flat_spans(ids)
+        kind, text, _, _ = spans_struct_arrays(i_rep, j_flat)
+        n_spans = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        lang = pc.take(t["lang"].combine_chunks(),
+                       pa.array(np.repeat(np.arange(len(ids)), n_spans)))
+        chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+        g = (pa.table({"lang": lang, "kind": kind,
+                       "chars": pa.array(chars)})
+             .group_by(["lang", "kind"])
+             .aggregate([("chars", "count"), ("chars", "sum")]))
+        return g.rename_columns(["lang", "kind", "n_spans", "chars"])
+
+    return (_docs(sf_dir, ("doc_id", "lang"))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "kind"])
+            .aggregate(Sum("n_spans", alias_name="n_spans"),
+                       Sum("chars", alias_name="total_text_chars")))
+
+
+def assoc_rules(sf_dir: str):
+    """Market-basket association rules over per-user event-type sets
+    (support / confidence / lift — the co-engagement statistic behind
+    'users who do A also do B'): for each unordered type pair,
+    exact-integer support_ppm (share of all users doing both),
+    conf_ppm (both / users-doing-A), and lift_milli (observed /
+    independent, Python bignum — n_both * N^2-scale products overflow
+    int64 at population scale), mirroring the HUGEINT oracle.
+
+    Scale shape: distinct (user, type) via batch-local dedup + one
+    groupby; per-user pair emission inside map_groups is bounded by
+    |types| choose 2; the finish folds a |types|^2-bounded frame."""
+    from ray.data.aggregate import Count
+
+    def up(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(),
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    ut = (_rp(f"{sf_dir}/events.parquet",
+              columns=["user_id", "event_type"])
+          .map_batches(up, batch_format="pyarrow")
+          .groupby(["user_id", "event_type"])
+          .aggregate(Count(alias_name="_n"))
+          .materialize())  # diamond: totals, user count, pair emission
+
+    ta = (ut.groupby("event_type").aggregate(Count(alias_name="n"))
+          .to_pandas())  # bounded: |types| rows
+    n_users = (ut.groupby("user_id").aggregate(Count(alias_name="_c"))
+               .count())
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["event_type"].unique())
+        if len(ts) < 2:
+            return pd.DataFrame({"type_a": np.array([], object),
+                                 "type_b": np.array([], object)})
+        i, k = np.triu_indices(len(ts), 1)
+        return pd.DataFrame({"type_a": ts[i], "type_b": ts[k]})
+
+    pb = (ut.groupby("user_id").map_groups(pairs, batch_format="pandas")
+          .groupby(["type_a", "type_b"])
+          .aggregate(Count(alias_name="n_both"))
+          .to_pandas())  # bounded: |types|^2 rows
+
+    tot = dict(zip(ta["event_type"], ta["n"].astype(int)))
+    rows = []
+    for a, b, nb in zip(pb["type_a"], pb["type_b"],
+                        pb["n_both"].astype(int)):
+        na, nbt = tot[a], tot[b]
+        rows.append((a, b, nb, na, nbt,
+                     nb * 1_000_000 // n_users,
+                     nb * 1_000_000 // na,
+                     1000 * nb * n_users // (na * nbt)))
+    df = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_both", "n_a", "n_b",
+        "support_ppm", "conf_ppm", "lift_milli"])
+    for c in df.columns[2:]:
+        df[c] = df[c].astype(np.int64)
+    return df
