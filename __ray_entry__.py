@@ -468,6 +468,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_eval": q.dedup_eval,
         "span_lang_stats": q.span_lang_stats,
         "assoc_rules": q.assoc_rules,
+        "hapax_share": q.hapax_share,
+        "fulfillment_days": q.fulfillment_days,
+        "burst_detect": q.burst_detect,
+        "ann_recall_eval": q.ann_recall_eval,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2798,5 +2802,62 @@ SELECT pb.type_a, pb.type_b, pb.n_both, x.n AS n_a, y.n AS n_b,
             // (x.n::HUGEINT * y.n) AS BIGINT) AS lift_milli
 FROM pb JOIN ta x ON x.event_type = pb.type_a
         JOIN ta y ON y.event_type = pb.type_b, n
+"""
+    sqls["hapax_share"] = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+vt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax
+      FROM vt GROUP BY 1)
+SELECT source, vocab, hapax,
+       CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_ppm
+FROM a
+"""
+    from freemap_tiler_ray.pipelines.queries import FULFILL_PCTS
+    _pcts = ", ".join(f"({p})" for p in FULFILL_PCTS)
+    sqls["fulfillment_days"] = f"""
+WITH last AS (SELECT l_orderkey,
+                     max(epoch_us(l_shipdate) // 86400000000) AS sd
+              FROM lineitem GROUP BY l_orderkey),
+d AS (SELECT o.o_orderpriority AS prio,
+             last.sd - (epoch_us(o.o_orderdate) // 86400000000) AS days
+      FROM last JOIN orders o ON o.o_orderkey = last.l_orderkey),
+h AS (SELECT prio, days, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+cum AS (SELECT prio, days,
+               SUM(c) OVER (PARTITION BY prio ORDER BY days) AS cum,
+               SUM(c) OVER (PARTITION BY prio) AS n
+        FROM h)
+SELECT prio, CAST(pct AS BIGINT) AS pct, CAST(min(days) AS BIGINT) AS days
+FROM cum CROSS JOIN (VALUES {_pcts}) v(pct)
+WHERE cum * 100 >= pct * n
+GROUP BY prio, pct
+"""
+    from freemap_tiler_ray.pipelines.queries import BURST_WINDOW_S
+    sqls["burst_detect"] = f"""
+WITH b AS (SELECT user_id,
+                  epoch_us(ts) // 1000000 // {BURST_WINDOW_S} AS bucket
+           FROM events),
+ub AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS c
+       FROM b GROUP BY 1, 2)
+SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_window,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM ub GROUP BY user_id
+"""
+    from freemap_tiler_ray.stages.ann import TOP_K as _ANN_K
+    sqls["ann_recall_eval"] = f"""
+WITH ivf AS ({sqls["ann_ivf"]}),
+brute AS ({sqls["ann_topk"]}),
+m AS (SELECT b.query_vec_id,
+             CAST(count(ivf.vec_id) AS BIGINT) AS n_overlap
+      FROM brute b LEFT JOIN ivf
+        ON ivf.query_vec_id = b.query_vec_id AND ivf.vec_id = b.vec_id
+      GROUP BY 1)
+SELECT query_vec_id, CAST({_ANN_K} AS BIGINT) AS k, n_overlap,
+       CAST(n_overlap * 1000000 // {_ANN_K} AS BIGINT) AS recall_ppm
+FROM m
 """
     return sqls

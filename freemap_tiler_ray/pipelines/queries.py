@@ -7752,3 +7752,205 @@ def assoc_rules(sf_dir: str):
     for c in df.columns[2:]:
         df[c] = df[c].astype(np.int64)
     return df
+
+
+def hapax_share(sf_dir: str):
+    """Vocabulary-growth audit per source (the Heaps-law health check
+    for a corpus slice: a crawl slice whose hapax share collapses is
+    template spam; one whose share explodes is OCR noise): per source,
+    vocabulary size, hapax count (tokens occurring exactly once in
+    that source), and exact ppm share.
+
+    Scale shape: the shared per-batch (source, tok) count partial,
+    one (source, tok) groupby-sum (bounded by per-source vocabulary),
+    then a per-source fold of (vocab, hapax) scalars."""
+    from ray.data.aggregate import Sum
+
+    def tf(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return _tok_count_partial(t, "source")
+
+    vt = (_docs(sf_dir, ("text", "source"))
+          .map_batches(tf, batch_format="pyarrow")
+          .groupby(["source", "tok"]).aggregate(Sum("c", alias_name="tf")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        hap = pc.equal(t["tf"], pa.scalar(1))
+        g = (pa.table({"source": t["source"],
+                       "h": pc.cast(hap, pa.int64())})
+             .group_by(["source"])
+             .aggregate([("h", "count"), ("h", "sum")]))
+        return g.rename_columns(["source", "v", "h"])
+
+    agg = (vt.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("v", alias_name="vocab"),
+                      Sum("h", alias_name="hapax"))
+           .to_pandas())  # bounded: |sources| rows
+
+    agg["hapax_ppm"] = (agg["hapax"] * 1_000_000
+                        // agg["vocab"]).astype(np.int64)
+    agg["vocab"] = agg["vocab"].astype(np.int64)
+    agg["hapax"] = agg["hapax"].astype(np.int64)
+    return agg[["source", "vocab", "hapax", "hapax_ppm"]]
+
+
+FULFILL_PCTS = (50, 90)
+
+
+def fulfillment_days(sf_dir: str):
+    """Order-fulfilment latency distribution per priority (the SLA
+    percentile table an ops dashboard tracks): days from order date to
+    the order's LAST ship date, exact PERCENTILE_DISC at
+    FULFILL_PCTS, folded from a bounded day-histogram (lateness is
+    calendar-bounded, so the histogram never scales with order count).
+
+    Scale shape: one lineitem |X| orders hash join, per-order max
+    shipdate groupby, per-batch (priority, days) count partials, one
+    bounded groupby-sum, driver cumulative-walk per priority."""
+    from ray.data.aggregate import Max, Sum
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_shipdate"])
+
+    def days(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "sd": pa.array(t["l_shipdate"].to_numpy()
+                           .astype("datetime64[D]").view("int64"))})
+
+    last = (li.map_batches(days, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Max("sd", alias_name="sd")))
+    j = last.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+              .view("int64"))
+        d = t["sd"].to_numpy() - od
+        g = (pa.table({"prio": t["o_orderpriority"],
+                       "days": pa.array(d, pa.int64())})
+             .group_by(["prio", "days"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["prio", "days", "c"])
+
+    hist = (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["prio", "days"]).aggregate(Sum("c", alias_name="c"))
+            .to_pandas())  # bounded: |priorities| x calendar days
+
+    rows = []
+    for prio, grp in hist.groupby("prio"):
+        grp = grp.sort_values("days")
+        cnt = grp["c"].to_numpy()
+        dv = grp["days"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        for p in FULFILL_PCTS:
+            # PERCENTILE_DISC: smallest value with cum >= ceil(p/100*n)
+            k = (p * n + 99) // 100
+            rows.append((prio, p, int(dv[np.searchsorted(cum, k)])))
+    df = pd.DataFrame(rows, columns=["prio", "pct", "days"])
+    df["pct"] = df["pct"].astype(np.int64)
+    df["days"] = df["days"].astype(np.int64)
+    return df
+
+
+BURST_WINDOW_S = 3600    # burst bucket (seconds)
+
+
+def burst_detect(sf_dir: str):
+    """Rate-limit / bot-screen audit: per user, the maximum number of
+    events inside any one BURST_WINDOW_S-aligned bucket and how many
+    buckets the user touched — the burst profile an abuse gate reads.
+
+    Scale shape: per-batch (user, bucket) count partials, one
+    groupby-sum (bounded by active user-buckets), then a per-user
+    max/count fold."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[s]").view("int64")
+        b = us // BURST_WINDOW_S
+        g = (pa.table({"user_id": t["user_id"],
+                       "bucket": pa.array(b, pa.int64())})
+             .group_by(["user_id", "bucket"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["user_id", "bucket", "c"])
+
+    ub = (_rp(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["user_id", "bucket"])
+          .aggregate(Sum("c", alias_name="c")))
+
+    return (ub.groupby("user_id")
+            .aggregate(Max("c", alias_name="max_per_window"),
+                       Count(alias_name="n_windows"))
+            .map_batches(lambda t: pa.table({
+                "user_id": t["user_id"],
+                "max_per_window": pc.cast(t["max_per_window"], pa.int64()),
+                "n_windows": pc.cast(t["n_windows"], pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def ann_recall_eval(sf_dir: str):
+    """ANN-quality evaluation (the recall@k gate a vector-search
+    deployment runs before swapping brute-force for IVF): per query,
+    how many of the exact top-k (ann_topk, the ground truth) the IVF
+    path (ann_ivf) returned, as exact-integer overlap and recall ppm.
+
+    Scale shape: both ANN pipelines are the existing one-matmul-per-
+    batch scans; the comparison is a UNION of two (query, vec) result
+    tables tagged with flags, one groupby-sum, and a per-query fold —
+    the same sparse-safe shape as dedup_eval."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.ann import TOP_K
+
+    ivf = (ann_ivf(sf_dir)
+           .map_batches(lambda t: pa.table({
+               "qid": pc.cast(t["query_vec_id"], pa.int64()),
+               "vid": pc.cast(t["vec_id"], pa.int64()),
+               "p": pa.array(np.ones(t.num_rows, np.int64)),
+               "t": pa.array(np.zeros(t.num_rows, np.int64))}),
+               batch_format="pyarrow"))
+    brute = (ann_topk(sf_dir)
+             .map_batches(lambda t: pa.table({
+                 "qid": pc.cast(t["query_vec_id"], pa.int64()),
+                 "vid": pc.cast(t["vec_id"], pa.int64()),
+                 "p": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "t": pa.array(np.ones(t.num_rows, np.int64))}),
+                 batch_format="pyarrow"))
+
+    u = (ivf.union(brute)
+         .groupby(["qid", "vid"])
+         .aggregate(Sum("p", alias_name="p"), Sum("t", alias_name="t")))
+
+    def partial(t: pa.Table) -> pa.Table:
+        hit = (pc.and_(pc.greater(t["p"], pa.scalar(0)),
+                       pc.greater(t["t"], pa.scalar(0))))
+        g = (pa.table({"query_vec_id": t["qid"],
+                       "h": pc.cast(hit, pa.int64()),
+                       "tr": pc.cast(pc.greater(t["t"], pa.scalar(0)),
+                                     pa.int64())})
+             .group_by(["query_vec_id"])
+             .aggregate([("h", "sum"), ("tr", "sum")]))
+        return g.rename_columns(["query_vec_id", "h", "tr"])
+
+    agg = (u.map_batches(partial, batch_format="pyarrow")
+           .groupby("query_vec_id")
+           .aggregate(Sum("h", alias_name="n_overlap"),
+                      Sum("tr", alias_name="_nt"))
+           .to_pandas())  # bounded: N_QUERIES rows
+
+    out = pd.DataFrame({
+        "query_vec_id": agg["query_vec_id"].astype(np.int64),
+        "k": np.full(len(agg), TOP_K, np.int64),
+        "n_overlap": agg["n_overlap"].astype(np.int64),
+        "recall_ppm": (agg["n_overlap"] * 1_000_000
+                       // TOP_K).astype(np.int64)})
+    return out
