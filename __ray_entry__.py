@@ -224,6 +224,23 @@ DRIVER_WINDOW = (
     "interval_coverage",
 )
 
+# Round-5 rotation plan: every query registered AFTER the head-50
+# saturated (round-4 tail + session-IV additions) has local-sweep
+# evidence only — rotate THESE into the round-5 DRIVER_WINDOW first
+# (demote r4-green entries), so the cross-round union reaches all
+# registered queries. tests/test_driver_window.py asserts this list
+# stays exactly the set of never-driver-checked registrations.
+ROUND5_ROTATION = (
+    "time_rollup", "vocab_coverage", "bigram_novelty", "quality_audit",
+    "max_drawdown", "ks_distance", "term_pmi", "link_predict",
+    "containment_pairs", "chi2_drift", "digit_profile",
+    "event_markov", "centroid_sims", "partition_balance",
+    "dedup_survivorship", "langid_confusion", "degree_hist",
+    "doc_commonness", "dedup_eval", "span_lang_stats", "assoc_rules",
+    "hapax_share", "fulfillment_days", "burst_detect",
+    "ann_recall_eval", "late_events", "revenue_contribution",
+)
+
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Registered pipelines, ordered for the driver\'s correctness harness.
@@ -472,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fulfillment_days": q.fulfillment_days,
         "burst_detect": q.burst_detect,
         "ann_recall_eval": q.ann_recall_eval,
+        "late_events": q.late_events,
+        "revenue_contribution": q.revenue_contribution,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2859,5 +2878,34 @@ m AS (SELECT b.query_vec_id,
 SELECT query_vec_id, CAST({_ANN_K} AS BIGINT) AS k, n_overlap,
        CAST(n_overlap * 1000000 // {_ANN_K} AS BIGINT) AS recall_ppm
 FROM m
+"""
+    from freemap_tiler_ray.pipelines.queries import LATE_ALLOWED_S
+    sqls["late_events"] = f"""
+WITH a AS (SELECT user_id, event_id,
+                  epoch_us(ts) // 1000000 AS ts_s FROM events),
+w AS (SELECT user_id, ts_s,
+             MAX(ts_s) OVER (PARTITION BY user_id
+                             ORDER BY event_id) AS wm
+      FROM a)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN wm - ts_s > {LATE_ALLOWED_S}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(wm - ts_s) AS BIGINT) AS max_late_s
+FROM w GROUP BY user_id
+"""
+    sqls["revenue_contribution"] = """
+WITH a AS (SELECT c.c_nationkey AS nk,
+                  CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_c
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1),
+m AS (SELECT r.r_name AS region, n.n_name AS nation, a.revenue_c
+      FROM a JOIN nation n ON n.n_nationkey = a.nk
+      JOIN region r ON r.r_regionkey = n.n_regionkey),
+t AS (SELECT region, CAST(sum(revenue_c) AS BIGINT) AS tot
+      FROM m GROUP BY region)
+SELECT m.region, m.nation, m.revenue_c,
+       CAST(m.revenue_c * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM m JOIN t USING (region)
 """
     return sqls

@@ -7954,3 +7954,90 @@ def ann_recall_eval(sf_dir: str):
         "recall_ppm": (agg["n_overlap"] * 1_000_000
                        // TOP_K).astype(np.int64)})
     return out
+
+
+LATE_ALLOWED_S = 60   # watermark lateness allowance (seconds)
+
+
+def late_events(sf_dir: str):
+    """Streaming watermark accounting (the late-data audit behind
+    every event-time window design): replaying each user's stream in
+    ARRIVAL order (event_id), an event is late when its event time
+    sits more than LATE_ALLOWED_S behind the user's running max event
+    time (the watermark). Reports per user: arrivals, late count, and
+    the worst lateness in seconds.
+
+    Scale shape: hash partition on user_id, one vectorized sort by
+    arrival order per partition, running max via cummax; output is
+    one row per user."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy().astype("datetime64[s]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_s": pa.array(s, pa.int64()),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        wm = g.groupby("user_id", sort=False)["ts_s"].cummax()
+        late_by = (wm - g["ts_s"]).to_numpy()
+        g = g.assign(_lb=late_by)
+        out = g.groupby("user_id", sort=False).agg(
+            n_events=("_lb", "size"),
+            n_late=("_lb", lambda x: int((x > LATE_ALLOWED_S).sum())),
+            max_late_s=("_lb", "max"))
+        return out.reset_index()
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def revenue_contribution(sf_dir: str):
+    """Ratio-to-report window (contribution analysis): each nation's
+    exact-cents revenue share of its region in ppm — the percent-of-
+    total shape every BI layer ships.
+
+    Scale shape: ONE distributed integer-cents aggregate over the
+    customer⋈orders join keyed by nation, then the region fold and
+    ppm division run on the |nations|-bounded frame."""
+    from ray.data.aggregate import Sum
+
+    cust = _rp(f"{sf_dir}/customer.parquet",
+               columns=["c_custkey", "c_nationkey"])
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_totalprice"])
+    nation = _rp(f"{sf_dir}/nation.parquet",
+                 columns=["n_nationkey", "n_name", "n_regionkey"]
+                 ).to_pandas()
+    region = _rp(f"{sf_dir}/region.parquet",
+                 columns=["r_regionkey", "r_name"]).to_pandas()
+
+    j = orders.join(cust, join_type="inner", num_partitions=_JOIN_PARTS,
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(t["o_totalprice"].to_numpy() * 100.0
+                     ).astype(np.int64)
+        g = (pa.table({"nk": t["c_nationkey"],
+                       "rc": pa.array(c, pa.int64())})
+             .group_by(["nk"]).aggregate([("rc", "sum")]))
+        return g.rename_columns(["nk", "rc"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("nk").aggregate(Sum("rc", alias_name="revenue_c"))
+           .to_pandas())  # bounded: |nations| rows
+
+    m = (agg.merge(nation, left_on="nk", right_on="n_nationkey")
+         .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    tot = m.groupby("r_name")["revenue_c"].transform("sum")
+    out = pd.DataFrame({
+        "region": m["r_name"], "nation": m["n_name"],
+        "revenue_c": m["revenue_c"].astype(np.int64),
+        "share_ppm": (m["revenue_c"] * 1_000_000 // tot).astype(np.int64)})
+    return out

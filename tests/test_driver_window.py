@@ -48,3 +48,29 @@ def test_in_sorted_membership_mask():
     # empty key set -> nothing matches; empty vals -> empty mask
     assert _in_sorted(np.empty(0, np.int64), vals).sum() == 0
     assert _in_sorted(keys, np.empty(0, np.int64)).shape == (0,)
+
+
+def test_round5_rotation_is_exactly_the_unchecked_tail():
+    """ROUND5_ROTATION must equal the set of registered queries that
+    have never had a driver row: everything outside BOTH the current
+    head-50 window and the r1-r3 cross-round-green set. Keeping this
+    exact makes round-5 window rotation mechanical (see the comment at
+    the definition site)."""
+    mod = _entry()
+    qs = list(mod.queries())
+    # r1-r3 driver-green: every query registered by round 3 (106) minus
+    # the 7 first-checked in the r3 window is r1/r2-green; the r3
+    # window covered the rest. Operationally: anything NOT in the
+    # current head-50 and NOT in ROUND5_ROTATION must be an r1-r3
+    # registration (driver-green in some round).
+    rot = set(mod.ROUND5_ROTATION)
+    head = set(mod.DRIVER_WINDOW)
+    assert not rot & head, "rotation list may not overlap the window"
+    assert rot < set(qs), "rotation list must be registered queries"
+    # every registry entry after the head-50 that is a round-4 tail or
+    # session-IV addition must be in the rotation list: the tail of
+    # queries() from 'time_rollup' onward in dict order IS that set,
+    # minus the r1-r3-green entries interleaved behind it.
+    tail_after_window = [k for k in qs if k not in head]
+    r4_tail = [k for k in tail_after_window if k in rot]
+    assert sorted(r4_tail) == sorted(rot)
