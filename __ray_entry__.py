@@ -239,6 +239,7 @@ ROUND5_ROTATION = (
     "doc_commonness", "dedup_eval", "span_lang_stats", "assoc_rules",
     "hapax_share", "fulfillment_days", "burst_detect",
     "ann_recall_eval", "late_events", "revenue_contribution",
+    "source_overlap",
 )
 
 
@@ -491,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": q.ann_recall_eval,
         "late_events": q.late_events,
         "revenue_contribution": q.revenue_contribution,
+        "source_overlap": q.source_overlap,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2907,5 +2909,21 @@ t AS (SELECT region, CAST(sum(revenue_c) AS BIGINT) AS tot
 SELECT m.region, m.nation, m.revenue_c,
        CAST(m.revenue_c * 1000000 // t.tot AS BIGINT) AS share_ppm
 FROM m JOIN t USING (region)
+"""
+    sqls["source_overlap"] = """
+WITH tok AS (SELECT DISTINCT source, tok FROM (
+       SELECT source, unnest(string_split(text, ' ')) AS tok
+       FROM documents)),
+v AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+      FROM tok GROUP BY 1),
+p AS (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.n_common, va.v AS vocab_a, vb.v AS vocab_b,
+       CAST(p.n_common * 1000000
+            // (va.v + vb.v - p.n_common) AS BIGINT) AS jaccard_ppm
+FROM p JOIN v va ON va.source = p.src_a
+       JOIN v vb ON vb.source = p.src_b
 """
     return sqls

@@ -8041,3 +8041,85 @@ def revenue_contribution(sf_dir: str):
         "revenue_c": m["revenue_c"].astype(np.int64),
         "share_ppm": (m["revenue_c"] * 1_000_000 // tot).astype(np.int64)})
     return out
+
+
+def source_overlap(sf_dir: str):
+    """Corpus-slice similarity audit: exact vocabulary overlap between
+    every source pair — |Va ∩ Vb|, per-source vocab sizes, and exact
+    Jaccard ppm (the 'are these two crawls the same corpus?' check
+    run before merging slices).
+
+    Scale shape: the (source, tok) distinct aggregate (bounded by
+    per-source vocabulary), then per-batch PER-TOKEN source-set
+    bitmasks fold into pairwise intersection count partials — the
+    shuffle carries |sources|^2-bounded rows, never token lists."""
+    from ray.data.aggregate import Sum
+
+    def tf(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return _tok_count_partial(t, "source")
+
+    st = (_docs(sf_dir, ("text", "source"))
+          .map_batches(tf, batch_format="pyarrow")
+          .groupby(["source", "tok"])
+          .aggregate(Sum("c", alias_name="_tf")))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        # hash-partition by TOKEN so each token's (distinct) source
+        # rows land wholly inside one partition — one shuffle, groups
+        # = FTR_HASH_PARTS, never one group per token
+        import hashlib
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        h = np.array([int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                      % _HASH_PARTS for s in uniq], np.int64)
+        return t.append_column("_part", pa.array(h[inv]))
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of any token are in this partition: lexsort by tok,
+        # emit source pairs per token run, fold to a bounded partial
+        toks = g["tok"].to_numpy()
+        srcs = g["source"].to_numpy()
+        order = np.lexsort((srcs, toks))
+        toks, srcs = toks[order], srcs[order]
+        bounds = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1], True])
+        out_a, out_b = [], []
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            if t_ - s >= 2:
+                i, k = np.triu_indices(t_ - s, 1)
+                out_a.append(srcs[s:t_][i]); out_b.append(srcs[s:t_][k])
+        if not out_a:
+            return pd.DataFrame({"src_a": np.array([], object),
+                                 "src_b": np.array([], object),
+                                 "n": np.array([], np.int64)})
+        df = pd.DataFrame({"src_a": np.concatenate(out_a),
+                           "src_b": np.concatenate(out_b)})
+        out = df.groupby(["src_a", "src_b"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    from ray.data.aggregate import Count
+    inter = (st.map_batches(add_part, batch_format="pyarrow")
+             .groupby("_part")
+             .map_groups(pair_partial, batch_format="pandas")
+             .groupby(["src_a", "src_b"])
+             .aggregate(Sum("n", alias_name="n_common"))
+             .to_pandas())  # bounded: |sources|^2 rows
+
+    vocab = (st.groupby("source").aggregate(Count(alias_name="v"))
+             .to_pandas())
+    vmap = dict(zip(vocab["source"], vocab["v"].astype(int)))
+    rows = []
+    for a, b, n in zip(inter["src_a"], inter["src_b"],
+                       inter["n_common"].astype(int)):
+        va, vb = vmap[a], vmap[b]
+        rows.append((a, b, n, va, vb,
+                     n * 1_000_000 // (va + vb - n)))
+    df = pd.DataFrame(rows, columns=["src_a", "src_b", "n_common",
+                                     "vocab_a", "vocab_b",
+                                     "jaccard_ppm"])
+    for c in df.columns[2:]:
+        df[c] = df[c].astype(np.int64)
+    return df
