@@ -239,7 +239,7 @@ ROUND5_ROTATION = (
     "doc_commonness", "dedup_eval", "span_lang_stats", "assoc_rules",
     "hapax_share", "fulfillment_days", "burst_detect",
     "ann_recall_eval", "late_events", "revenue_contribution",
-    "source_overlap",
+    "source_overlap", "backlog_curve",
 )
 
 
@@ -493,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q.late_events,
         "revenue_contribution": q.revenue_contribution,
         "source_overlap": q.source_overlap,
+        "backlog_curve": q.backlog_curve,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2925,5 +2926,20 @@ SELECT p.src_a, p.src_b, p.n_common, va.v AS vocab_a, vb.v AS vocab_b,
             // (va.v + vb.v - p.n_common) AS BIGINT) AS jaccard_ppm
 FROM p JOIN v va ON va.source = p.src_a
        JOIN v vb ON vb.source = p.src_b
+"""
+    sqls["backlog_curve"] = """
+WITH last AS (SELECT l_orderkey,
+                     max(epoch_us(l_shipdate) // 86400000000) AS ed
+              FROM lineitem GROUP BY 1),
+o AS (SELECT epoch_us(o.o_orderdate) // 86400000000 AS sd,
+             last.ed + 1 AS ed1
+      FROM orders o JOIN last ON last.l_orderkey = o.o_orderkey),
+d AS (SELECT sd AS day, 1 AS delta FROM o
+      UNION ALL SELECT ed1, -1 FROM o),
+g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
+      FROM d GROUP BY day)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM g
 """
     return sqls

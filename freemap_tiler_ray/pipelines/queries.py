@@ -8123,3 +8123,52 @@ def source_overlap(sf_dir: str):
     for c in df.columns[2:]:
         df[c] = df[c].astype(np.int64)
     return df
+
+
+def backlog_curve(sf_dir: str):
+    """Daily open-order backlog curve (the interval-sweep analytic
+    behind 'how much in-flight work at any time?'): an order is open
+    from its order date through its LAST ship date; the curve is the
+    running count over the calendar, computed with the +1/-1 sweep —
+    never by expanding per-day rows per order.
+
+    Scale shape: one lineitem |X| orders join for the close day,
+    per-batch (day, delta) partials (bounded by the calendar span),
+    one groupby-sum, and a driver cumsum over the bounded day grid."""
+    from ray.data.aggregate import Max, Sum
+
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderdate"])
+    li = _rp(f"{sf_dir}/lineitem.parquet",
+             columns=["l_orderkey", "l_shipdate"])
+
+    def days(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "sd": pa.array(t["l_shipdate"].to_numpy()
+                           .astype("datetime64[D]").view("int64"))})
+
+    last = (li.map_batches(days, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Max("sd", alias_name="ed")))
+    j = last.join(orders, join_type="inner", num_partitions=_JOIN_PARTS,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def deltas(t: pa.Table) -> pa.Table:
+        sd = (t["o_orderdate"].to_numpy().astype("datetime64[D]")
+              .view("int64"))
+        ed1 = t["ed"].to_numpy() + 1
+        day = np.concatenate([sd, ed1])
+        delta = np.concatenate([np.ones(len(sd), np.int64),
+                                np.full(len(ed1), -1, np.int64)])
+        g = (pa.table({"day": pa.array(day, pa.int64()),
+                       "delta": pa.array(delta)})
+             .group_by(["day"]).aggregate([("delta", "sum")]))
+        return g.rename_columns(["day", "delta"])
+
+    g = (j.map_batches(deltas, batch_format="pyarrow")
+         .groupby("day").aggregate(Sum("delta", alias_name="delta"))
+         .to_pandas()  # bounded: calendar span rows
+         .sort_values("day"))
+    return pd.DataFrame({
+        "day": g["day"].astype(np.int64),
+        "open_orders": g["delta"].cumsum().astype(np.int64)})
