@@ -239,7 +239,7 @@ ROUND5_ROTATION = (
     "doc_commonness", "dedup_eval", "span_lang_stats", "assoc_rules",
     "hapax_share", "fulfillment_days", "burst_detect",
     "ann_recall_eval", "late_events", "revenue_contribution",
-    "source_overlap", "backlog_curve",
+    "source_overlap", "backlog_curve", "median_gap",
 )
 
 
@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_contribution": q.revenue_contribution,
         "source_overlap": q.source_overlap,
         "backlog_curve": q.backlog_curve,
+        "median_gap": q.median_gap,
         "dup_spans": q.dup_spans,
         "pip_join_spans": q.pip_join_spans,
         "events_dedup_latest": q.events_dedup_latest,
@@ -2941,5 +2942,22 @@ g AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta
 SELECT CAST(day AS BIGINT) AS day,
        CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
 FROM g
+"""
+    sqls["median_gap"] = """
+WITH a AS (SELECT user_id, event_id,
+                  epoch_us(ts) // 1000000 AS ts_s FROM events),
+g AS (SELECT user_id,
+             ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts_s, event_id) AS gap
+      FROM a),
+r AS (SELECT user_id, gap,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM g WHERE gap IS NOT NULL)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN 2 * rn >= n THEN gap END) AS BIGINT)
+         AS median_gap_s
+FROM r GROUP BY user_id
 """
     return sqls

@@ -8172,3 +8172,50 @@ def backlog_curve(sf_dir: str):
     return pd.DataFrame({
         "day": g["day"].astype(np.int64),
         "open_orders": g["delta"].cumsum().astype(np.int64)})
+
+
+def median_gap(sf_dir: str):
+    """Inter-arrival analysis: per user, the exact lower-median gap in
+    seconds between consecutive events (the cadence statistic behind
+    session-timeout and bot-cadence tuning). Median is PERCENTILE_DISC
+    semantics — the k = ceil(n/2)-th smallest gap — so the result is
+    an exact integer, no interpolation.
+
+    Scale shape: hash partition on user_id, one vectorized sort per
+    partition, diffs at user-run boundaries masked, per-user k-th
+    order statistic from the sorted gap run; one row per user."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t["ts"].to_numpy().astype("datetime64[s]").view("int64")
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_s": pa.array(s, pa.int64()),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        s = g["ts_s"].to_numpy()
+        same = u[1:] == u[:-1]
+        gu = u[1:][same]
+        gap = (s[1:] - s[:-1])[same]
+        order = np.lexsort((gap, gu))
+        gu, gap = gu[order], gap[order]
+        bounds = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1], True])
+        users, ns, meds = [], [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            n = b - a
+            users.append(gu[a]); ns.append(n)
+            meds.append(gap[a + (n - 1) // 2])  # k = ceil(n/2)-th
+        return pd.DataFrame({
+            "user_id": np.asarray(users, np.int64),
+            "n_gaps": np.asarray(ns, np.int64),
+            "median_gap_s": np.asarray(meds, np.int64)})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
