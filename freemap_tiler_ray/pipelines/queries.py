@@ -4124,18 +4124,31 @@ def edit_distance_pairs(sf_dir: str):
             "pre": pa.array(txt.to_numpy()[idx]),
             "plen": pa.array(plen[idx])})
 
-    def _encode(pre, plen, n):
+    def _encode(pre_col: pa.ChunkedArray, plen, n):
         """Byte matrix + thermometer bag embedding: T[i] has H[i][c]
         leading ones in char c's lane (lane width = the group's max
         count of c), so T(a).T(b) = sum_c min(a_c, b_c) and the GEMM
-        below yields the EXACT bag l1."""
+        below yields the EXACT bag l1.  Rows are scattered from the
+        Arrow column's flat (offsets, data) buffers in one vectorized
+        assignment (the _flat_tokens idiom) — no per-row Python."""
+        arr = pre_col.combine_chunks()
+        owid = (np.int64 if pa.types.is_large_string(arr.type)
+                else np.int32)
+        off = np.frombuffer(arr.buffers()[1], owid,
+                            arr.offset + n + 1)[arr.offset:]
+        off = off.astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        flat = data[off[0]:off[-1]]
+        lens = off[1:] - off[:-1]
+        rows = np.repeat(np.arange(n), lens)
+        cols = (np.arange(len(flat), dtype=np.int64)
+                - np.repeat(off[:-1] - off[0], lens))
+        keep = cols < EDIT_PRE  # UTF-8 bytes can outrun the char prefix
+        rows, cols, flat = rows[keep], cols[keep], flat[keep]
         M = np.zeros((n, EDIT_PRE), np.uint8)
-        for k, s in enumerate(pre):       # bounded by group size
-            raw = np.frombuffer(s.encode(), np.uint8)
-            M[k, :len(raw)] = raw
+        M[rows, cols] = flat
         H = np.zeros((n, 128), np.int32)
-        np.add.at(H, (np.repeat(np.arange(n), plen),
-                      M[M > 0] & 0x7F), 1)
+        np.add.at(H, (rows, flat & 0x7F), 1)
         cmax = H.max(axis=0)
         live = np.flatnonzero(cmax)
         off = np.zeros(len(live) + 1, np.int64)
@@ -4181,8 +4194,7 @@ def edit_distance_pairs(sf_dir: str):
         ids = t["doc_id"].to_numpy()
         bkt = t["bucket"].to_numpy()
         plen = t["plen"].to_numpy()
-        pre = t["pre"].to_pandas().to_numpy()
-        M, T = _encode(pre, plen, n)
+        M, T = _encode(t["pre"], plen, n)
         if blo == bhi:
             ia, ib = _bag_candidates(T, T, plen, plen, tri=True)
         else:
@@ -6976,6 +6988,13 @@ def ks_distance(sf_dir: str):
         cum[r] = np.cumsum(row)
     cum_all = cum.sum(axis=0)
     n_all = int(cum_all[-1])
+    # cum * n_rest products are formed in int64; past ~3e9 events per
+    # arm they would wrap silently and diverge from the HUGEINT
+    # oracle — fail loudly instead (promote the fold to Python ints /
+    # object dtype if this bound is ever hit in practice).
+    assert n_all < 3_000_000_000, (
+        f"ks_distance int64 fold overflows at n_all={n_all}; promote "
+        "the d_num computation to Python bignum before raising this")
     rows = []
     for r, ty in enumerate(types):
         n_t = int(cum[r, -1])
@@ -7648,7 +7667,10 @@ def dedup_eval(sf_dir: str):
          .aggregate(Sum("tp", alias_name="tp"),
                     Sum("fp", alias_name="fp"),
                     Sum("fn", alias_name="fn")))
-    tp, fp, fn = int(a["tp"] or 0), int(a["fp"] or 0), int(a["fn"] or 0)
+    if a is None:  # Dataset.aggregate returns None on an empty dataset
+        tp = fp = fn = 0
+    else:
+        tp, fp, fn = int(a["tp"] or 0), int(a["fp"] or 0), int(a["fn"] or 0)
     prec = tp * 1_000_000 // (tp + fp) if tp + fp else 0
     rec = tp * 1_000_000 // (tp + fn) if tp + fn else 0
     return pd.DataFrame({
@@ -8201,6 +8223,11 @@ def median_gap(sf_dir: str):
         same = u[1:] == u[:-1]
         gu = u[1:][same]
         gap = (s[1:] - s[:-1])[same]
+        if len(gu) == 0:  # no user in this partition has >=2 events
+            return pd.DataFrame({
+                "user_id": np.empty(0, np.int64),
+                "n_gaps": np.empty(0, np.int64),
+                "median_gap_s": np.empty(0, np.int64)})
         order = np.lexsort((gap, gu))
         gu, gap = gu[order], gap[order]
         bounds = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1], True])
