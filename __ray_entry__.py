@@ -200,115 +200,135 @@ def _tile_queries():
 
 # The first 50 queries() keys — the exact set the round driver will
 # check (it reads only the head-50). tests/test_driver_window.py pins
-# queries() ordering against this tuple so rotation stays explicit.
+# queries() ordering against this tuple AND asserts the mechanical
+# rotation invariant directly from the CORRECTNESS_r*.json artifacts:
+# every registered query must either carry a driver row in some prior
+# round or sit inside this window, so nothing can ship driver-unchecked
+# for two rounds in a row.
 DRIVER_WINDOW = (
-    "active_customer_union", "ordered_balance_intersect",
-    "dormant_customer_except", "events_moving_avg", "corr_qty_price",
-    "value_histogram", "embedding_pca",
-    "q21_last_shipper", "q22_global_sales", "edit_distance_pairs",
-    "pareto_front", "retention_cohorts",
-    "q2_min_cost_supp", "q20_excess_stock", "triangle_count",
-    "lineitem_melt", "order_lines_concat", "embedding_unnest",
-    "lsh_pairs",
-    "gap_fill_locf", "quantile_normalize", "cell_smooth",
-    "mixture_sample", "bloom_semi_join", "dataset_split",
-    "cell_pyramid", "weighted_median", "running_distinct",
-    "normalize_text", "pii_redact", "kcore_nodes",
-    "modality_balance",
-    "ppjoin_pairs", "salted_type_stats",
-    "caption_pairs", "lang_regression", "sorted_neighbor_pairs",
-    "bfs_hops", "ann_filtered", "oov_rate", "events_range_frame",
-    "line_dedup", "zscore_outliers", "mad_outliers",
-    "time_weighted_avg", "gini_by_source",
-    "modality_transitions", "token_diversity", "grouped_topk_terms",
-    "interval_coverage",
-)
-
-# Round-5 rotation plan: every query registered AFTER the head-50
-# saturated (round-4 tail + session-IV additions) has local-sweep
-# evidence only — rotate THESE into the round-5 DRIVER_WINDOW first
-# (demote r4-green entries), so the cross-round union reaches all
-# registered queries. tests/test_driver_window.py asserts this list
-# stays exactly the set of never-driver-checked registrations.
-ROUND5_ROTATION = (
     "time_rollup", "vocab_coverage", "bigram_novelty", "quality_audit",
-    "max_drawdown", "ks_distance", "term_pmi", "link_predict",
-    "containment_pairs", "chi2_drift", "digit_profile",
-    "event_markov", "centroid_sims", "partition_balance",
-    "dedup_survivorship", "langid_confusion", "degree_hist",
-    "doc_commonness", "dedup_eval", "span_lang_stats", "assoc_rules",
-    "hapax_share", "fulfillment_days", "burst_detect",
-    "ann_recall_eval", "late_events", "revenue_contribution",
-    "source_overlap", "backlog_curve", "median_gap",
+    "max_drawdown", "ks_distance", "term_pmi", "link_predict", "containment_pairs",
+    "chi2_drift", "digit_profile", "event_markov", "centroid_sims",
+    "partition_balance", "dedup_survivorship", "langid_confusion",
+    "degree_hist", "doc_commonness", "dedup_eval", "span_lang_stats",
+    "assoc_rules", "hapax_share", "fulfillment_days", "burst_detect",
+    "ann_recall_eval", "late_events", "revenue_contribution", "source_overlap",
+    "backlog_curve", "median_gap", "events_dedup_latest", "value_percentiles",
+    "q17_small_qty", "pagerank", "dedup_clusters", "anti_join_customers",
+    "q3_shipping", "q10_returned_items", "q13_order_counts", "q18_top_customers",
+    "nation_region_join", "scd_intervals", "nearest_order_join", "cell_clusters",
+    "resume_cell_counts", "pip_join_spans", "events_asof", "embedding_pairs",
+    "dedup_exact", "decontaminate",
 )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """Registered pipelines, ordered for the driver\'s correctness harness.
+    """Registered pipelines, ordered for the driver's correctness harness.
 
-    The driver checks the FIRST 50 entries only (CORRECTNESS_r{1,2,3}
-    each hold exactly the first 50 keys), so the registry is rotated
-    each round; DRIVER_WINDOW below pins the intended head-50 and a
-    pytest (tests/test_driver_window.py) fails on any misordered
-    insert, so a new query can\'t silently ship driver-unchecked.
+    The driver checks the FIRST 50 entries only, so the registry is
+    rotated each round; DRIVER_WINDOW above pins the intended head-50
+    and tests/test_driver_window.py fails on any misordered insert.
 
-    Round-4 window composition:
-    - the 6 round-3 tail additions that have never had a driver row
-      (active_customer_union, ordered_balance_intersect,
-      dormant_customer_except, events_moving_avg, corr_qty_price,
-      value_histogram) — closing the cross-round union;
-    - embedding_pca, re-registered with an exact covariance-partials
-      oracle (was err:no_oracle in r3);
-    - the 11 round-4 additions (q21/q22/q2/q20 shapes, triangle census,
-      UNPIVOT melt, ordered string_agg, UNNEST explode, edit-distance
-      near-dup, pareto skyline, retention cohorts);
-    - 2 join-heavy sentinels kept in-window because this round touched
-      join internals again (_JOIN_PARTS fan-out routing + ray_patches
-      hardening): lsh_pairs, dup_spans (the other 9 — q17, pagerank,
-      dedup_clusters, anti_join, q3, q10, q13, q18,
-      nation_region_join — were displaced to the tail late in the
-      round to make room for the 8 continuation-IV additions; all
-      stay oracle-checked every pytest session);
-    - the 9 round-4 continuation additions (bfs_hops, ann_filtered,
-      oov_rate, events_range_frame, ppjoin_pairs, salted_type_stats,
-      modality_balance, events_dedup_latest, value_percentiles), which
-      displaced the r1/r2-green q1_lineitem / revenue_by_segment /
-      part_revenue_broadcast / topk_orders / media_features /
-      tile_zorder / knn / doc_cells / cell_counts rechecks to the tail
-      (knn_ring shares knn's kernel and oracle shape; cell_counts is
-      doc_cells' aggregate — all remain oracle-checked every pytest
-      session);
-    - the 3 continuation-III additions (caption_pairs multimodal
-      alignment, lang_regression grouped OLS, sorted_neighbor_pairs
-      SNM blocking), which displaced the r1+r2-green spans_fp /
-      events_asof / nation_region_join rechecks to the tail;
-    - 12 rotation-pool entries last driver-checked in round 2
-      (winnow_pairs/dedup_exact/decontaminate/events_sessions/lang_id/
-      events_window yielded their slots to the late round-4 additions;
-      all six are r2-green, join-free shapes and stay oracle-checked
-      every pytest run).
+    Round-5 window composition (see DRIVER_WINDOW):
+    - the 32 queries with no driver row in any prior round (the entire
+      round-4 tail backlog, including events_dedup_latest and
+      value_percentiles, which the round-4 rotation plan had missed) —
+      with these green the cross-round union covers every registered
+      query;
+    - the 9 join-heavy sentinels displaced late in round 4
+      (q17_small_qty, pagerank, dedup_clusters, anti_join_customers,
+      q3_shipping, q10_returned_items, q13_order_counts,
+      q18_top_customers, nation_region_join) — join internals changed
+      in r4 and none of these has had a driver row since r2/r3;
+    - the 4 round-5 additions (scd_intervals CDC compaction,
+      nearest_order_join asof-NEAREST, cell_clusters spatial region
+      labeling, resume_cell_counts crash/resume through the
+      partitioned tabular sink), registered directly into the window
+      so no new never-checked backlog forms;
+    - 5 longest-unchecked distinct-kernel re-checks, all r2-green
+      (pip_join_spans, events_asof, embedding_pairs, dedup_exact,
+      decontaminate).
 
-    Cross-round union after this round (if the window is green):
-    138/138 registered queries with a driver row; all 138 also run
-    against their oracles every pytest session
-    (tests/test_oracle_compare.py) at sf0.001, and at sf0.01/sf0.1 in
-    the recorded multi-CPU sweeps (COVERAGE.md).
+    Everything in the tail is driver-green in rounds 1-4 (the
+    rotation test derives this from the CORRECTNESS artifacts) and
+    runs against its oracle every pytest session.
     """
     from freemap_tiler_ray.pipelines import queries as q
 
     tile_pyramid_status, tile_limits = _tile_queries()
     reg = {
         # --- driver-checked window (first 50) == DRIVER_WINDOW ---
-        # 6 never-driver-checked round-3 tail entries:
+        # 32 never-driver-checked round-4 tail / session additions
+        # (closing the cross-round union at 184/184):
+        "time_rollup": q.time_rollup,
+        "vocab_coverage": q.vocab_coverage,
+        "bigram_novelty": q.bigram_novelty,
+        "quality_audit": q.quality_audit,
+        "max_drawdown": q.max_drawdown,
+        "ks_distance": q.ks_distance,
+        "term_pmi": q.term_pmi,
+        "link_predict": q.link_predict,
+        "containment_pairs": q.containment_pairs,
+        "chi2_drift": q.chi2_drift,
+        "digit_profile": q.digit_profile,
+        "event_markov": q.event_markov,
+        "centroid_sims": q.centroid_sims,
+        "partition_balance": q.partition_balance,
+        "dedup_survivorship": q.dedup_survivorship,
+        "langid_confusion": q.langid_confusion,
+        "degree_hist": q.degree_hist,
+        "doc_commonness": q.doc_commonness,
+        "dedup_eval": q.dedup_eval,
+        "span_lang_stats": q.span_lang_stats,
+        "assoc_rules": q.assoc_rules,
+        "hapax_share": q.hapax_share,
+        "fulfillment_days": q.fulfillment_days,
+        "burst_detect": q.burst_detect,
+        "ann_recall_eval": q.ann_recall_eval,
+        "late_events": q.late_events,
+        "revenue_contribution": q.revenue_contribution,
+        "source_overlap": q.source_overlap,
+        "backlog_curve": q.backlog_curve,
+        "median_gap": q.median_gap,
+        "events_dedup_latest": q.events_dedup_latest,
+        "value_percentiles": q.value_percentiles,
+        # 9 join-heavy sentinels, last driver-checked r2/r3 —
+        # join internals were touched again in r4 (fan-out routing
+        # + ray_patches hardening):
+        "q17_small_qty": q.q17_small_qty,
+        "pagerank": q.pagerank,
+        "dedup_clusters": q.dedup_clusters,
+        "anti_join_customers": q.anti_join_customers,
+        "q3_shipping": q.q3_shipping,
+        "q10_returned_items": q.q10_returned_items,
+        "q13_order_counts": q.q13_order_counts,
+        "q18_top_customers": q.q18_top_customers,
+        "nation_region_join": q.nation_region_join,
+        # round-5 additions (new operators, driver-checked in their
+        # first round): SCD2 interval construction, asof-NEAREST
+        # join, spatial region labeling, resumable-sink crash/resume
+        # correctness at the query layer:
+        "scd_intervals": q.scd_intervals,
+        "nearest_order_join": q.nearest_order_join,
+        "cell_clusters": q.cell_clusters,
+        "resume_cell_counts": q.resume_cell_counts,
+        # 5 longest-unchecked distinct-kernel re-checks (r2-green:
+        # spatial span join, asof-backward join, embedding bucket
+        # triangle, exact dedup, broadcast decontamination):
+        "pip_join_spans": q.pip_join_spans,
+        "events_asof": q.events_asof,
+        "embedding_pairs": q.embedding_pairs,
+        "dedup_exact": q.dedup_exact,
+        "decontaminate": q.decontaminate,
+        # --- tail: driver-green in rounds 1-4, still oracle-checked
+        # every pytest session at three scales (COVERAGE.md) ---
         "active_customer_union": q.active_customer_union,
         "ordered_balance_intersect": q.ordered_balance_intersect,
         "dormant_customer_except": q.dormant_customer_except,
         "events_moving_avg": q.events_moving_avg,
         "corr_qty_price": q.corr_qty_price,
         "value_histogram": q.value_histogram,
-        # re-registered with an exact covariance-partials oracle:
         "embedding_pca": q.embedding_pca,
-        # round-4 additions:
         "q21_last_shipper": q.q21_last_shipper,
         "q22_global_sales": q.q22_global_sales,
         "edit_distance_pairs": q.edit_distance_pairs,
@@ -320,14 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q.lineitem_melt,
         "order_lines_concat": q.order_lines_concat,
         "embedding_unnest": q.embedding_unnest,
-        # join-heavy sentinel (join fan-out + patches changed this round):
         "lsh_pairs": q.lsh_pairs,
-        # round-4 continuation IV additions (never driver-checked;
-        # displaced the r1/r2/r3-green q3/q10/q13/q18/q17/anti_join/
-        # pagerank/dedup_clusters/dup_spans/pip_join_spans join
-        # rechecks to the tail — lsh_pairs above stays as the join
-        # sentinel, and the new bloom_semi_join/kcore_nodes below are
-        # join-heavy fresh coverage of the same internals):
         "gap_fill_locf": q.gap_fill_locf,
         "quantile_normalize": q.quantile_normalize,
         "cell_smooth": q.cell_smooth,
@@ -340,26 +353,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q.normalize_text,
         "pii_redact": q.pii_redact,
         "kcore_nodes": q.kcore_nodes,
-        # rotation pool: last driver-checked in round 2:
         "modality_balance": q.modality_balance,
         "ppjoin_pairs": q.ppjoin_pairs,
         "salted_type_stats": q.salted_type_stats,
-        # round-4 continuation III additions (driver-checked this
-        # round; displaced the r1+r2-green spans_fp / events_asof /
-        # nation_region_join rechecks to the tail — all three remain
-        # oracle-checked every pytest session):
         "caption_pairs": q.caption_pairs,
         "lang_regression": q.lang_regression,
         "sorted_neighbor_pairs": q.sorted_neighbor_pairs,
-        # round-4 continuation additions (driver-checked this round):
         "bfs_hops": q.bfs_hops,
         "ann_filtered": q.ann_filtered,
         "oov_rate": q.oov_rate,
         "events_range_frame": q.events_range_frame,
-        # round-4 continuation II additions (driver-checked this round;
-        # displaced the r2-green stratified/weighted_sample,
-        # q6_filtered_revenue, events_props_json, label_centroids
-        # rechecks to the tail):
         "line_dedup": q.line_dedup,
         "zscore_outliers": q.zscore_outliers,
         "mad_outliers": q.mad_outliers,
@@ -369,11 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_diversity": q.token_diversity,
         "grouped_topk_terms": q.grouped_topk_terms,
         "interval_coverage": q.interval_coverage,
-        # --- tail: driver-green in round 2 or 3, still oracle-checked
-        # every pytest session ---
         "spans_fp": q.spans_fp,
-        "events_asof": q.events_asof,
-        "nation_region_join": q.nation_region_join,
         "events_sliding": q.events_sliding,
         "events_range_join": q.events_range_join,
         "lang_quantiles": q.lang_quantiles,
@@ -396,8 +395,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q.events_sessions,
         "lang_id": q.lang_id,
         "winnow_pairs": q.winnow_pairs,
-        "dedup_exact": q.dedup_exact,
-        "decontaminate": q.decontaminate,
         "ann_topk": q.ann_topk,
         "ann_ivf": q.ann_ivf,
         "ann_lsh": q.ann_lsh,
@@ -445,7 +442,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_repetition": q.bigram_repetition,
         "ngram_pairs": q.ngram_pairs,
         "simhash_pairs": q.simhash_pairs,
-        "embedding_pairs": q.embedding_pairs,
         "pip_join": q.pip_join,
         "knn_ring": q.knn_ring,
         "sample_docs": q.sample_docs,
@@ -459,52 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_tile": q.docs_per_tile,
         "media_frames": q.media_frames,
         "text_stats": q.text_stats,
-        # displaced join sentinels (driver-green r1/r2/r3, still
-        # oracle-checked every pytest session):
-        "anti_join_customers": q.anti_join_customers,
-        "q17_small_qty": q.q17_small_qty,
-        # round-4 tail additions (window saturated with 48 first-row
-        # entries; these rotate into the round-5 window):
-        "time_rollup": q.time_rollup,
-        "vocab_coverage": q.vocab_coverage,
-        "bigram_novelty": q.bigram_novelty,
-        "quality_audit": q.quality_audit,
-        "max_drawdown": q.max_drawdown,
-        "ks_distance": q.ks_distance,
-        "term_pmi": q.term_pmi,
-        "link_predict": q.link_predict,
-        "containment_pairs": q.containment_pairs,
-        "chi2_drift": q.chi2_drift,
-        "digit_profile": q.digit_profile,
-        "event_markov": q.event_markov,
-        "centroid_sims": q.centroid_sims,
-        "partition_balance": q.partition_balance,
-        "dedup_survivorship": q.dedup_survivorship,
-        "langid_confusion": q.langid_confusion,
-        "degree_hist": q.degree_hist,
-        "doc_commonness": q.doc_commonness,
-        "dedup_eval": q.dedup_eval,
-        "span_lang_stats": q.span_lang_stats,
-        "assoc_rules": q.assoc_rules,
-        "hapax_share": q.hapax_share,
-        "fulfillment_days": q.fulfillment_days,
-        "burst_detect": q.burst_detect,
-        "ann_recall_eval": q.ann_recall_eval,
-        "late_events": q.late_events,
-        "revenue_contribution": q.revenue_contribution,
-        "source_overlap": q.source_overlap,
-        "backlog_curve": q.backlog_curve,
-        "median_gap": q.median_gap,
         "dup_spans": q.dup_spans,
-        "pip_join_spans": q.pip_join_spans,
-        "events_dedup_latest": q.events_dedup_latest,
-        "value_percentiles": q.value_percentiles,
-        "pagerank": q.pagerank,
-        "dedup_clusters": q.dedup_clusters,
-        "q3_shipping": q.q3_shipping,
-        "q10_returned_items": q.q10_returned_items,
-        "q13_order_counts": q.q13_order_counts,
-        "q18_top_customers": q.q18_top_customers,
     }
     head = list(reg)[:len(DRIVER_WINDOW)]
     assert head == list(DRIVER_WINDOW), (
@@ -2960,4 +2911,52 @@ SELECT user_id, CAST(max(n) AS BIGINT) AS n_gaps,
          AS median_gap_s
 FROM r GROUP BY user_id
 """
+
+    sqls["scd_intervals"] = """
+WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+c AS (SELECT *, lag(vm) OVER (PARTITION BY user_id, event_type
+                              ORDER BY us, event_id) AS pv FROM e),
+ch AS (SELECT user_id, event_type, vm, us, event_id FROM c
+       WHERE pv IS NULL OR pv <> vm)
+SELECT user_id, event_type, vm, us AS valid_from_us,
+       COALESCE(lead(us) OVER (PARTITION BY user_id, event_type
+                               ORDER BY us, event_id),
+                9223372036854775807) AS valid_to_us
+FROM ch
+"""
+
+    sqls["nearest_order_join"] = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders),
+j AS (SELECT e.event_id, o.us AS o_us, abs(e.us - o.us) AS dt,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY abs(e.us - o.us), o.us) AS rn
+      FROM e JOIN o ON e.user_id = o.o_custkey)
+SELECT event_id, o_us AS nearest_order_us, CAST(dt AS BIGINT) AS abs_dt_us
+FROM j WHERE rn = 1
+"""
+
+    sqls["cell_clusters"] = f"""
+WITH RECURSIVE {_PTS_CTE}, {cell_expr},
+occ AS (SELECT DISTINCT cell_x, cell_y FROM cells),
+ids AS (SELECT cell_x * 64 + cell_y AS id, cell_x, cell_y FROM occ),
+edge AS (SELECT a.id AS src, b.id AS dst
+         FROM ids a JOIN ids b
+           ON abs(a.cell_x - b.cell_x) <= 1
+          AND abs(a.cell_y - b.cell_y) <= 1
+          AND a.id <> b.id),
+lab AS (SELECT id, id AS lbl FROM ids
+        UNION
+        SELECT e.src AS id, lab.lbl
+        FROM lab JOIN edge e ON lab.id = e.dst)
+SELECT i.cell_x, i.cell_y, CAST(min(l.lbl) AS BIGINT) AS cluster
+FROM lab l JOIN ids i ON i.id = l.id
+GROUP BY i.cell_x, i.cell_y
+"""
+
+    # resumed sink == fresh truth: the oracle IS the plain cell_counts
+    # aggregate, so the driver value-hash proves resume correctness
+    sqls["resume_cell_counts"] = sqls["cell_counts"]
+
     return sqls

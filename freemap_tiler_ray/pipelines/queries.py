@@ -8246,3 +8246,273 @@ def median_gap(sf_dir: str):
             .map_batches(prep, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(fold, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions
+# ---------------------------------------------------------------------------
+
+def scd_intervals(sf_dir: str):
+    """Slowly-changing-dimension (SCD type 2) interval construction —
+    the CDC compaction primitive: per (user_id, event_type) ordered by
+    (ts, event_id), collapse runs of equal milli-values into validity
+    intervals [valid_from_us, valid_to_us); the last interval is open,
+    encoded as int64 max (the oracle COALESCEs its NULL LEAD to the
+    same sentinel, so the compare is exact).
+
+    Scale shape: change detection needs each key's full event order,
+    so this is one hash shuffle on user_id (rows carry 5 narrow int /
+    dict columns, no payload) into a vectorized per-partition fold —
+    lexsort, run-boundary mask, next-change LEAD via shifted arrays.
+    No per-key Python loop; one fold call per hash partition."""
+    OPEN_END = np.iinfo(np.int64).max
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        vm = np.floor(t["value"].to_numpy() * 1000.0).astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "us": pa.array(us, pa.int64()),
+            "vm": pa.array(vm, pa.int64()),
+            "_part": pa.array(t["user_id"].to_numpy() % _HASH_PARTS,
+                              pa.int64())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy().astype(object)
+        us = g["us"].to_numpy()
+        vm = g["vm"].to_numpy()
+        new_key = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        change = new_key | np.r_[False, vm[1:] != vm[:-1]]
+        cu, cet, cus, cvm = u[change], et[change], us[change], vm[change]
+        ckey = new_key[change]
+        # valid_to = next change row's us within the same key, else open
+        nxt = np.r_[cus[1:], OPEN_END]
+        last_of_key = np.r_[ckey[1:], True]
+        vto = np.where(last_of_key, OPEN_END, nxt)
+        return pd.DataFrame({
+            "user_id": cu.astype(np.int64),
+            "event_type": cet.astype(str),
+            "vm": cvm.astype(np.int64),
+            "valid_from_us": cus.astype(np.int64),
+            "valid_to_us": vto.astype(np.int64)})
+
+    return (_rp(f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type",
+                         "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def nearest_order_join(sf_dir: str):
+    """Nearest-timestamp join (asof-NEAREST, vs events_asof's
+    asof-backward): for each event, the same user's order date with
+    the smallest |ts - o_orderdate|; ties take the EARLIER order.
+    Returns (event_id, nearest_order_us, abs_dt_us).
+
+    Scale shape: the events_asof bucketed sorted-merge idiom — both
+    sides union into one hash shuffle on the user key, each partition
+    sorts once, and every key run resolves its events with two
+    searchsorted probes (floor + ceiling candidate, pick the nearer);
+    per-key work is numpy-only."""
+    orders = _rp(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderdate"])
+    events = _rp(f"{sf_dir}/events.parquet",
+                 columns=["event_id", "user_id", "ts"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"].cast(pa.int64()),
+                         "event_id": pa.array([0] * t.num_rows, pa.int64()),
+                         "us": t["o_orderdate"].cast(pa.int64()),
+                         "side": pa.array(["o"] * t.num_rows)})
+
+    def e_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["user_id"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "us": t["ts"].cast(pa.int64()),
+                         "side": pa.array(["e"] * t.num_rows)})
+
+    both = (orders.map_batches(o_prep, batch_format="pyarrow")
+            .union(events.map_batches(e_prep, batch_format="pyarrow")))
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(_HASH_PARTS)).astype(np.int64)))
+
+    def nearest(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": np.empty(0, np.int64),
+            "nearest_order_us": np.empty(0, np.int64),
+            "abs_dt_us": np.empty(0, np.int64)})
+        is_o = (g["side"] == "o").to_numpy()
+        k = g["key"].to_numpy()
+        us = g["us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        ok_, ous = k[is_o], us[is_o]
+        # sort orders by (key, us, us) — equal us per key collapses to
+        # the same candidate, so duplicates are harmless
+        oo = np.lexsort((ous, ok_))
+        ok_, ous = ok_[oo], ous[oo]
+        ek, eus, eids = k[~is_o], us[~is_o], eid[~is_o]
+        if len(ek) == 0 or len(ok_) == 0:
+            return empty
+        lo = np.searchsorted(ok_, ek, side="left")
+        hi = np.searchsorted(ok_, ek, side="right")
+        order = np.argsort(ek, kind="stable")
+        ek, eus, eids = ek[order], eus[order], eids[order]
+        lo, hi = lo[order], hi[order]
+        out_id, out_us, out_dt = [], [], []
+        bounds = np.flatnonzero(np.r_[True, ek[1:] != ek[:-1], True])
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            a, b = lo[s], hi[s]
+            if a == b:
+                continue
+            run = ous[a:b]
+            e_run = eus[s:t_]
+            pos = np.searchsorted(run, e_run, side="right")
+            fl = np.clip(pos - 1, 0, b - a - 1)   # floor candidate
+            ce = np.clip(pos, 0, b - a - 1)       # ceiling candidate
+            d_fl = np.abs(e_run - run[fl])
+            d_ce = np.abs(e_run - run[ce])
+            # strict < keeps the floor (earlier order) on distance ties
+            take_ce = d_ce < d_fl
+            best = np.where(take_ce, ce, fl)
+            out_id.append(eids[s:t_])
+            out_us.append(run[best])
+            out_dt.append(np.where(take_ce, d_ce, d_fl))
+        if not out_id:
+            return empty
+        return pd.DataFrame({
+            "event_id": np.concatenate(out_id).astype(np.int64),
+            "nearest_order_us": np.concatenate(out_us).astype(np.int64),
+            "abs_dt_us": np.concatenate(out_dt).astype(np.int64)})
+
+    return (both.map_batches(part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(nearest, batch_format="pandas"))
+
+
+def cell_clusters(sf_dir: str):
+    """Spatial region labeling: connected components (8-connectivity)
+    over the OCCUPIED quadtree cells of the document point grid — the
+    raster-domain island/blob-labeling primitive. One row per occupied
+    cell; cluster = the min linear cell id (cell_x * G + cell_y) of
+    its contiguous region.
+
+    Scale shape: the distributed work is the occupancy aggregate
+    (cell_counts' partial-count shape over the full corpus); the
+    occupied-cell GRAPH is bounded by the grid (4^res cells no matter
+    the corpus size), i.e. a fixed-size driver artifact like the
+    percentile histograms — so the labeling itself is one driver-side
+    union-find over <= 8 * 4^res edges, NOT O(diameter) distributed
+    label-propagation rounds (the grid's giant component has diameter
+    ~2*G, which would cost ~128 shuffle rounds to label a
+    constant-size graph; cf. stages/dedup.connected_components, which
+    is the right tool when the NODE set scales with the data)."""
+    G = 1 << CELL_RES
+
+    occ = (cell_counts(sf_dir).select_columns(["cell_x", "cell_y"])
+           .to_pandas())  # bounded: <= 4^res rows
+    cid = np.sort((occ["cell_x"].to_numpy() * G
+                   + occ["cell_y"].to_numpy()).astype(np.int64))
+    n = len(cid)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:     # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    # edges: for each occupied cell, probe its 4 lexicographically
+    # greater neighbors in the sorted id array (each undirected edge
+    # considered once)
+    cx, cy = cid // G, cid % G
+    for dx, dy in ((0, 1), (1, -1), (1, 0), (1, 1)):
+        nx, ny = cx + dx, cy + dy
+        ok = (nx >= 0) & (nx < G) & (ny >= 0) & (ny < G)
+        nid = nx * G + ny
+        pos = np.searchsorted(cid, nid)
+        ok &= (pos < n) & (cid[np.minimum(pos, n - 1)] == nid) if n \
+            else np.zeros(0, bool)
+        for i, j in zip(np.flatnonzero(ok), pos[ok]):
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([find(int(i)) for i in range(n)], np.int64)
+    # min-id labeling: the root index is the smallest index in its
+    # component (unions always point the larger root at the smaller),
+    # and cid is sorted, so cid[root] is the component's min cell id
+    return pd.DataFrame({
+        "cell_x": cid // G,
+        "cell_y": cid % G,
+        "cluster": cid[roots] if n else np.empty(0, np.int64)})
+
+
+def resume_cell_counts(sf_dir: str):
+    """Fault tolerance at the query layer: docs-per-cell computed
+    THROUGH a crash-and-resume of the resumable partitioned parquet
+    sink. The doc->cell table is written hash-partitioned on doc_id,
+    then a crash is simulated (one partition's data file torn +
+    _SUCCESS removed, another's marker removed with data intact), then
+    the write re-runs — committed partitions are skipped before the
+    shuffle, damaged ones rewritten atomically — and the per-cell
+    counts are aggregated from the resumed sink. The oracle is the
+    plain cell_counts truth, so the driver's value hash proves
+    resumed == fresh, byte-for-byte (cf. test_resume.py's byte-identity
+    for the tile pipeline; this is the tabular-sink analog)."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.partitioned_sink import (read_partitioned,
+                                            write_partitioned)
+
+    nparts = 16
+    out = tempfile.mkdtemp(prefix="ftr_resume_sink_")
+    try:
+        first = write_partitioned(doc_cells(sf_dir), out, key="doc_id",
+                                  num_partitions=nparts)
+        assert not first["skipped"], "fresh sink must write everything"
+        # simulate a crash over two partitions (when they exist):
+        # p_torn: truncated data + no marker; p_lost: marker-only loss
+        written = first["written"]
+        p_torn = written[0] if written else None
+        p_lost = written[1] if len(written) > 1 else None
+        if p_torn is not None:
+            pdir = _os.path.join(out, f"part={p_torn}")
+            _os.remove(_os.path.join(pdir, "_SUCCESS"))
+            with open(_os.path.join(pdir, "data.parquet"), "wb") as f:
+                f.write(b"torn")
+        if p_lost is not None:
+            _os.remove(_os.path.join(out, f"part={p_lost}",
+                                     "_SUCCESS"))
+        second = write_partitioned(doc_cells(sf_dir), out, key="doc_id",
+                                   num_partitions=nparts)
+        redo = {p for p in (p_torn, p_lost) if p is not None}
+        assert set(second["written"]) == redo, second
+        assert set(second["skipped"]) == set(written) - redo, second
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = (t.select(["cell_x", "cell_y"])
+                 .group_by(["cell_x", "cell_y"])
+                 .aggregate([([], "count_all")]))
+            return g.rename_columns(["cell_x", "cell_y", "partial"])
+
+        return (read_partitioned(out, columns=["cell_x", "cell_y"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(["cell_x", "cell_y"])
+                .aggregate(Sum("partial", alias_name="n_docs"))
+                .to_pandas())  # bounded: <= 4^res cells
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -595,21 +595,25 @@ def _pair_intersections(shingled_ds, finish):
         sz = g["sz"].to_numpy()
         order = np.lexsort((d, k))
         k, d, sz = k[order], d[order], sz[order]
-        bounds = np.flatnonzero(np.r_[True, k[1:] != k[:-1], True])
-        out_a, out_b, out_sa, out_sb = [], [], [], []
-        for s, t_ in zip(bounds[:-1], bounds[1:]):
-            if t_ - s < 2:
-                continue
-            ii, jj = np.triu_indices(t_ - s, k=1)
-            out_a.append(d[s:t_][ii])
-            out_b.append(d[s:t_][jj])
-            out_sa.append(sz[s:t_][ii])
-            out_sb.append(sz[s:t_][jj])
-        c = (lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64))
-        return pa.table({"doc_a": pa.array(np.asarray(c(out_a), np.int64)),
-                             "doc_b": pa.array(np.asarray(c(out_b), np.int64)),
-                             "sz_a": pa.array(np.asarray(c(out_sa), np.int64)),
-                             "sz_b": pa.array(np.asarray(c(out_sb), np.int64))})
+        # fully vectorized within-run triangle emission (one partition
+        # holds millions of tiny shingle runs at corpus scale — a
+        # per-run Python loop pays dispatch per DISTINCT shingle): the
+        # element at local index i of a run of length c pairs, as the
+        # 'a' side, with exactly the m = c - 1 - i elements after it,
+        # so out_b is a contiguous index ramp per a-element.
+        starts_all = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        c_run = np.diff(np.r_[starts_all, len(k)])
+        run_of = np.repeat(np.arange(len(c_run)), c_run)
+        local_i = np.arange(len(k), dtype=np.int64) - starts_all[run_of]
+        m = c_run[run_of] - 1 - local_i
+        ia = np.repeat(np.arange(len(k), dtype=np.int64), m)
+        off = np.concatenate([[0], np.cumsum(m)])
+        ib = ia + 1 + (np.arange(int(off[-1]), dtype=np.int64)
+                       - np.repeat(off[:-1], m))
+        return pa.table({"doc_a": pa.array(d[ia], pa.int64()),
+                         "doc_b": pa.array(d[ib], pa.int64()),
+                         "sz_a": pa.array(sz[ia], pa.int64()),
+                         "sz_b": pa.array(sz[ib], pa.int64())})
 
     def local_count(t: pa.Table) -> pa.Table:
         # combiner: per-block partial co-occurrence count per pair
