@@ -7114,12 +7114,15 @@ def link_predict(sf_dir: str):
     part fan-out is ~30 buyers at every sf, so the cap is headroom,
     not a result filter; the oracle mirrors it exactly).
 
-    Scale shape: one lineitem |X| orders hash join, a (cust, part)
-    distinct groupby, then per-part pair emission inside map_groups
-    (vectorized triu_indices, bounded by the cap) into a final
-    (cust1, cust2) groupby-count."""
-    from ray.data.aggregate import Count
-
+    Scale shape: one lineitem |X| orders hash join, then TWO
+    hash-partitioned vectorized folds — (1) by part: (c, p) dedup,
+    per-part triangle emission (the flat index-ramp idiom, cap-
+    bounded) and local pair pre-count in one map_groups call per
+    partition; (2) by pair hash: reduceat sum + threshold. Neither a
+    per-PART map_groups nor a (cust1, cust2)-keyed Dataset.aggregate
+    appears anywhere: both pay Ray's per-distinct-group dispatch
+    (the keyed aggregate alone measured 237 s for ~600k pair groups
+    at sf0.01; this shape runs the whole query in ~4 s)."""
     orders = _rp(f"{sf_dir}/orders.parquet",
                  columns=["o_orderkey", "o_custkey"])
     li = _rp(f"{sf_dir}/lineitem.parquet",
@@ -7132,29 +7135,82 @@ def link_predict(sf_dir: str):
             "c": t["o_custkey"].to_numpy().astype(np.int64),
             "p": t["l_partkey"].to_numpy().astype(np.int64)}
         ).drop_duplicates()
+        p = df["p"].to_numpy().astype(np.uint64)
+        h = (p * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        df["_part"] = (h % np.uint64(_HASH_PARTS)).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False
                                     ).replace_schema_metadata(None)
 
-    cp = (j.map_batches(cp_partial, batch_format="pyarrow")
-          .groupby(["c", "p"]).aggregate(Count(alias_name="_n")))
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"cust1": np.empty(0, np.int64),
+                              "cust2": np.empty(0, np.int64),
+                              "n": np.empty(0, np.int64)})
+        p = g["p"].to_numpy()
+        c = g["c"].to_numpy()
+        order = np.lexsort((c, p))
+        p, c = p[order], c[order]
+        uniq = np.r_[True, (p[1:] != p[:-1]) | (c[1:] != c[:-1])]
+        p, c = p[uniq], c[uniq]          # cross-batch (c, p) dedup
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        cnt = np.diff(np.r_[starts, len(p)])
+        live = (cnt >= 2) & (cnt <= LINK_POP_CAP)  # degree cap
+        row_keep = np.repeat(live, cnt)
+        c = c[row_keep]
+        cnt = cnt[live]
+        if not len(cnt):
+            return empty
+        # flat triangle ramp per part run (c ascending within a run,
+        # so cust1 < cust2 by construction)
+        starts = np.cumsum(cnt) - cnt
+        local_i = np.arange(len(c), dtype=np.int64) - np.repeat(starts, cnt)
+        m = np.repeat(cnt, cnt) - 1 - local_i
+        ia = np.repeat(np.arange(len(c), dtype=np.int64), m)
+        off = np.concatenate([[0], np.cumsum(m)])
+        ib = ia + 1 + (np.arange(int(off[-1]), dtype=np.int64)
+                       - np.repeat(off[:-1], m))
+        c1, c2 = c[ia], c[ib]
+        # local pre-count: the shuffle carries one row per distinct
+        # pair per partition, not one per co-occurrence
+        po = np.lexsort((c2, c1))
+        c1, c2 = c1[po], c2[po]
+        first = np.r_[True, (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])]
+        pstarts = np.flatnonzero(first)
+        n = np.diff(np.r_[pstarts, len(c1)])
+        c1, c2 = c1[pstarts], c2[pstarts]
+        pk = ((c1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ (c2.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
+        return pd.DataFrame({"cust1": c1, "cust2": c2,
+                             "n": n.astype(np.int64),
+                             "_ppart": ((pk >> np.uint64(17))
+                                        % np.uint64(_HASH_PARTS))
+                             .astype(np.int64)})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        cs = np.sort(g["c"].unique())
-        if len(cs) < 2 or len(cs) > LINK_POP_CAP:
-            return pd.DataFrame({"cust1": np.array([], np.int64),
-                                 "cust2": np.array([], np.int64)})
-        i, k = np.triu_indices(len(cs), 1)
-        return pd.DataFrame({"cust1": cs[i], "cust2": cs[k]})
+    def final_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-pair-hash-partition sum + threshold: a plain
+        # two-key groupby().aggregate() here pays Ray's per-distinct-
+        # group dispatch (~0.4 ms x ~600k pair groups = minutes at
+        # sf0.01, measured) — the same reason _pair_intersections
+        # folds with reduceat instead of a pair-keyed aggregate
+        c1 = g["cust1"].to_numpy()
+        c2 = g["cust2"].to_numpy()
+        n = g["n"].to_numpy()
+        po = np.lexsort((c2, c1))
+        c1, c2, n = c1[po], c2[po], n[po]
+        first = np.r_[True, (c1[1:] != c1[:-1]) | (c2[1:] != c2[:-1])]
+        pstarts = np.flatnonzero(first)
+        cn = np.add.reduceat(n, pstarts) if len(n) else \
+            np.empty(0, np.int64)
+        c1, c2 = c1[pstarts], c2[pstarts]
+        hit = cn >= LINK_MIN_CN
+        return pd.DataFrame({"cust1": c1[hit].astype(np.int64),
+                             "cust2": c2[hit].astype(np.int64),
+                             "cn": cn[hit].astype(np.int64)})
 
-    pr = (cp.groupby("p").map_groups(pairs, batch_format="pandas")
-          .groupby(["cust1", "cust2"]).aggregate(Count(alias_name="cn")))
-
-    def keep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["cn"], pa.scalar(LINK_MIN_CN)))
-        return pa.table({"cust1": t["cust1"], "cust2": t["cust2"],
-                         "cn": pc.cast(t["cn"], pa.int64())})
-
-    return pr.map_batches(keep, batch_format="pyarrow")
+    return (j.map_batches(cp_partial, batch_format="pyarrow")
+            .groupby("_part").map_groups(pairs_part,
+                                         batch_format="pandas")
+            .groupby("_ppart").map_groups(final_fold,
+                                          batch_format="pandas"))
 
 
 def containment_pairs(sf_dir: str):
