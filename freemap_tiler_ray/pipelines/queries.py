@@ -7141,10 +7141,11 @@ def link_predict(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False
                                     ).replace_schema_metadata(None)
 
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"cust1": np.empty(0, np.int64),
-                              "cust2": np.empty(0, np.int64),
-                              "n": np.empty(0, np.int64)})
+    def pairs_part(g: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"cust1": pa.array([], pa.int64()),
+                          "cust2": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "_ppart": pa.array([], pa.int64())})
         p = g["p"].to_numpy()
         c = g["c"].to_numpy()
         order = np.lexsort((c, p))
@@ -7179,11 +7180,15 @@ def link_predict(sf_dir: str):
         c1, c2 = c1[pstarts], c2[pstarts]
         pk = ((c1.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
               ^ (c2.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)))
-        return pd.DataFrame({"cust1": c1, "cust2": c2,
-                             "n": n.astype(np.int64),
-                             "_ppart": ((pk >> np.uint64(17))
-                                        % np.uint64(_HASH_PARTS))
-                             .astype(np.int64)})
+        # Arrow out: pandas-format blocks send the downstream wide op
+        # onto a measured ~17x slow path (BASELINE.md round-5 note)
+        return pa.table({
+            "cust1": pa.array(c1, pa.int64()),
+            "cust2": pa.array(c2, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "_ppart": pa.array(((pk >> np.uint64(17))
+                                % np.uint64(_HASH_PARTS))
+                               .astype(np.int64))})
 
     def final_fold(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized per-pair-hash-partition sum + threshold: a plain
