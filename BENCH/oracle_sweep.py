@@ -1,12 +1,19 @@
-"""Round-5 oracle sweep: every queries() entry vs its DuckDB oracle at
-sf0.01 under one (num_cpus, fan-out) config per invocation. Prints one
-JSON line {"bad": [...], "n": N}. Mirrors the r4 sweep protocol."""
+"""Oracle sweep runner: every queries() entry vs its DuckDB oracle at
+FTR_TEST_SF (default sf0.01) under one (num_cpus, fan-out-env) config
+per invocation. Prints one JSON line {"bad": [...], "n": N}.
+
+Usage (mirrors the recorded BENCH/oracle_sweep_r*.txt protocol):
+    FTR_HASH_PARTS=16 python BENCH/oracle_sweep.py 8
+    FTR_HASH_PARTS=128 python BENCH/oracle_sweep.py 16
+    FTR_HASH_PARTS=64 FTR_JOIN_PARTS=5 python BENCH/oracle_sweep.py 32
+"""
 import json
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 NCPU = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 os.environ.setdefault("FTR_TEST_SF", "/root/testdata/sf0.01")

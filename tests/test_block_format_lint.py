@@ -47,11 +47,23 @@ WIDE = {"groupby", "join", "sort", "aggregate", "repartition"}
 
 
 def _returns_arrow(fn: ast.FunctionDef) -> bool:
-    """True if every return statement builds an Arrow table."""
+    """True if every return statement builds an Arrow table (directly,
+    or via a local name assigned from pa.table(...))."""
+    arrow_names = set()
+    for n in ast.walk(fn):
+        if isinstance(n, ast.Assign) and isinstance(n.value, ast.Call):
+            f = n.value.func
+            if isinstance(f, ast.Attribute) and f.attr in ("table", "Table"):
+                for tgt in n.targets:
+                    if isinstance(tgt, ast.Name):
+                        arrow_names.add(tgt.id)
     rets = [n for n in ast.walk(fn) if isinstance(n, ast.Return)]
     if not rets:
         return False
     for r in rets:
+        if (isinstance(r.value, ast.Name)
+                and r.value.id in arrow_names):
+            continue
         ok = False
         for n in ast.walk(r):
             if isinstance(n, ast.Attribute) and n.attr in ("table", "Table"):
@@ -82,11 +94,14 @@ def _check_file(relpath: str):
                 is_pandas = (isinstance(fmt, ast.Constant)
                              and fmt.value == "pandas")
                 if isinstance(fold, ast.Name) and is_pandas:
-                    sites.append((n.lineno, fold.id))
+                    # end_lineno of the func attribute = the line the
+                    # .map_groups( name itself sits on (Call.lineno is
+                    # the START of the whole chain, useless for order)
+                    sites.append((n.func.end_lineno, fold.id))
         if not sites:
             continue
         # wide ops AFTER the map_groups site (same enclosing function)
-        wide_lines = [n.lineno for n in ast.walk(outer)
+        wide_lines = [n.func.end_lineno for n in ast.walk(outer)
                       if isinstance(n, ast.Call)
                       and isinstance(n.func, ast.Attribute)
                       and n.func.attr in WIDE]
@@ -110,6 +125,31 @@ def test_pandas_folds_feeding_wide_ops_return_arrow():
         "pandas-format map_groups output feeds a wide Dataset op — "
         "return pa.table(...) from the fold (or allowlist it with a "
         "bounded-frame justification): " + ", ".join(offenders))
+
+
+def test_lint_catches_a_planted_violation(tmp_path):
+    """Negative control: a pandas-returning fold feeding a groupby must
+    be flagged; the same fold returning pa.table must pass."""
+    bad = '''
+def q(sf):
+    def fold(g):
+        return g[["a", "b"]]
+    return (ds.groupby("_part").map_groups(fold, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(S))
+'''
+    good = bad.replace('return g[["a", "b"]]',
+                       'return pa.table({"a": g["a"]})')
+    global REPO
+    for src, expect in ((bad, 1), (good, 0)):
+        f = tmp_path / "planted.py"
+        f.write_text(src)
+        old = REPO
+        try:
+            REPO = str(tmp_path)
+            offenders = _check_file("planted.py")
+        finally:
+            REPO = old
+        assert len(offenders) == expect, (src, offenders)
 
 
 def test_allowlist_entries_still_exist():
