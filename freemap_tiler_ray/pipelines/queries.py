@@ -3498,23 +3498,24 @@ def dup_spans(sf_dir: str):
     starts into maximal overlapping spans. Per doc: span count,
     duplicated-gram count, and tokens covered by the span union.
 
-    Scale plan (round-4 rebuild, VERDICT r3 What's-wrong #3): gram
-    identity is a 120-bit md5 (two int64 columns) computed ONCE PER
-    UNIQUE GRAM per batch — tokens are dictionary-encoded and the
-    L-gram becomes a packed code tuple (shingle_hashes idiom), so no
-    per-occurrence Python string ever exists. Counting is a per-batch
-    partial (one row per distinct gram per batch) folded by a bounded
-    groupby-sum, and occurrences are tagged by an inner JOIN against
-    the count>=2 keys — so a boilerplate gram with O(corpus)
-    occurrences never materializes as one Python group anywhere (the
-    join partitions are vectorized); no frequency cutoff / salting is
-    needed because no stage is quadratic or group-buffered in a
-    gram's frequency (tests/test_dup_spans.py pins this with a
+    Scale plan (round-5 rework of the round-4 rebuild): gram identity
+    is a 120-bit md5 (two int64 columns) computed ONCE PER UNIQUE
+    GRAM per batch — tokens are dictionary-encoded and the L-gram
+    becomes a packed code tuple (shingle_hashes idiom), so no
+    per-occurrence Python string ever exists. ONE gram-hash shuffle
+    co-locates every occurrence of a gram, so the global count>=2
+    filter is a partition-local lexsort + run-length test inside a
+    single vectorized fold per partition (the round-4 design shuffled
+    the occurrence table TWICE — count partials through a groupby-sum,
+    then the occurrences through an inner join against the dup keys —
+    and needed an occ checkpoint to feed both; all three are gone).
+    A boilerplate gram with O(corpus) occurrences is linear work
+    inside its partition — nothing is quadratic or group-buffered in
+    a gram's frequency (tests/test_dup_spans.py pins this with a
     boilerplate-heavy corpus). The per-doc merge groups stay bounded
     by doc length. Shuffles carry 16-byte keys, not gram strings."""
     import hashlib
 
-    from ray.data.aggregate import Sum
 
     L = DUP_L
     _OCC = {"h1": pa.int64(), "h2": pa.int64(),
@@ -3572,31 +3573,41 @@ def dup_spans(sf_dir: str):
             "i": pa.array(pos + 1, pa.int64())})   # 1-based like the SQL
 
     occ = (_docs(sf_dir, ("doc_id", "text"))
-           .map_batches(grams, batch_format="pyarrow")
-           .materialize())   # diamond: feeds both the count and the tag
+           .map_batches(grams, batch_format="pyarrow"))
 
-    def pre_count(t: pa.Table) -> pa.Table:
-        h1 = t["h1"].to_numpy()
-        h2 = t["h2"].to_numpy()
+    def gram_part(t: pa.Table) -> pa.Table:
+        h = t["h1"].to_numpy().astype(np.uint64)
+        p = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(_HASH_PARTS)
+        return t.append_column("_gpart",
+                               pa.array(p.astype(np.int64)))
+
+    def dup_occ(g: pd.DataFrame) -> pa.Table:
+        # gram-hash partitioning co-locates ALL occurrences of a gram,
+        # so the global count>=2 filter is one partition-local lexsort
+        # + run-length test — no count aggregate, no (h1, h2) join, no
+        # occ checkpoint (round-5 rework: the former
+        # pre_count -> groupby-sum -> dup_keys -> inner-join pipeline
+        # shuffled the occurrence table twice; this shuffles it once)
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        i = g["i"].to_numpy()
         order = np.lexsort((h2, h1))
-        h1, h2 = h1[order], h2[order]
+        h1, h2, d, i = h1[order], h2[order], d[order], i[order]
         bnd = np.flatnonzero(
             np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]), True])
-        return pa.table({"h1": pa.array(h1[bnd[:-1]]),
-                         "h2": pa.array(h2[bnd[:-1]]),
-                         "pn": pa.array(np.diff(bnd))})
+        cnt = np.diff(bnd)
+        keep = np.repeat(cnt >= 2, cnt)
+        d, i = d[keep], i[keep]
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "i": pa.array(i, pa.int64()),
+            "_part": pa.array(d % _HASH_PARTS, pa.int64())})
 
-    def dup_keys(t: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(t["n_occ"], 2)
-        return t.filter(keep).select(["h1", "h2"])
-
-    dups_keys = (occ.map_batches(pre_count, batch_format="pyarrow")
-                 .groupby(["h1", "h2"])
-                 .aggregate(Sum("pn", alias_name="n_occ"))
-                 .map_batches(dup_keys, batch_format="pyarrow"))
-    dups = (occ.join(dups_keys, join_type="inner",
-                     num_partitions=_JOIN_PARTS, on=("h1", "h2"))
-            .select_columns(["doc_id", "i"]))
+    dups = (occ.map_batches(gram_part, batch_format="pyarrow")
+            .groupby("_gpart")
+            .map_groups(dup_occ, batch_format="pandas"))
 
     def merge_runs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "i"], kind="stable")
@@ -3621,13 +3632,7 @@ def dup_spans(sf_dir: str):
             out[c] = out[c].astype(np.int64)
         return out
 
-    def part_key(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_part", pa.array(t["doc_id"].to_numpy() % _HASH_PARTS,
-                              pa.int64()))
-
-    return (dups.map_batches(part_key, batch_format="pyarrow")
-            .groupby("_part")
+    return (dups.groupby("_part")
             .map_groups(merge_runs, batch_format="pandas"))
 
 
