@@ -6736,14 +6736,18 @@ def bigram_novelty(sf_dir: str):
     Scale shape: the dup_spans gram idiom at L=2 — bigram identity is
     a 120-bit md5 computed once per unique bigram per batch (tokens
     dictionary-encoded, dedup on packed int64 code pairs); the
-    shuffle carries 24-byte (h1, h2, doc_id) rows. One groupby-min
-    assigns each bigram its owner, so novel counts are a groupby-count
-    over the OWNER table (no join back to occurrences); distinct
-    counts are a groupby-count over the pair table; one final doc-
-    keyed left join stitches the two bounded per-doc aggregates."""
+    shuffle carries 24-byte (h1, h2, doc_id) rows. Round-5 rework
+    mirroring dup_spans: ONE bigram-hash shuffle co-locates every
+    (bigram, doc) row, so owner-min AND per-doc distinct counts fold
+    in the same partition-local lexsort, emitting (doc_id, partial
+    distinct count, partial novel count) frames bounded by the doc
+    universe; one single-int-key groupby-sum stitches them (the
+    former design shuffled the pair table through a two-key Min
+    aggregate AND a doc count aggregate, joined the two, and
+    checkpointed the pair table to feed both sides)."""
     import hashlib
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Sum
 
     def pairs(t: pa.Table) -> pa.Table:
         empty = pa.table({"h1": pa.array([], pa.int64()),
@@ -6786,30 +6790,39 @@ def bigram_novelty(sf_dir: str):
                          "doc_id": pa.array(ids[d], pa.int64())})
 
     occ = (_docs(sf_dir, ("doc_id", "text"))
-           .map_batches(pairs, batch_format="pyarrow")
-           .materialize())   # diamond: feeds owner-min and per-doc count
+           .map_batches(pairs, batch_format="pyarrow"))
 
-    owners = (occ.groupby(["h1", "h2"])
-              .aggregate(Min("doc_id", alias_name="mdoc")))
-    novel = (owners.select_columns(["mdoc"])
-             .groupby("mdoc").aggregate(Count(alias_name="n_novel"))
-             .map_batches(lambda t: t.rename_columns(["ndoc", "n_novel"]),
-                          batch_format="pyarrow"))
-    nb = (occ.select_columns(["doc_id"])
-          .groupby("doc_id").aggregate(Count(alias_name="n_bigrams")))
+    def gram_part(t: pa.Table) -> pa.Table:
+        h = t["h1"].to_numpy().astype(np.uint64)
+        p = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(_HASH_PARTS)
+        return t.append_column("_gpart",
+                               pa.array(p.astype(np.int64)))
 
-    j = nb.join(novel, join_type="left_outer",
-                num_partitions=_JOIN_PARTS,
-                on=("doc_id",), right_on=("ndoc",))
+    def fold(g: pd.DataFrame) -> pa.Table:
+        # bigram-hash co-location: per-bigram owner (min doc) and
+        # per-doc distinct counts from ONE lexsort; output is a
+        # (doc_id, nb, nv) frame bounded by the docs present here
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, h2, h1))
+        h1, h2, d = h1[order], h2[order], d[order]
+        first = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        owners = d[first]                     # min doc per bigram
+        ud, nb = np.unique(d, return_counts=True)
+        nv = np.zeros(len(ud), np.int64)
+        uo, no = np.unique(owners, return_counts=True)
+        nv[np.searchsorted(ud, uo)] = no      # owners are a subset of ud
+        return pa.table({"doc_id": pa.array(ud, pa.int64()),
+                         "nb": pa.array(nb.astype(np.int64)),
+                         "nv": pa.array(nv)})
 
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_bigrams": t["n_bigrams"],
-            "n_novel": pc.cast(pc.fill_null(t["n_novel"], 0),
-                               pa.int64())})
-
-    return j.map_batches(finish, batch_format="pyarrow")
+    return (occ.map_batches(gram_part, batch_format="pyarrow")
+            .groupby("_gpart").map_groups(fold, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Sum("nb", alias_name="n_bigrams"),
+                       Sum("nv", alias_name="n_novel")))
 
 
 def quality_audit(sf_dir: str):
