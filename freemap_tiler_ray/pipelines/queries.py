@@ -5237,53 +5237,71 @@ def line_dedup(sf_dir: str):
     (chance collision ~2^-128 on non-adversarial text; an adversarial
     corpus would get the md5-per-unique-line fallback dup_spans
     uses). Occurrences are pre-counted per (line, doc) inside the
-    batch, folded by ONE bounded groupby, and the boilerplate mark is
-    an inner JOIN against the ndocs>=2 keys — a 10^6-doc boilerplate
-    line never materializes as a single Python group (cf. dup_spans'
-    scale note). The (line, doc) table is checkpointed once because
-    both the per-doc totals and the dup mark fold from it; shuffles
-    carry 16-byte keys + 3 ints, never line text."""
-    from ray.data.aggregate import Count, Sum
+    batch. Round-5 rework mirroring dup_spans: ONE line-hash shuffle
+    co-locates every (line, doc) partial, so the cross-batch combine,
+    the distinct-doc count, the >= LINE_DUP_DOCS boilerplate mark and
+    the per-doc kept/total partials all fold from one partition-local
+    lexsort (the former design ran a three-key (h1,h2,doc) aggregate,
+    a two-key ndocs aggregate, an inner join, a union, and a
+    checkpoint feeding both sides — all gone); a 10^6-doc boilerplate
+    line is linear work inside its partition. One single-int-key doc
+    groupby-sum stitches the partials; shuffles carry 16-byte keys +
+    3 ints, never line text."""
+    from ray.data.aggregate import Sum
 
-    base = (_docs(sf_dir, ("doc_id", "text"))
-            .map_batches(_line_dedup_explode, batch_format="pyarrow")
-            .groupby(["h1", "h2", "doc_id"])
-            .aggregate(Sum("c", alias_name="c"),
-                       Sum("chars", alias_name="chars"))
-            .materialize())     # feeds both folds below exactly once
+    ex = (_docs(sf_dir, ("doc_id", "text"))
+          .map_batches(_line_dedup_explode, batch_format="pyarrow"))
 
-    dupkeys = (base.groupby(["h1", "h2"])
-               .aggregate(Count(alias_name="ndocs")))
+    def line_part(t: pa.Table) -> pa.Table:
+        h = t["h1"].to_numpy().astype(np.uint64)
+        p = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(_HASH_PARTS)
+        return t.append_column("_lpart",
+                               pa.array(p.astype(np.int64)))
 
-    def keep_dup(t: pa.Table) -> pa.Table:
-        m = pc.greater_equal(t["ndocs"], LINE_DUP_DOCS)
-        f = t.filter(m)
-        return pa.table({"d1": f["h1"], "d2": f["h2"]})
+    def fold(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "nl": pa.array([], pa.int64()),
+                             "nk": pa.array([], pa.int64()),
+                             "kc": pa.array([], pa.int64())})
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        c = g["c"].to_numpy()
+        ch = g["chars"].to_numpy()
+        order = np.lexsort((d, h2, h1))
+        h1, h2, d, c, ch = (x[order] for x in (h1, h2, d, c, ch))
+        # combine cross-batch (line, doc) partials
+        first = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+                      | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(first)
+        c = np.add.reduceat(c, starts)
+        ch = np.add.reduceat(ch, starts)
+        h1, h2, d = h1[starts], h2[starts], d[starts]
+        # distinct-doc count per line = its run length after combine
+        lfirst = np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])]
+        line_id = np.cumsum(lfirst) - 1
+        ndocs = np.bincount(line_id)
+        dup = (ndocs >= LINE_DUP_DOCS)[line_id]
+        ud, inv = np.unique(d, return_inverse=True)
+        n_lines = np.zeros(len(ud), np.int64)
+        n_kept = np.zeros(len(ud), np.int64)
+        kept_ch = np.zeros(len(ud), np.int64)
+        np.add.at(n_lines, inv, c)
+        np.add.at(n_kept, inv[~dup], c[~dup])
+        np.add.at(kept_ch, inv[~dup], ch[~dup])
+        return pa.table({"doc_id": pa.array(ud, pa.int64()),
+                         "nl": pa.array(n_lines),
+                         "nk": pa.array(n_kept),
+                         "kc": pa.array(kept_ch)})
 
-    dupkeys = dupkeys.map_batches(keep_dup, batch_format="pyarrow")
-
-    def tot_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["doc_id"], "n_lines": t["c"],
-                         "n_kept": t["c"], "kept_chars": t["chars"]})
-
-    def neg_rows(t: pa.Table) -> pa.Table:
-        z = pa.array(np.zeros(t.num_rows, np.int64))
-        return pa.table({
-            "doc_id": t["doc_id"], "n_lines": z,
-            "n_kept": pc.negate(t["c"]),
-            "kept_chars": pc.negate(t["chars"])})
-
-    dup = (base.join(dupkeys, join_type="inner",
-                     num_partitions=_JOIN_PARTS,
-                     on=("h1", "h2"), right_on=("d1", "d2"))
-           .map_batches(neg_rows, batch_format="pyarrow"))
-
-    return (base.map_batches(tot_rows, batch_format="pyarrow")
-            .union(dup)
+    return (ex.map_batches(line_part, batch_format="pyarrow")
+            .groupby("_lpart").map_groups(fold, batch_format="pandas")
             .groupby("doc_id")
-            .aggregate(Sum("n_lines", alias_name="n_lines"),
-                       Sum("n_kept", alias_name="n_kept"),
-                       Sum("kept_chars", alias_name="kept_chars")))
+            .aggregate(Sum("nl", alias_name="n_lines"),
+                       Sum("nk", alias_name="n_kept"),
+                       Sum("kc", alias_name="kept_chars")))
 
 
 ZSCORE_K = 2        # flag |x - mean| > K * stddev
